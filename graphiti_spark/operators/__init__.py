@@ -1,0 +1,1 @@
+"""graphiti_spark — PySpark-native KG construction engine."""

