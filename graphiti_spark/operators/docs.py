@@ -1,0 +1,181 @@
+"""Training-data document operators over the `documents` table: token
+counting, quality scoring, language-ID, fingerprinting, exact and n-gram
+near-duplicate detection.
+
+These are the large-scale-pipeline primitives the engine offers beyond the
+reference's own operator set (the reference's text handling stops at
+cleaning/chunking, /root/reference/graphiti_core/llm_client/client.py:63-83).
+Everything is JVM-side built-ins (regexp_count / split / higher-order array
+functions) so the whole stage is whole-stage-codegen'd; ratios are emitted
+as exact integer micro-units (``x * 1_000_000 div y``) so the DuckDB oracle
+matches bit-for-bit with no float drift.
+
+Scale notes (100 TB): every operator here is a single narrow projection
+except n-gram dedup, which shuffles once on the shingle key (skew-prone for
+boilerplate shingles — hot shingles are dropped by a document-frequency cap
+before the self-join, the standard LSH-free guard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+WS_TOKEN = r"\S+"
+WORD = "[a-z0-9]+"
+WORD_CHAR = "[a-z0-9]"
+BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+PUNCT = r"[^A-Za-z0-9\s]"
+
+EN_STOP = r"\b(the|and|of|is|in|to|a|for|on|with)\b"
+DE_STOP = r"\b(der|die|das|und|ist|nicht|ein|zu)\b"
+FR_STOP = r"\b(le|la|les|et|est|une|dans|pour)\b"
+
+
+def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _udiv(num, den):
+    """Exact micro-ratio: floor(num*1e6 / den) in pure integer arithmetic
+    (same result in Spark `div` and DuckDB `//`)."""
+    return F.expr(f"({num} * 1000000L) div greatest({den}, 1)")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Whitespace / word / BPE-ish token counts per document (F2-analogue
+    analyzers; the BPE regex is the byte-pair pre-tokenizer split)."""
+    low = F.lower("text")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.regexp_count("text", F.lit(WS_TOKEN)).alias("n_ws_tokens"),
+        F.regexp_count(low, F.lit(WORD)).alias("n_words"),
+        F.regexp_count("text", F.lit(BPE)).alias("n_bpe_tokens"),
+        F.regexp_count("text", F.lit(PUNCT)).alias("n_punct"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Deterministic quality heuristics in integer micro-units: stopword
+    ratio, punctuation ratio, mean word length, and a composite score."""
+    low = F.lower("text")
+    base = docs.select(
+        "doc_id",
+        F.regexp_count(low, F.lit(WORD)).alias("n_words"),
+        F.regexp_count(low, F.lit(WORD_CHAR)).alias("n_word_chars"),
+        F.regexp_count("text", F.lit(PUNCT)).alias("n_punct"),
+        F.regexp_count(low, F.lit(EN_STOP)).alias("n_stop"),
+        F.length("text").alias("n_chars"),
+    )
+    scored = base.select(
+        "doc_id",
+        "n_words",
+        _udiv("n_stop", "n_words").alias("stop_ratio_u"),
+        _udiv("n_punct", "n_chars").alias("punct_ratio_u"),
+        _udiv("n_word_chars", "n_words").alias("mean_word_len_u"),
+    )
+    # composite: reward length up to 400 words, penalize punctuation
+    return scored.withColumn(
+        "quality_u",
+        F.expr(
+            "(least(n_words, 400) * 1000000L div 400) div 2"
+            " + (1000000 - punct_ratio_u) div 2"
+        ),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-hit n-gram-heuristic language ID (en/de/fr/und)."""
+    low = F.lower("text")
+    h = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        F.regexp_count(low, F.lit(EN_STOP)).alias("en_hits"),
+        F.regexp_count(low, F.lit(DE_STOP)).alias("de_hits"),
+        F.regexp_count(low, F.lit(FR_STOP)).alias("fr_hits"),
+    )
+    return h.withColumn(
+        "lang_guess",
+        F.expr(
+            "CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en' "
+            "WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de' "
+            "WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END"
+        ),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Content fingerprint: md5 of whitespace-collapsed lowercase text —
+    the exact-dedup key (hash-groupBy dedup at any scale)."""
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.length(norm).alias("n_norm_chars"),
+    )
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Exact-duplicate groups: fingerprint -> (n_docs, canonical doc_id).
+    Returns every group (n_docs = 1 rows included) so the result is a
+    total dedup assignment, not just the collisions."""
+    fp = fingerprints(docs)
+    return fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
+
+
+def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    toks = F.expr(f"regexp_extract_all(lower(text), '{WORD}', 0)")
+    # guard: Spark sequence(1, 0) is the DESCENDING [1, 0], not empty
+    sh = F.expr(
+        "CASE WHEN size(toks) >= {n} THEN transform(sequence(1, size(toks) - {k}),"
+        " i -> concat_ws(' ', slice(toks, i, {n}))) "
+        "ELSE cast(array() AS array<string>) END".format(k=n - 1, n=n)
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, top: int = 20, max_df: int = 10000
+) -> DataFrame:
+    """Top near-duplicate pairs by word n-gram Jaccard similarity.
+
+    Plan: shingle -> (drop shingles with document frequency > max_df: the
+    skew guard — boilerplate shingles would otherwise quadratically blow up
+    the self-join at crawl scale) -> self-join on shingle -> count shared
+    -> jaccard in integer micro-units -> global top-k.
+    """
+    sh = _shingles(docs, n)
+    df_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    sh = sh.join(df_ok, "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard_u", F.expr("(shared * 1000000L) div (n_a + n_b - shared)"))
+        .select("doc_a", "doc_b", "shared", "jaccard_u")
+        .orderBy(F.desc("jaccard_u"), "doc_a", "doc_b")
+        .limit(top)
+    )
+    return out

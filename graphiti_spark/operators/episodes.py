@@ -27,9 +27,17 @@ def clean_pages(pages: DataFrame) -> DataFrame:
     """Adds text_clean; falls back to stripping html when text is null."""
     html_text = F.regexp_replace(
         F.regexp_replace(
-            F.decode(F.col("html"), "UTF-8"), "(?i)</p\\s*>|<br\\s*/?>", "\n\n"
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.decode(F.col("html"), "UTF-8"), "(?i)</p\\s*>|<br\\s*/?>", "\n\n"
+                ),
+                "<[^>]+>",
+                "",
+            ),
+            "\n{3,}",
+            "\n\n",
         ),
-        "<[^>]+>",
+        "^\\s+|\\s+$",  # python-side .strip() parity (F.trim is space-only)
         "",
     )
     raw = F.coalesce(F.col("text"), html_text)

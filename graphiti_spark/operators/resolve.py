@@ -112,7 +112,9 @@ def match_edges_lsh(
     def sig_gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
-                yield pd.DataFrame({"uuid": [], "norm_name": [], "band": [], "bucket": []})
+                yield pd.DataFrame(
+                    {"uuid": [], "group_id": [], "norm_name": [], "band": [], "bucket": []}
+                )
                 continue
             sigs = np.stack([minhash_signature(nm) for nm in pdf["norm_name"]])
             rows = []
@@ -125,6 +127,7 @@ def match_edges_lsh(
                     pd.DataFrame(
                         {
                             "uuid": pdf["uuid"].to_numpy(),
+                            "group_id": pdf["group_id"].to_numpy(),
                             "norm_name": pdf["norm_name"].to_numpy(),
                             "band": np.int32(band),
                             "bucket": bucket,
@@ -138,19 +141,23 @@ def match_edges_lsh(
     sig_schema = T.StructType(
         [
             T.StructField("uuid", T.StringType()),
+            T.StructField("group_id", T.StringType()),
             T.StructField("norm_name", T.StringType()),
             T.StructField("band", T.IntegerType()),
             T.StructField("bucket", T.LongType()),
         ]
     )
-    sigs = entities.select("uuid", "norm_name").mapInPandas(sig_gen, schema=sig_schema)
+    sigs = entities.select("uuid", "group_id", "norm_name").mapInPandas(
+        sig_gen, schema=sig_schema
+    )
 
     a = sigs.alias("a")
     b = sigs.alias("b")
     pairs = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
+            (F.col("a.group_id") == F.col("b.group_id"))  # group is a hard partition (nodes.py:81)
+            & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.uuid") < F.col("b.uuid")),
         )
