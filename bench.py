@@ -75,34 +75,86 @@ def run_bench(sf_dir: str, cpus: int, names: list[str]) -> dict:
     return out
 
 
-def run_scaling(sf_dir: str) -> dict:
-    """Same flagship job at local[8] vs local[32] in fresh subprocesses."""
+SCALING_SNIPPET = """
+import json, time, sys
+from graphiti_spark.session import get_spark
+from graphiti_spark.plans.pipeline import build_graph, triples_view
+cpus, sf_dir, R = int(sys.argv[1]), sys.argv[2], int(sys.argv[3])
+spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+spark.sparkContext.setLogLevel("ERROR")
+# warm-up at full size (python worker spawn, JIT, codegen), then honest
+# timed runs with the DataFrame cache cleared between them
+t = build_graph(spark, sf_dir, replicate=R); triples_view(t).count()
+n_raw = t.triples_raw.count()
+spark.catalog.clearCache()
+times = []
+for i in range(3):
+    t0 = time.perf_counter()
+    t = build_graph(spark, sf_dir, replicate=R)
+    n = triples_view(t).count()
+    times.append(round(time.perf_counter() - t0, 3))
+    spark.catalog.clearCache()
+print(json.dumps({"cpus": cpus, "times": times, "n_raw": n_raw, "n_canonical": n}))
+"""
+
+CALIBRATION_SNIPPET = """
+import json, multiprocessing as mp, sys, time
+def spin(_):
+    t0 = time.perf_counter(); x = 0
+    for i in range(30_000_000): x += i
+    return time.perf_counter() - t0
+out = {}
+for n in (8, 32):
+    with mp.Pool(n) as pool:
+        t0 = time.perf_counter(); pool.map(spin, range(n))
+        out[n] = round(n / (time.perf_counter() - t0), 2)
+print(json.dumps(out))
+"""
+
+
+def run_scaling(sf_dir: str, replicate: int = 100) -> dict:
+    """The north-rule N -> 4N evidence, sandbox proxy: the same flagship
+    KG-construction job at local[8] vs local[32] on the same input, warm
+    (workers spawned, JIT done), min of 3 runs. Also measures the
+    MACHINE's own 8->32 pure-CPU scaling ceiling (this VM does not
+    deliver 4x from 8 to 32 threads even for plain multiprocessing), and
+    reports job efficiency normalized by that ceiling."""
     results = {}
+    env = {**os.environ, "SPARK_GRAFT_DRIVER_MEM": "48g"}
     for cpus in (8, 32):
         proc = subprocess.run(
-            [
-                sys.executable, __file__, "--sf-dir", sf_dir, "--cpus", str(cpus),
-                "--queries", "kg_triples",
-            ],
-            capture_output=True, text=True, cwd=REPO,
-            env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus)},
+            [sys.executable, "-c", SCALING_SNIPPET, str(cpus), sf_dir, str(replicate)],
+            capture_output=True, text=True, cwd=REPO, env=env,
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
-    t8 = results[8]["queries"]["kg_triples"]
-    t32 = results[32]["queries"]["kg_triples"]
-    n = results[32]["n_triples"]
+    cal = subprocess.run(
+        [sys.executable, "-c", CALIBRATION_SNIPPET],
+        capture_output=True, text=True,
+    )
+    calib = json.loads(cal.stdout.splitlines()[-1])
+    hw_eff = round(calib["32"] / calib["8"] / 4, 3)
+
+    t8 = min(results[8]["times"])
+    t32 = min(results[32]["times"])
+    n = results[8]["n_raw"]
     eff = round((t8 / t32) / 4, 3)
     summary = {
         "metric": "kg_construct_scaling_efficiency_8_to_32",
         "value": eff,
         "unit": "ratio",
         "sf": sf_dir,
-        "n_triples": n,
+        "replicate": replicate,
+        "n_raw_triples": n,
+        "n_canonical_edges": results[8]["n_canonical"],
         "sec_local8": t8,
         "sec_local32": t32,
+        "times_local8": results[8]["times"],
+        "times_local32": results[32]["times"],
         "triples_per_sec_local8": round(n / t8, 1),
         "triples_per_sec_local32": round(n / t32, 1),
+        "hw_ceiling_efficiency_8_to_32": hw_eff,
+        "efficiency_vs_hw_ceiling": round(eff / hw_eff, 3) if hw_eff else None,
     }
     _append_bench_md(summary)
     return summary
@@ -118,13 +170,16 @@ def _append_bench_md(s: dict) -> None:
                 "North rule: throughput scaling efficiency >= 0.8 from N to 4N\n"
                 "parallelism; sandbox proxy = local[8] vs local[32], same input.\n"
                 "Efficiency = (T_N / T_4N) / 4.\n\n"
-                "| sf_dir | n_triples | sec local[8] | sec local[32] | tps local[8] "
-                "| tps local[32] | efficiency |\n|---|---|---|---|---|---|---|\n"
+                "| input | raw triples | sec local[8] | sec local[32] | tps local[8] "
+                "| tps local[32] | efficiency | hw ceiling eff | eff vs ceiling |\n"
+                "|---|---|---|---|---|---|---|---|---|\n"
             )
         f.write(
-            f"| {s['sf']} | {s['n_triples']} | {s['sec_local8']} | {s['sec_local32']} "
-            f"| {s['triples_per_sec_local8']} | {s['triples_per_sec_local32']} "
-            f"| {s['value']} |\n"
+            f"| {s['sf']} x{s['replicate']} | {s['n_raw_triples']} | {s['sec_local8']} "
+            f"| {s['sec_local32']} | {s['triples_per_sec_local8']} "
+            f"| {s['triples_per_sec_local32']} | {s['value']} "
+            f"| {s['hw_ceiling_efficiency_8_to_32']} "
+            f"| {s['efficiency_vs_hw_ceiling']} |\n"
         )
 
 

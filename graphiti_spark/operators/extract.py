@@ -25,7 +25,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import strip_honorific
 from ..schemas import MENTIONS_RAW, TRIPLES_RAW
@@ -200,6 +200,79 @@ def extract_mentions_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     ].reset_index(drop=True)
 
 
+UNION_SCHEMA = (
+    "kind string, episode_uuid string, group_id string, sent_idx int,"
+    " subj_name string, pred string, obj_name string, fact string,"
+    " valid_at timestamp, invalid_at timestamp, warc_ts timestamp,"
+    " name string, norm_name string"
+)
+
+
+def extract_all_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One pass per batch emitting a union of extraction outputs:
+    kind='t' triple rows (X3/X4) and kind='m' mention rows (X1).
+    Splitting sentences and shipping episode content over Arrow happens
+    once instead of once per extractor."""
+    trip = extract_triples_pdf(pdf)
+    ment = extract_spans_pdf(pdf)
+    trip = trip.assign(kind="t", name=None, norm_name=None)
+    ment = ment.assign(
+        kind="m", sent_idx=np.int32(0), subj_name=None, pred=None, obj_name=None,
+        fact=None, invalid_at=pd.NaT, warc_ts=pd.NaT,
+    )
+    cols = [
+        "kind", "episode_uuid", "group_id", "sent_idx", "subj_name", "pred",
+        "obj_name", "fact", "valid_at", "invalid_at", "warc_ts", "name",
+        "norm_name",
+    ]
+    return pd.concat([trip[cols], ment[cols]], ignore_index=True)
+
+
+def extract_all(episodes: DataFrame) -> DataFrame:
+    """Single-pass extraction stage. Downstream: filter kind='t' for
+    triples, kind='m' for mentions. Persist/materialize this output —
+    it is the skinny fan-out point of the whole pipeline (no page/episode
+    content strings)."""
+    cols = episodes.select("uuid", "group_id", "content", "valid_at")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield extract_all_pdf(pdf)
+
+    return cols.mapInPandas(gen, schema=UNION_SCHEMA)
+
+
+def split_extracted(all_df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(triples_raw, mentions_raw-without-labels) views of extract_all."""
+    triples = all_df.where(F.col("kind") == "t").select(
+        "episode_uuid", "group_id", "sent_idx", "subj_name", "pred",
+        "obj_name", "fact", "valid_at", "invalid_at", "warc_ts",
+    )
+    spans = all_df.where(F.col("kind") == "m").select(
+        "episode_uuid", "group_id", "name", "norm_name", "valid_at"
+    )
+    return triples, spans
+
+
+def extract_spans_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Capitalized-span detection only (the cheap half of X1): one
+    str.findall pass per batch, honorific-stripped, stop-span filtered."""
+    from ..functions.text import normalize_entity_name
+
+    s = _explode_sentences(pdf)
+    spans = s.assign(span=s["sentence"].str.findall(SPAN_RE)).explode("span")
+    spans = spans[spans["span"].notna()]
+    spans["name"] = spans["span"].map(strip_honorific)
+    spans = spans[~spans["name"].isin(STOP_SPANS)]
+    out = spans[["episode_uuid", "group_id", "name", "valid_at"]].drop_duplicates(
+        ["episode_uuid", "name"]
+    )
+    out["norm_name"] = out["name"].map(normalize_entity_name)
+    return out[
+        ["episode_uuid", "group_id", "name", "norm_name", "valid_at"]
+    ].reset_index(drop=True)
+
+
 def extract_triples(episodes: DataFrame) -> DataFrame:
     cols = episodes.select("uuid", "group_id", "content", "valid_at")
 
@@ -210,11 +283,62 @@ def extract_triples(episodes: DataFrame) -> DataFrame:
     return cols.mapInPandas(gen, schema=TRIPLES_RAW)
 
 
-def extract_mentions(episodes: DataFrame) -> DataFrame:
+def _role_case(which: int) -> str:
+    branches = " ".join(
+        f"WHEN '{p}' THEN '{roles[which]}'" for p, roles in PRED_ROLES.items()
+    )
+    return f"CASE pred {branches} END"
+
+
+def mention_labels(triples: DataFrame) -> DataFrame:
+    """Global role vote per (group_id, name) from the triples the mention
+    participates in (X2 typing): plurality with label-name tie-break —
+    deterministic regardless of batch/partition layout (unlike a per-batch
+    vote)."""
+    from pyspark.sql import Window
+
+    roles = triples.selectExpr(
+        "group_id", "subj_name AS name", f"{_role_case(0)} AS label"
+    ).unionAll(
+        triples.selectExpr("group_id", "obj_name AS name", f"{_role_case(1)} AS label")
+    )
+    w = Window.partitionBy("group_id", "name").orderBy(
+        F.desc("n"), F.asc("label")
+    )
+    return (
+        roles.groupBy("group_id", "name", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("group_id", "name", "label")
+    )
+
+
+def attach_labels(spans: DataFrame, triples: DataFrame) -> DataFrame:
+    """Mention rows = spans + globally-voted labels (X2). Unmatched spans
+    get the bare 'Entity' label (node_operations.py:191-209 drops unknown
+    types to Entity)."""
+    labels = mention_labels(triples)
+    return (
+        spans.join(F.broadcast(labels), ["group_id", "name"], "left")
+        .withColumn("label", F.coalesce("label", F.lit("Entity")))
+        .select("episode_uuid", "group_id", "name", "norm_name", "label", "valid_at")
+    )
+
+
+def extract_mentions(episodes: DataFrame, triples: DataFrame) -> DataFrame:
+    """Spans (cheap pandas pass) + labels voted from the already-extracted
+    triples (Spark-side) — avoids re-running the 8-pattern triple
+    extraction inside the mention pass."""
     cols = episodes.select("uuid", "group_id", "content", "valid_at")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield extract_mentions_pdf(pdf)
+            yield extract_spans_pdf(pdf)
 
-    return cols.mapInPandas(gen, schema=MENTIONS_RAW)
+    span_schema = (
+        "episode_uuid string, group_id string, name string,"
+        " norm_name string, valid_at timestamp"
+    )
+    spans = cols.mapInPandas(gen, schema=span_schema)
+    return attach_labels(spans, triples)

@@ -18,7 +18,13 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.episodes import build_episodes
-from ..operators.extract import extract_mentions, extract_triples
+from ..operators.extract import (
+    attach_labels,
+    extract_all,
+    extract_mentions,
+    extract_triples,
+    split_extracted,
+)
 from ..operators.materialize import (
     build_mention_edges,
     invalidate_edges,
@@ -41,16 +47,55 @@ class GraphTables:
     mention_edges: DataFrame
 
 
+def _materialize(df: DataFrame, root: str, name: str) -> DataFrame:
+    """Stage commit: write the stage output to parquet and read it back.
+    This is the single-job stand-in for the Iceberg stage tables of the
+    production design (SURVEY.md §4 checkpoint/lineage): every downstream
+    consumer reads the committed table instead of re-running the lineage,
+    and a restarted job resumes from the last committed stage."""
+    path = f"{root}/{name}"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def build_graph(
     spark: SparkSession,
     sf_dir: str,
     use_lsh: bool = False,
     pages: DataFrame | None = None,
+    replicate: int = 1,
+    materialize_dir: str | None = None,
 ) -> GraphTables:
-    pages = pages if pages is not None else build_pages(spark, sf_dir)
+    pages = (
+        pages
+        if pages is not None
+        else build_pages(
+            spark, sf_dir, replicate=replicate, with_html=materialize_dir is None
+        )
+    )
+    # Extraction runs ONCE as a combined pass (triples + mention spans in a
+    # single mapInPandas — episode content crosses the Arrow boundary one
+    # time). Its skinny output is the fan-out point of the whole DAG: it is
+    # persisted in-memory, or committed to parquet when materialize_dir is
+    # given (the Iceberg stage-table pattern of the production design —
+    # SURVEY.md §4 checkpoint/lineage — which also makes the job resumable
+    # from the last committed stage).
     episodes = build_episodes(pages)
-    mentions_raw = extract_mentions(episodes)
-    triples_raw = extract_triples(episodes)
+    if materialize_dir:
+        # combined single-pass extraction committed once; all consumers
+        # read the stage table (resumable, no recompute)
+        extracted = _materialize(
+            extract_all(episodes), materialize_dir, "extracted"
+        )
+        triples_raw, spans = split_extracted(extracted)
+        mentions_raw = attach_labels(spans, triples_raw)
+    else:
+        # lazy mode (tests / small inputs / this sandbox, where lineage
+        # recompute is measurably cheaper than cache materialization):
+        # separate extractors so each consumer branch only re-runs the
+        # regex passes it needs
+        triples_raw = extract_triples(episodes)
+        mentions_raw = extract_mentions(episodes, triples_raw)
 
     nodes, uuid_map = resolve_entities(mentions_raw, use_lsh=use_lsh)
 

@@ -456,5 +456,15 @@ ORACLES: dict[str, Callable[[], str]] = {
 }
 
 
+def _merge_extra_registries() -> None:
+    from . import registry_search
+
+    QUERIES.update(registry_search.SEARCH_QUERIES)
+    ORACLES.update(registry_search.SEARCH_ORACLES)
+
+
+_merge_extra_registries()
+
+
 def oracle_sql() -> dict[str, str]:
     return {name: fn() for name, fn in ORACLES.items()}

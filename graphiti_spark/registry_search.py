@@ -1,0 +1,339 @@
+"""Search-operator queries (SURVEY.md §2.9) + DuckDB oracles.
+
+Split from registry.py for readability; registry.py merges these dicts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from . import corpus
+from .operators import search
+
+# Fixed query workload over the documents table's vocabulary.
+DOC_QUERIES = [
+    "spark join order",
+    "fast table scan",
+    "hash agg window",
+    "customer query batch",
+    "slow row value data",
+]
+
+REF_TIME = "2024-01-02 00:00:00"
+BFS_SEED_PREFIX = "A"
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-Q3 analogue: BM25 fulltext top-10 over documents.text for the
+    fixed query workload."""
+    qs = search.make_queries_df(spark, DOC_QUERIES)
+    return search.bm25_topk(_documents(spark, sf_dir), qs, "doc_id", "text", k=10)
+
+
+def q_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11: RRF fusion of the BM25 ranking with a recency ranking
+    (doc_id desc), top-10."""
+    docs = _documents(spark, sf_dir)
+    qs = search.make_queries_df(spark, DOC_QUERIES)
+    ft = search.bm25_topk(docs, qs, "doc_id", "text", k=20)
+    w = Window.orderBy(F.desc("doc_id"))
+    recency = (
+        docs.select("doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .crossJoin(qs.select("query_id"))
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "doc_id")
+    )
+    fused = search.rrf([ft.select("query_id", "rank", "doc_id"), recency], "doc_id")
+    return fused.where(F.col("rank") <= 10).select(
+        "query_id", "rank", "doc_id", "rrf_u"
+    )
+
+
+def _graph(spark: SparkSession, sf_dir: str):
+    from . import registry
+
+    return registry._graph(spark, sf_dir)
+
+
+def q_kg_retrieve_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/W1: last-3 episodes per group_id before the reference time,
+    chronological."""
+    t = _graph(spark, sf_dir)
+    out = search.retrieve_episodes(t.episodes, REF_TIME, last_n=3)
+    return out.select(
+        "group_id", "uuid", "url",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"), "valid_at",
+    )
+
+
+def q_kg_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7/Q8: 2-hop BFS over the canonical entity graph from every node
+    whose name starts with the seed prefix; returns minimal hop depth.
+    Keys are (group_id|name) — names are canonical within a group."""
+    t = _graph(spark, sf_dir)
+    from .plans.pipeline import triples_view
+
+    tv = triples_view(t)
+    edges = tv.select(
+        F.concat_ws("|", "group_id", "subj").alias("source_node_uuid"),
+        F.concat_ws("|", "group_id", "obj").alias("target_node_uuid"),
+    )
+    origins = (
+        t.nodes.where(F.col("name").startswith(BFS_SEED_PREFIX))
+        .select(F.concat_ws("|", "group_id", "name").alias("uuid"))
+        .withColumn("origin_uuid", F.col("uuid"))
+        .select("origin_uuid", "uuid")
+    )
+    out = search.bfs_nodes(edges, origins, max_depth=2)
+    return out.select(
+        "origin_uuid", F.col("uuid").alias("node_key"),
+        F.col("depth").cast("long").alias("depth"),
+    )
+
+
+DATE_LO = "2024-01-01 12:00:00"
+DATE_HI = "2024-01-02 00:00:00"
+
+
+def q_kg_edge_date_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: OR-of-ANDs temporal predicate over canonical edges:
+    (valid_at >= lo AND invalid_at IS NULL) OR (invalid_at <= hi)."""
+    from . import registry
+
+    tv = registry.q_kg_triples(spark, sf_dir)
+    return search.edge_date_filter(
+        tv,
+        [
+            [("valid_at", ">=", DATE_LO), ("invalid_at", "is_null", None)],
+            [("invalid_at", "<=", DATE_HI)],
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracles.
+# ---------------------------------------------------------------------------
+
+
+def _queries_values() -> str:
+    rows = ", ".join(f"({i}, '{q}')" for i, q in enumerate(DOC_QUERIES))
+    return f"(VALUES {rows}) AS qv(query_id, query)"
+
+
+_BM25_CTES = f"""
+d2 AS (
+  SELECT doc_id AS doc, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+d3 AS (SELECT doc, len(toks) AS dl, toks FROM d2),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d3),
+tf AS (
+  SELECT doc, dl, term, count(*) AS tf
+  FROM (SELECT doc, dl, unnest(toks) AS term FROM d3)
+  GROUP BY 1, 2, 3
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+qs AS (SELECT query_id, query FROM {_queries_values()}),
+qterms AS (
+  SELECT DISTINCT query_id,
+         unnest(list_distinct(regexp_extract_all(lower(query), '[a-z0-9]+'))) AS term
+  FROM qs
+),
+scored AS (
+  SELECT q.query_id, t.doc,
+         CAST(sum(CAST(floor(
+           (ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+            * (t.tf * 2.2)
+            / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl))) * 1000000
+         ) AS BIGINT)) AS BIGINT) AS score_u
+  FROM tf t
+  JOIN qterms q USING (term)
+  JOIN dfreq d USING (term)
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc, score_u,
+         row_number() OVER (PARTITION BY query_id ORDER BY score_u DESC, doc) AS rank
+  FROM scored
+)"""
+
+
+def _sql_search_bm25() -> str:
+    return f"""
+WITH {_BM25_CTES.lstrip()}
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc AS doc_id, score_u
+FROM ranked WHERE rank <= 10"""
+
+
+def _sql_search_rrf() -> str:
+    return f"""
+WITH {_BM25_CTES.lstrip()},
+ft AS (SELECT query_id, rank, doc AS doc_id FROM ranked WHERE rank <= 20),
+rec AS (
+  SELECT q.query_id, r.rank, r.doc_id
+  FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY doc_id DESC) AS rank
+    FROM documents
+  ) r
+  CROSS JOIN (SELECT DISTINCT query_id FROM qs) q
+  WHERE r.rank <= 20
+),
+unioned AS (SELECT * FROM ft UNION ALL SELECT * FROM rec),
+fused AS (
+  SELECT query_id, doc_id, CAST(sum(1000000 // (1 + rank)) AS BIGINT) AS rrf_u
+  FROM unioned GROUP BY 1, 2
+),
+franked AS (
+  SELECT query_id, doc_id, rrf_u,
+         row_number() OVER (PARTITION BY query_id ORDER BY rrf_u DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_u
+FROM franked WHERE rank <= 10"""
+
+
+def _sql_kg_retrieve_episodes() -> str:
+    return (
+        "WITH "
+        + corpus.sql_pages_cte().lstrip()
+        + f""",
+chunks AS (
+  SELECT url, group_id, warc_ts,
+         unnest(string_split(clean_text, chr(10) || chr(10))) AS content,
+         generate_subscripts(string_split(clean_text, chr(10) || chr(10)), 1) AS i
+  FROM pages_g
+),
+eps AS (
+  SELECT group_id, md5(url || '|' || (i - 1)) AS uuid, url,
+         CAST(i - 1 AS BIGINT) AS chunk_idx, warc_ts AS valid_at
+  FROM chunks WHERE length(content) > 0
+),
+lastn AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY group_id ORDER BY valid_at DESC, uuid DESC) AS rn
+  FROM eps WHERE valid_at <= TIMESTAMP '{REF_TIME}'
+)
+SELECT group_id, uuid, url, chunk_idx, valid_at FROM lastn WHERE rn <= 3"""
+    )
+
+
+def _kg_eds_sql() -> str:
+    from .registry import _EDS_CTES
+
+    return (
+        corpus.sql_pages_cte() + "," + corpus.sql_triples_cte() + "," + _EDS_CTES
+    )
+
+
+def _sql_kg_bfs() -> str:
+    seed = BFS_SEED_PREFIX
+    return f"""
+WITH {_kg_eds_sql().lstrip()},
+pairs AS (
+  SELECT DISTINCT group_id || '|' || subj AS src, group_id || '|' || obj AS dst
+  FROM eds
+),
+bidir AS (
+  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+),
+seeds AS (
+  SELECT DISTINCT c.group_id || '|' || c.canon_name AS id
+  FROM canon c WHERE c.canon_name LIKE '{seed}%'
+),
+d0 AS (SELECT id AS origin_uuid, id AS uuid, 0 AS depth FROM seeds),
+d1 AS (
+  SELECT d0.origin_uuid, b.dst AS uuid, 1 AS depth
+  FROM d0 JOIN bidir b ON b.src = d0.uuid
+),
+d2 AS (
+  SELECT d1.origin_uuid, b.dst AS uuid, 2 AS depth
+  FROM d1 JOIN bidir b ON b.src = d1.uuid
+),
+allhops AS (
+  SELECT * FROM d0 UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2
+)
+SELECT origin_uuid, uuid AS node_key, CAST(min(depth) AS BIGINT) AS depth
+FROM allhops GROUP BY 1, 2"""
+
+
+def _sql_kg_edge_date_filter() -> str:
+    from .registry import _TRIPLES_SELECT, _kg_sql
+
+    body = f"""
+, final AS ({_TRIPLES_SELECT})
+SELECT * FROM final
+WHERE (valid_at >= TIMESTAMP '{DATE_LO}' AND invalid_at IS NULL)
+   OR (invalid_at <= TIMESTAMP '{DATE_HI}')"""
+    return _kg_sql(body, with_eds=True)
+
+
+NAME_QUERIES = ["alice johnson", "acme corp", "helios energy", "paris"]
+
+
+def q_kg_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: cosine similarity search over node name embeddings (hashing
+    embedder U1/U2 — not SQL-expressible, driver records the rows-only
+    check; the numpy-oracle equivalence is pinned in tests/test_search.py)."""
+    from .functions.embed import embed_texts, with_embedding
+
+    t = _graph(spark, sf_dir)
+    nodes = with_embedding(
+        t.nodes.select("uuid", "group_id", "name"), "name", "name_embedding"
+    )
+    qv = embed_texts(NAME_QUERIES)
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in qv[i]]) for i in range(len(NAME_QUERIES))],
+        "query_id long, qvec array<float>",
+    )
+    return search.cosine_topk(
+        nodes, qdf, "uuid", "name_embedding", k=5, min_score=0.2
+    ).select("query_id", "rank", "uuid", F.floor(F.col("score") * 1000).alias("score_m"))
+
+
+def q_kg_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12: MMR diversity rerank of the top-20 similarity candidates
+    (rows-only check; numpy parity in tests)."""
+    from .functions.embed import embed_texts, with_embedding
+
+    t = _graph(spark, sf_dir)
+    nodes = with_embedding(
+        t.nodes.select("uuid", "group_id", "name"), "name", "name_embedding"
+    )
+    qv = embed_texts(NAME_QUERIES)
+    qdf = spark.createDataFrame(
+        [(i, [float(x) for x in qv[i]]) for i in range(len(NAME_QUERIES))],
+        "query_id long, qvec array<float>",
+    )
+    top = search.cosine_topk(nodes, qdf, "uuid", "name_embedding", k=20, min_score=0.0)
+    cands = (
+        top.join(nodes.select("uuid", "name_embedding"), "uuid")
+        .join(qdf, "query_id")
+    )
+    return search.mmr_rerank(cands, "uuid", "name_embedding", "qvec", k=5)
+
+
+SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_node_similarity": q_kg_node_similarity,
+    "kg_mmr": q_kg_mmr,
+    "search_bm25": q_search_bm25,
+    "search_rrf": q_search_rrf,
+    "kg_retrieve_episodes": q_kg_retrieve_episodes,
+    "kg_bfs": q_kg_bfs,
+    "kg_edge_date_filter": q_kg_edge_date_filter,
+}
+
+SEARCH_ORACLES: dict[str, Callable[[], str]] = {
+    "search_bm25": _sql_search_bm25,
+    "search_rrf": _sql_search_rrf,
+    "kg_retrieve_episodes": _sql_kg_retrieve_episodes,
+    "kg_bfs": _sql_kg_bfs,
+    "kg_edge_date_filter": _sql_kg_edge_date_filter,
+}

@@ -35,4 +35,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # shuffle/spill files on tmpfs when available: the sandbox's /tmp sits
+    # on a throttled virtual disk (I/O-wait dominates under load); on a
+    # real cluster this is the NVMe scratch dir
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        builder = builder.config("spark.local.dir", f"{shm}/spark-local")
     return builder.getOrCreate()

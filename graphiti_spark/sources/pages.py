@@ -110,14 +110,49 @@ def synth_pages_pdf(docs: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-def build_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.parquet -> pages DataFrame (Arrow-batched synthesis)."""
+def build_pages(
+    spark: SparkSession,
+    sf_dir: str,
+    replicate: int = 1,
+    partitions: int | None = None,
+    with_html: bool = True,
+) -> DataFrame:
+    """documents.parquet -> pages DataFrame (Arrow-batched synthesis).
+
+    The driver testdata is a single small parquet file (1 input split), so
+    we explicitly repartition before the Python stage — otherwise the whole
+    extraction chain would run in one task regardless of cluster size. At
+    real crawl scale the source table arrives pre-partitioned by
+    domain/crawl-segment and this repartition is unnecessary.
+
+    ``replicate`` deterministically scales the corpus for benchmarks: page
+    d of replica r becomes page ``doc_id * replicate + r`` (a pure function
+    of the input — replicate=1 is the identity, used by all correctness
+    paths).
+    """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang", "source"
     )
+    if replicate > 1:
+        from pyspark.sql import functions as F
+
+        r = spark.range(replicate).select(F.col("id").alias("r"))
+        docs = docs.crossJoin(r).select(
+            (F.col("doc_id") * replicate + F.col("r")).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+        )
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    docs = docs.repartition(n_parts)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield synth_pages_pdf(pdf)
+            out = synth_pages_pdf(pdf)
+            if not with_html:
+                # html is only consumed by the text-null fallback; skipping
+                # it halves the Arrow transfer out of the Python stage
+                out["html"] = None
+            yield out
 
     return docs.mapInPandas(gen, schema=PAGES)
