@@ -1,0 +1,172 @@
+"""Community detection (X16/X17): label propagation over the entity
+graph, re-expressed as iterative DataFrame joins.
+
+Reference semantics mirrored exactly (/root/reference/graphiti_core/utils/
+maintenance/community_operations.py:83-127 `label_propagation`):
+1. every node starts in its own integer community (enumeration order —
+   here: rank of uuid within its group_id, which makes the ids
+   deterministic rather than DB-iteration-dependent);
+2. each sync round a node adopts the plurality community of its
+   neighbors, weighted by RELATES_TO edge count (the neighbor projection
+   of community_operations.py:53-68), ties broken toward the LARGER
+   community id (the `community_lst.sort(reverse=True)` at :108-110);
+3. the update is monotone: `new = max(candidate, current)` (:112), so
+   community ids never decrease and the fixpoint is reached in at most
+   diameter rounds;
+4. group_id is a hard partition — LPA never crosses it (the reference
+   loops per group_id at :49-80).
+
+The hierarchical LLM community summary (community_operations.py:159-199)
+is replaced by a deterministic name: the lexicographically-smallest member
+name + member count (content is not scored by the triples metric).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def neighbor_projection(edges: DataFrame) -> DataFrame:
+    """Undirected neighbor edge-counts per (group_id, uuid, nbr_uuid) —
+    A4 (community_operations.py:53-68): count of RELATES_TO edges between
+    the pair, in either direction; self-loops dropped."""
+    fwd = edges.select(
+        "group_id",
+        F.col("source_node_uuid").alias("uuid"),
+        F.col("target_node_uuid").alias("nbr"),
+    )
+    rev = edges.select(
+        "group_id",
+        F.col("target_node_uuid").alias("uuid"),
+        F.col("source_node_uuid").alias("nbr"),
+    )
+    return (
+        fwd.union(rev)
+        .where(F.col("uuid") != F.col("nbr"))
+        .groupBy("group_id", "uuid", "nbr")
+        .agg(F.count(F.lit(1)).alias("edge_count"))
+    )
+
+
+def label_propagation(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Returns (group_id, uuid, community) with integer community ids,
+    deterministic across partitionings and runs."""
+    proj = neighbor_projection(edges)
+
+    init_w = Window.partitionBy("group_id").orderBy("uuid")
+    labels = nodes.select(
+        "group_id", "uuid", (F.row_number().over(init_w) - 1).alias("community")
+    )
+
+    for _ in range(max_iter):
+        nbr_lab = proj.join(
+            labels.select(
+                "group_id",
+                F.col("uuid").alias("nbr"),
+                F.col("community").alias("nbr_comm"),
+            ),
+            ["group_id", "nbr"],
+        )
+        # plurality with (count, community) reverse ordering — larger
+        # community wins ties (community_operations.py:108-110)
+        cand_w = Window.partitionBy("group_id", "uuid").orderBy(
+            F.desc("w"), F.desc("nbr_comm")
+        )
+        cand = (
+            nbr_lab.groupBy("group_id", "uuid", "nbr_comm")
+            .agg(F.sum("edge_count").alias("w"))
+            .withColumn("rn", F.row_number().over(cand_w))
+            .where(F.col("rn") == 1)
+            .select("group_id", "uuid", F.col("nbr_comm").alias("candidate"))
+        )
+        new_labels = (
+            labels.join(cand, ["group_id", "uuid"], "left")
+            .select(
+                "group_id",
+                "uuid",
+                F.greatest(
+                    F.coalesce("candidate", F.lit(-1)), F.col("community")
+                ).alias("community"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), ["group_id", "uuid"])
+            .where(F.col("n.community") != F.col("o.community"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def build_communities(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> tuple[DataFrame, DataFrame]:
+    """X16: (communities, community_members) tables. Community uuid is
+    deterministic (md5 of group + min member uuid); name is the smallest
+    member name + size (deterministic stand-in for the LLM summary
+    reduction, community_operations.py:159-225)."""
+    labels = label_propagation(nodes, edges, max_iter)
+    members = labels.join(nodes.select("uuid", "name"), "uuid", "left")
+    agg = members.groupBy("group_id", "community").agg(
+        F.min("uuid").alias("anchor_uuid"),
+        F.min("name").alias("anchor_name"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    communities = agg.select(
+        F.md5(F.concat_ws("|", F.lit("community"), "group_id", "anchor_uuid")).alias(
+            "uuid"
+        ),
+        F.concat_ws(" ", F.col("anchor_name"), F.lit("community of"),
+                    F.col("n_members")).alias("name"),
+        "group_id",
+        F.col("n_members"),
+    )
+    member_rows = (
+        labels.join(
+            agg.select(
+                "group_id", "community",
+                F.md5(
+                    F.concat_ws("|", F.lit("community"), "group_id", "anchor_uuid")
+                ).alias("community_uuid"),
+            ),
+            ["group_id", "community"],
+        )
+        .select(
+            F.md5(F.concat_ws("|", F.lit("member"), "community_uuid", "uuid")).alias(
+                "uuid"
+            ),
+            "group_id",
+            "community_uuid",
+            F.col("uuid").alias("entity_uuid"),
+        )
+    )
+    return communities, member_rows
+
+
+def determine_entity_community(
+    entity_uuid: str, labels: DataFrame, edges: DataFrame
+) -> DataFrame:
+    """X17 (community_operations.py:261-298): the plurality community among
+    an existing node's neighbors — the incremental attach rule."""
+    proj = neighbor_projection(edges).where(F.col("uuid") == entity_uuid)
+    nbr_lab = proj.join(
+        labels.select(
+            "group_id", F.col("uuid").alias("nbr"), F.col("community").alias("nbr_comm")
+        ),
+        ["group_id", "nbr"],
+    )
+    w = Window.partitionBy("group_id", "uuid").orderBy(F.desc("w"), F.desc("nbr_comm"))
+    return (
+        nbr_lab.groupBy("group_id", "uuid", "nbr_comm")
+        .agg(F.sum("edge_count").alias("w"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("group_id", "uuid", F.col("nbr_comm").alias("community"))
+    )

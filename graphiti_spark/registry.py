@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import corpus
 from .operators import ann, docs
+from .operators import docs as docs_mod
 from .operators.materialize import JOB_TS
 from .plans.pipeline import GraphTables, build_graph, triples_view
 
@@ -164,7 +165,51 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ deterministic perturbed copies of the first 50 docs
+    (doc_id + 1_000_000, one appended sentence) — the fixture that makes
+    near-dup detection observable on an otherwise-unique corpus."""
+    docs = docs_mod.read_documents(spark, sf_dir).select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" appended near duplicate marker")).alias("text"),
+    )
+    return docs.unionByName(dups)
+
+
+def q_doc_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, Jaccard-verified (rows-only check —
+    crc32 hash family is not DuckDB-expressible; recall/precision vs exact
+    Jaccard pinned in tests/test_dedup.py)."""
+    from .operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_docs_with_near_dups(spark, sf_dir), threshold=0.5)
+
+
+def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via 16-bit chunk blocking + Hamming verify
+    (rows-only check)."""
+    from .operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs_with_near_dups(spark, sf_dir), max_hamming=6)
+
+
+def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16: label-propagation communities over the canonical entity graph
+    (rows-only: iterative fixpoint, not single-query SQL)."""
+    from .operators.communities import build_communities
+
+    t = _graph(spark, sf_dir)
+    communities, members = build_communities(t.nodes, t.edges)
+    return communities.select(
+        "uuid", "name", "group_id", F.col("n_members").cast("long").alias("n_members")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_minhash_dedup": q_doc_minhash_dedup,
+    "doc_simhash_pairs": q_doc_simhash_pairs,
+    "kg_communities": q_kg_communities,
     "kg_triples": q_kg_triples,
     "kg_contradictions": q_kg_contradictions,
     "kg_episodes": q_kg_episodes,
