@@ -177,6 +177,24 @@ def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(dups)
 
 
+PAGE_CURSOR = "d0"
+PAGE_LIMIT = 50
+
+
+def q_kg_nodes_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: keyset-paginated partition scan — nodes of two group_ids with a
+    uuid-descending cursor and LIMIT (nodes.py:214-252 pagination shape:
+    `WHERE uuid < $cursor ORDER BY uuid DESC LIMIT n`)."""
+    t = _graph(spark, sf_dir)
+    return (
+        t.nodes.where(F.col("group_id").isin("src0", "src1"))
+        .where(F.col("uuid") < PAGE_CURSOR)
+        .orderBy(F.desc("uuid"))
+        .limit(PAGE_LIMIT)
+        .select("group_id", "uuid", "name")
+    )
+
+
 def q_doc_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, Jaccard-verified (rows-only check —
     crc32 hash family is not DuckDB-expressible; recall/precision vs exact
@@ -207,6 +225,7 @@ def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_nodes_page": q_kg_nodes_page,
     "doc_minhash_dedup": q_doc_minhash_dedup,
     "doc_simhash_pairs": q_doc_simhash_pairs,
     "kg_communities": q_kg_communities,
@@ -485,7 +504,22 @@ ranked AS (
 SELECT q_id, rank, c_id FROM ranked WHERE rank <= 5"""
 
 
+def _sql_kg_nodes_page() -> str:
+    body = f"""
+, canonu AS (
+  SELECT n.group_id, c.canon_name AS name,
+         min(md5('node|' || n.group_id || '|' || n.name)) AS uuid
+  FROM norm n JOIN canon c ON c.group_id = n.group_id AND c.norm_name = n.norm_name
+  GROUP BY 1, 2
+)
+SELECT group_id, uuid, name FROM canonu
+WHERE group_id IN ('src0', 'src1') AND uuid < '{PAGE_CURSOR}'
+ORDER BY uuid DESC LIMIT {PAGE_LIMIT}"""
+    return _kg_sql(body)
+
+
 ORACLES: dict[str, Callable[[], str]] = {
+    "kg_nodes_page": _sql_kg_nodes_page,
     "kg_triples": _sql_kg_triples,
     "kg_contradictions": _sql_kg_contradictions,
     "kg_episodes": _sql_kg_episodes,
