@@ -189,10 +189,11 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--queries", default=",".join(HEADLINE))
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--replicate", type=int, default=100)
     args = ap.parse_args()
 
     if args.scaling:
-        out = run_scaling(args.sf_dir)
+        out = run_scaling(args.sf_dir, replicate=args.replicate)
     else:
         out = run_bench(args.sf_dir, args.cpus, args.queries.split(","))
     print(json.dumps(out))

@@ -130,21 +130,29 @@ def build_pages(
     of the input — replicate=1 is the identity, used by all correctness
     paths).
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang", "source"
     )
-    if replicate > 1:
-        from pyspark.sql import functions as F
+    # Natively-partitioned id space + broadcast of the (small) base table:
+    # no shuffle at all — spark.range supplies the partitioning, the base
+    # docs ride the broadcast. (A plain .repartition() would shuffle the
+    # full replicated text through the exchange.)
+    from pyspark.sql import functions as F
 
-        r = spark.range(replicate).select(F.col("id").alias("r"))
-        docs = docs.crossJoin(r).select(
-            (F.col("doc_id") * replicate + F.col("r")).alias("doc_id"),
-            "text",
-            "lang",
-            "source",
-        )
+    n_docs = base.count()
     n_parts = partitions or spark.sparkContext.defaultParallelism
-    docs = docs.repartition(n_parts)
+    ids = spark.range(n_docs * replicate, numPartitions=n_parts)
+    docs = (
+        ids.select(
+            F.col("id").alias("doc_id"),
+            F.expr(f"id div {replicate}").alias("base_doc_id"),
+        )
+        .join(
+            F.broadcast(base.withColumnRenamed("doc_id", "base_doc_id")),
+            "base_doc_id",
+        )
+        .select("doc_id", "text", "lang", "source")
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
