@@ -1,0 +1,191 @@
+"""GraphitiSpark — the batch-native facade matching the reference's
+public `Graphiti` surface (/root/reference/graphiti_core/graphiti.py:91-787)
+so a user of the reference can run every operation they run today:
+
+| reference (async, per-episode)             | here (batch DataFrames)        |
+|--------------------------------------------|--------------------------------|
+| add_episode / add_episode_bulk (:254,:493) | add_pages / build               |
+| retrieve_episodes (:221)                   | retrieve_episodes               |
+| search + recipes (:630; search_config_recipes.py) | search(config=...)      |
+| get_nodes_and_edges_by_episode (:710)      | nodes_and_edges_by_episode      |
+| add_triplet (:723)                         | add_triplet                     |
+| build_communities (:606)                   | build_communities               |
+| remove_episode (:758)                      | remove_episodes                 |
+| build_indices_and_constraints (:186)       | no-op (Iceberg stats/pruning)   |
+
+Search recipes mirror search_config_recipes.py:31-202: hybrid
+fulltext+cosine with the configured reranker; cross-encoder recipes fall
+back to RRF (Q13 needs model weights unavailable here).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .functions.embed import embed_texts, with_embedding
+from .operators import search as S
+from .operators.communities import build_communities as _build_communities
+from .operators.triplet import add_triplets
+from .plans.pipeline import GraphTables, build_graph, triples_view
+
+
+@dataclass(frozen=True)
+class SearchConfig:
+    """search_config.py:95-99 analogue: scope + reranker + limit."""
+
+    scope: str = "edges"  # edges | nodes | combined
+    reranker: str = "rrf"  # rrf | mmr | node_distance | episode_mentions
+    limit: int = S.DEFAULT_SEARCH_LIMIT
+
+
+EDGE_HYBRID_SEARCH_RRF = SearchConfig("edges", "rrf")
+EDGE_HYBRID_SEARCH_MMR = SearchConfig("edges", "mmr")
+EDGE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig("edges", "node_distance")
+EDGE_HYBRID_SEARCH_EPISODE_MENTIONS = SearchConfig("edges", "episode_mentions")
+NODE_HYBRID_SEARCH_RRF = SearchConfig("nodes", "rrf")
+NODE_HYBRID_SEARCH_MMR = SearchConfig("nodes", "mmr")
+NODE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig("nodes", "node_distance")
+NODE_HYBRID_SEARCH_EPISODE_MENTIONS = SearchConfig("nodes", "episode_mentions")
+COMBINED_HYBRID_SEARCH_RRF = SearchConfig("combined", "rrf")
+
+
+class GraphitiSpark:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.tables: GraphTables | None = None
+
+    # -- ingestion ---------------------------------------------------------
+
+    def build(self, sf_dir: str, **kwargs) -> GraphTables:
+        """add_episode_bulk analogue: the full construction DAG."""
+        self.tables = build_graph(self.spark, sf_dir, **kwargs)
+        return self.tables
+
+    def add_pages(self, pages: DataFrame) -> GraphTables:
+        """Incremental ingest of a pages DataFrame (same DAG; dedup makes
+        repeated ingestion idempotent)."""
+        self.tables = build_graph(self.spark, sf_dir="", pages=pages)
+        return self.tables
+
+    def triples(self) -> DataFrame:
+        return triples_view(self._t())
+
+    # -- reads -------------------------------------------------------------
+
+    def retrieve_episodes(self, reference_time, last_n: int = 3,
+                          group_ids: list[str] | None = None) -> DataFrame:
+        return S.retrieve_episodes(
+            self._t().episodes, reference_time, last_n, group_ids
+        )
+
+    def nodes_and_edges_by_episode(self, episode_uuids: list[str]):
+        t = self._t()
+        m = t.mention_edges.where(F.col("episode_uuid").isin(episode_uuids))
+        nodes = t.nodes.join(
+            m.select(F.col("entity_uuid").alias("uuid")).distinct(), "uuid"
+        )
+        edges = t.edges.where(
+            F.arrays_overlap(F.col("episodes"), F.array(*[F.lit(u) for u in episode_uuids]))
+        )
+        return nodes, edges
+
+    def search(
+        self,
+        queries: list[str],
+        config: SearchConfig = EDGE_HYBRID_SEARCH_RRF,
+        center_node_uuid: str | None = None,
+    ) -> DataFrame:
+        """graphiti.py:630-687: hybrid fulltext ∪ cosine per scope, fused
+        by the configured reranker, truncated to limit. With a center node
+        and the node_distance reranker, results order by BFS distance
+        (the reference's auto recipe switch at :669-672)."""
+        t = self._t()
+        qs = S.make_queries_df(self.spark, queries)
+        qv = embed_texts(queries)
+        qvec = self.spark.createDataFrame(
+            [(i, [float(x) for x in qv[i]]) for i in range(len(queries))],
+            "query_id long, qvec array<float>",
+        )
+        if config.scope == "edges":
+            corpus = t.edges.select("uuid", F.col("fact").alias("text"))
+        elif config.scope == "nodes":
+            corpus = t.nodes.select(
+                "uuid", F.concat_ws(" ", "name", "summary").alias("text")
+            )
+        else:  # combined
+            corpus = (
+                t.edges.select("uuid", F.col("fact").alias("text"))
+                .unionByName(
+                    t.nodes.select(
+                        "uuid", F.concat_ws(" ", "name", "summary").alias("text")
+                    )
+                )
+            )
+        emb = with_embedding(corpus, "text", "vec")
+        fused = S.hybrid_search(
+            emb, qs, qvec, "uuid", "text", "vec", limit=2 * config.limit
+        )
+        if config.reranker == "mmr":
+            cands = fused.join(emb.select("uuid", "vec"), "uuid").join(qvec, "query_id")
+            out = S.mmr_rerank(cands, "uuid", "vec", "qvec", k=config.limit)
+        elif config.reranker == "node_distance" and center_node_uuid:
+            pairs = t.edges.select("source_node_uuid", "target_node_uuid")
+            out = S.node_distance_rerank(
+                fused.where(F.col("rank") <= config.limit), pairs, center_node_uuid
+            )
+        elif config.reranker == "episode_mentions":
+            out = S.episode_mentions_rerank(
+                fused.where(F.col("rank") <= config.limit), t.mention_edges
+            )
+        else:  # rrf (also the cross-encoder fallback)
+            out = fused.where(F.col("rank") <= config.limit)
+        return out
+
+    # -- mutation ----------------------------------------------------------
+
+    def add_triplet(self, group_id: str, subj: str, pred: str, obj: str,
+                    fact: str, valid_at, episode_uuid: str) -> None:
+        t = self._t()
+        trip = self.spark.createDataFrame(
+            [(group_id, subj, pred, obj, fact, valid_at, episode_uuid)],
+            "group_id string, subj_name string, pred string, obj_name string,"
+            " fact string, valid_at timestamp, episode_uuid string",
+        )
+        nodes, edges = add_triplets(t.nodes, t.edges, trip)
+        t.nodes, t.edges = nodes, edges
+
+    def build_communities(self):
+        t = self._t()
+        return _build_communities(t.nodes, t.edges)
+
+    def remove_episodes(self, episode_uuids: list[str]) -> None:
+        """graphiti.py:758-787: drop the episodes, their MENTIONS rows, and
+        edges whose only provenance was those episodes; entity nodes
+        mentioned nowhere else are removed."""
+        t = self._t()
+        uuids = [F.lit(u) for u in episode_uuids]
+        t.episodes = t.episodes.where(~F.col("uuid").isin(episode_uuids))
+        t.edges = (
+            t.edges.withColumn(
+                "episodes",
+                F.array_except(F.col("episodes"), F.array(*uuids)),
+            ).where(F.size("episodes") > 0)
+        )
+        t.mention_edges = t.mention_edges.where(
+            ~F.col("episode_uuid").isin(episode_uuids)
+        )
+        still = t.mention_edges.select(
+            F.col("entity_uuid").alias("uuid")
+        ).distinct()
+        t.nodes = t.nodes.join(still, "uuid", "left_semi")
+
+    def build_indices_and_constraints(self) -> None:
+        """No-op: parquet/Iceberg column stats + partition pruning replace
+        the reference's 19 range + 3 fulltext indexes (SURVEY.md §4)."""
+
+    def _t(self) -> GraphTables:
+        if self.tables is None:
+            raise RuntimeError("call build()/add_pages() first")
+        return self.tables

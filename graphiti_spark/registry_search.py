@@ -122,15 +122,21 @@ def q_kg_edge_date_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _queries_values() -> str:
-    rows = ", ".join(f"({i}, '{q}')" for i, q in enumerate(DOC_QUERIES))
+def _queries_values(queries: list[str] | None = None) -> str:
+    qs = queries if queries is not None else DOC_QUERIES
+    rows = ", ".join(f"({i}, '{q}')" for i, q in enumerate(qs))
     return f"(VALUES {rows}) AS qv(query_id, query)"
 
 
-_BM25_CTES = f"""
+def bm25_ctes(source_sql: str, queries: list[str] | None = None) -> str:
+    """BM25 scoring CTE chain over any (doc, text) source SELECT —
+    mirrors operators/search.bm25_topk term-for-term (same k1/b/idf and
+    the same per-term integer micro-unit floor before the order-
+    independent integer sum)."""
+    return f"""
 d2 AS (
-  SELECT doc_id AS doc, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
-  FROM documents
+  SELECT doc, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM ({source_sql})
 ),
 d3 AS (SELECT doc, len(toks) AS dl, toks FROM d2),
 stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d3),
@@ -140,7 +146,7 @@ tf AS (
   GROUP BY 1, 2, 3
 ),
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-qs AS (SELECT query_id, query FROM {_queries_values()}),
+qs AS (SELECT query_id, query FROM {_queries_values(queries)}),
 qterms AS (
   SELECT DISTINCT query_id,
          unnest(list_distinct(regexp_extract_all(lower(query), '[a-z0-9]+'))) AS term
@@ -164,6 +170,9 @@ ranked AS (
          row_number() OVER (PARTITION BY query_id ORDER BY score_u DESC, doc) AS rank
   FROM scored
 )"""
+
+
+_BM25_CTES = bm25_ctes("SELECT doc_id AS doc, text FROM documents")
 
 
 def _sql_search_bm25() -> str:
@@ -275,6 +284,41 @@ WHERE (valid_at >= TIMESTAMP '{DATE_LO}' AND invalid_at IS NULL)
     return _kg_sql(body, with_eds=True)
 
 
+EDGE_QUERIES = [
+    "works at acme",
+    "no longer works",
+    "based in paris",
+    "visited dublin",
+]
+
+
+def q_kg_edge_fulltext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 proper: BM25 fulltext over the canonical edges' fact text
+    (search_utils.py:146-197), doc key = group|subj|pred|obj."""
+    from . import registry
+    from .plans.pipeline import triples_view
+
+    t = registry._graph(spark, sf_dir)
+    corpus_df = triples_view(t).select(
+        F.concat_ws("|", "group_id", "subj", "pred", "obj").alias("edge_key"),
+        F.col("fact"),
+    )
+    qs = search.make_queries_df(spark, EDGE_QUERIES)
+    return search.bm25_topk(corpus_df, qs, "edge_key", "fact", k=10)
+
+
+def _sql_kg_edge_fulltext() -> str:
+    src = (
+        "SELECT group_id || '|' || subj || '|' || pred || '|' || obj AS doc,"
+        " fact AS text FROM eds"
+    )
+    return f"""
+WITH {_kg_eds_sql().lstrip()},
+{bm25_ctes(src, EDGE_QUERIES).lstrip()}
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc AS edge_key, score_u
+FROM ranked WHERE rank <= 10"""
+
+
 NAME_QUERIES = ["alice johnson", "acme corp", "helios energy", "paris"]
 
 
@@ -321,6 +365,7 @@ def q_kg_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_edge_fulltext": q_kg_edge_fulltext,
     "kg_node_similarity": q_kg_node_similarity,
     "kg_mmr": q_kg_mmr,
     "search_bm25": q_search_bm25,
@@ -331,6 +376,7 @@ SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 SEARCH_ORACLES: dict[str, Callable[[], str]] = {
+    "kg_edge_fulltext": _sql_kg_edge_fulltext,
     "search_bm25": _sql_search_bm25,
     "search_rrf": _sql_search_rrf,
     "kg_retrieve_episodes": _sql_kg_retrieve_episodes,
