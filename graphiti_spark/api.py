@@ -64,8 +64,19 @@ class GraphitiSpark:
         return self.tables
 
     def add_pages(self, pages: DataFrame) -> GraphTables:
-        """Incremental ingest of a pages DataFrame (same DAG; dedup makes
-        repeated ingestion idempotent)."""
+        """Incremental ingest: the new pages are unioned with the already
+        ingested ones (an upsert keyed by url — re-ingesting a url replaces
+        it) and the graph is rebuilt over the combined input, so prior
+        builds are never silently discarded. The batch rebuild is the
+        Iceberg-table equivalent of the reference's per-episode upsert
+        (add_episode, graphiti.py:254-490); at production scale the same
+        DAG runs over `old_pages MERGE INTO new_pages` instead."""
+        if self.tables is not None:
+            cols = pages.columns
+            retained = self.tables.pages.select(*cols).join(
+                pages.select("url"), "url", "left_anti"
+            )
+            pages = retained.unionByName(pages.select(*cols))
         self.tables = build_graph(self.spark, sf_dir="", pages=pages)
         return self.tables
 
@@ -132,13 +143,50 @@ class GraphitiSpark:
             out = S.mmr_rerank(cands, "uuid", "vec", "qvec", k=config.limit)
         elif config.reranker == "node_distance" and center_node_uuid:
             pairs = t.edges.select("source_node_uuid", "target_node_uuid")
-            out = S.node_distance_rerank(
-                fused.where(F.col("rank") <= config.limit), pairs, center_node_uuid
-            )
+            res = fused.where(F.col("rank") <= config.limit)
+            if config.scope == "edges":
+                # edge results rank by the distance of their SOURCE node to
+                # the center (reference search/search.py:203-222 maps edges
+                # through edge.source_node_uuid before node_distance)
+                src = F.broadcast(
+                    t.edges.select("uuid", "source_node_uuid")
+                )
+                origins = self.spark.createDataFrame(
+                    [(center_node_uuid, center_node_uuid)],
+                    ["origin_uuid", "uuid"],
+                )
+                dist = S.bfs_nodes(pairs, origins).select(
+                    F.col("uuid").alias("source_node_uuid"),
+                    F.col("depth").alias("distance"),
+                )
+                out = (
+                    res.join(src, "uuid", "left")
+                    .join(dist, "source_node_uuid", "left")
+                    .withColumn(
+                        "distance", F.coalesce("distance", F.lit(2**31))
+                    )
+                    .drop("source_node_uuid")
+                    .orderBy("distance", "uuid")
+                )
+            else:
+                out = S.node_distance_rerank(res, pairs, center_node_uuid)
         elif config.reranker == "episode_mentions":
-            out = S.episode_mentions_rerank(
-                fused.where(F.col("rank") <= config.limit), t.mention_edges
-            )
+            res = fused.where(F.col("rank") <= config.limit)
+            if config.scope == "edges":
+                # edges rank by their own provenance count len(episodes)
+                # (reference search/search.py:225-226)
+                nm = F.broadcast(
+                    t.edges.select(
+                        "uuid", F.size("episodes").alias("n_mentions")
+                    )
+                )
+                out = (
+                    res.join(nm, "uuid", "left")
+                    .withColumn("n_mentions", F.coalesce("n_mentions", F.lit(0)))
+                    .orderBy(F.desc("n_mentions"), "uuid")
+                )
+            else:
+                out = S.episode_mentions_rerank(res, t.mention_edges)
         else:  # rrf (also the cross-encoder fallback)
             out = fused.where(F.col("rank") <= config.limit)
         return out

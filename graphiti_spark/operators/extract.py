@@ -13,14 +13,16 @@ Reference decision structure mirrored:
   the fact override; ISO-8601 (utils/maintenance/temporal_operations.py:32-68;
   prompts/extract_edge_dates.py:43-87).
 
-Everything is pandas-vectorized (str.extract / str.findall across the
-whole Arrow batch) inside mapInPandas — no row-at-a-time Python UDFs.
-The same functions run single-process in the pytest golden oracle.
+The production hot path is ALL-JVM: sentence split, pattern dispatch,
+group extraction, span scan and name normalization are Spark SQL regexp
+expressions inside whole-stage codegen — no Python workers and no Arrow
+transfer anywhere in the flagship pipeline. The pandas twins
+(extract_*_pdf) are kept as the single-process parity oracle used by
+pytest (tests/test_extraction_golden.py pins JVM output == generative
+golden truth).
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -28,7 +30,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.text import strip_honorific
-from ..schemas import MENTIONS_RAW, TRIPLES_RAW
 
 NAME = r"(?:Professor |Dr\. )?[A-Z][a-z]+(?: [A-Z][a-z]+)*"
 NAME_G = f"({NAME})"
@@ -209,10 +210,8 @@ UNION_SCHEMA = (
 
 
 def extract_all_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One pass per batch emitting a union of extraction outputs:
-    kind='t' triple rows (X3/X4) and kind='m' mention rows (X1).
-    Splitting sentences and shipping episode content over Arrow happens
-    once instead of once per extractor."""
+    """Single-process pandas twin of the JVM extraction (the pytest parity
+    oracle): kind='t' triple rows (X3/X4) and kind='m' mention rows (X1)."""
     trip = extract_triples_pdf(pdf)
     ment = extract_spans_pdf(pdf)
     trip = trip.assign(kind="t", name=None, norm_name=None)
@@ -228,18 +227,151 @@ def extract_all_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.concat([trip[cols], ment[cols]], ignore_index=True)
 
 
+# --- JVM-native extraction (the production hot path) -----------------------
+# Every regex below runs inside whole-stage codegen: sentence split,
+# pattern dispatch, group extraction, span scan and name normalization are
+# Spark SQL expressions — no Python workers, no Arrow transfer. The pandas
+# twins above remain as the single-process parity oracle
+# (tests/test_extraction_golden.py pins JVM == golden truth).
+
+def _sql_lit(pat: str) -> str:
+    """Python regex -> Spark SQL string literal (backslashes doubled)."""
+    return pat.replace("\\", "\\\\")
+
+
+SENT_SPLIT_SQL = _sql_lit(SENT_SPLIT)
+NAME_SQL = _sql_lit(NAME)
+_HONORIFIC_SQL = _sql_lit(r"^(?:Professor |Dr\. )")
+
+# (pattern, pred, subj_group, obj_group, valid_expr_template) in the same
+# priority order as _PATTERNS (negated form before its positive twin)
+_JVM_PATTERNS: list[tuple[str, str, int, int, str | None]] = [
+    (_sql_lit(rf"^{NAME_G} no longer works at {NAME_G}\.$"), "NO_LONGER_WORKS_AT", 1, 2, None),
+    (_sql_lit(rf"^{NAME_G} works at {NAME_G}\.$"), "WORKS_AT", 1, 2, None),
+    (_sql_lit(rf"^{NAME_G} likes {NAME_G}\.$"), "LIKES", 1, 2, None),
+    (_sql_lit(rf"^{NAME_G} dislikes {NAME_G}\.$"), "DISLIKES", 1, 2, None),
+    (_sql_lit(rf"^{NAME_G} is based in {NAME_G}\.$"), "BASED_IN", 1, 2, None),
+    (_sql_lit(rf"^{NAME_G} moved to {NAME_G}\.$"), "MOVED_TO", 1, 2, None),
+    (
+        _sql_lit(rf"^Since (\d{{4}}), {NAME_G} has led {NAME_G}\.$"),
+        "LEADS", 2, 3,
+        "to_timestamp(regexp_extract(sentence, '{p}', 1) || '-01-01', 'yyyy-MM-dd')",
+    ),
+    (
+        _sql_lit(rf"^{NAME_G} visited {NAME_G} on (\d{{4}}-\d{{2}}-\d{{2}})\.$"),
+        "VISITED", 1, 2,
+        "to_timestamp(regexp_extract(sentence, '{p}', 3), 'yyyy-MM-dd')",
+    ),
+]
+
+# normalize_entity_name (functions/text.py) as one SQL expression chain:
+# lowercase -> strip one honorific prefix -> strip trailing corporate
+# suffix tokens (never emptying a single-token name)
+_NORM_SQL = (
+    "coalesce(nullif(regexp_replace(regexp_replace(lower(name),"
+    " '^(professor |dr\\\\. |dr |mr\\\\. |ms\\\\. |mrs\\\\. )', ''),"
+    " '( (inc|llc|ltd))+$', ''), ''), lower(name))"
+)
+
+
+def _sentences(episodes: DataFrame) -> DataFrame:
+    """(episode_uuid, group_id, valid_at, sent_idx, sentence) — the
+    filter() inside the array keeps sent_idx equal to the pandas
+    cumcount-over-nonempty semantics without a window shuffle."""
+    return episodes.select(
+        F.col("uuid").alias("episode_uuid"),
+        "group_id",
+        "valid_at",
+        F.posexplode(
+            F.expr(f"filter(split(content, '{SENT_SPLIT_SQL}'), s -> s != '')")
+        ).alias("sent_idx", "sentence"),
+    )
+
+
+def _case(branches: list[tuple[str, str]]) -> str:
+    return (
+        "CASE "
+        + " ".join(f"WHEN sentence RLIKE '{p}' THEN {v}" for p, v in branches)
+        + " END"
+    )
+
+
+def extract_triples_jvm(sents: DataFrame) -> DataFrame:
+    strip = lambda e: f"regexp_replace({e}, '{_HONORIFIC_SQL}', '')"  # noqa: E731
+    pred = _case([(p, f"'{name}'") for p, name, *_ in _JVM_PATTERNS])
+    subj = _case(
+        [(p, strip(f"regexp_extract(sentence, '{p}', {sg})"))
+         for p, _, sg, _, _ in _JVM_PATTERNS]
+    )
+    obj = _case(
+        [(p, strip(f"regexp_extract(sentence, '{p}', {og})"))
+         for p, _, _, og, _ in _JVM_PATTERNS]
+    )
+    explicit = _case(
+        [(p, v.format(p=p)) for p, _, _, _, v in _JVM_PATTERNS if v is not None]
+    )
+    return (
+        sents.withColumn("pred", F.expr(pred))
+        .where(F.col("pred").isNotNull())
+        .select(
+            "episode_uuid",
+            "group_id",
+            F.col("sent_idx").cast("int").alias("sent_idx"),
+            F.expr(subj).alias("subj_name"),
+            "pred",
+            F.expr(obj).alias("obj_name"),
+            F.col("sentence").alias("fact"),
+            F.coalesce(F.expr(explicit), F.col("valid_at")).alias("valid_at"),
+            F.lit(None).cast("timestamp").alias("invalid_at"),
+            F.col("valid_at").alias("warc_ts"),
+        )
+    )
+
+
+def extract_spans_jvm(sents: DataFrame) -> DataFrame:
+    return (
+        sents.select(
+            "episode_uuid",
+            "group_id",
+            "valid_at",
+            F.explode(
+                F.expr(f"regexp_extract_all(sentence, '{NAME_SQL}', 0)")
+            ).alias("span"),
+        )
+        .withColumn("name", F.expr(f"regexp_replace(span, '{_HONORIFIC_SQL}', '')"))
+        .where(~F.col("name").isin(*STOP_SPANS))
+        .dropDuplicates(["episode_uuid", "name"])
+        .withColumn("norm_name", F.expr(_NORM_SQL))
+        .select("episode_uuid", "group_id", "name", "norm_name", "valid_at")
+    )
+
+
 def extract_all(episodes: DataFrame) -> DataFrame:
-    """Single-pass extraction stage. Downstream: filter kind='t' for
-    triples, kind='m' for mentions. Persist/materialize this output —
-    it is the skinny fan-out point of the whole pipeline (no page/episode
-    content strings)."""
-    cols = episodes.select("uuid", "group_id", "content", "valid_at")
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield extract_all_pdf(pdf)
-
-    return cols.mapInPandas(gen, schema=UNION_SCHEMA)
+    """Extraction stage, all-JVM. Downstream: filter kind='t' for triples,
+    kind='m' for mentions. Persist/materialize this output — it is the
+    skinny fan-out point of the whole pipeline (no page/episode content
+    strings)."""
+    sents = _sentences(episodes)
+    trip = extract_triples_jvm(sents).select(
+        F.lit("t").alias("kind"), "episode_uuid", "group_id", "sent_idx",
+        "subj_name", "pred", "obj_name", "fact", "valid_at", "invalid_at",
+        "warc_ts",
+        F.lit(None).cast("string").alias("name"),
+        F.lit(None).cast("string").alias("norm_name"),
+    )
+    ment = extract_spans_jvm(sents).select(
+        F.lit("m").alias("kind"), "episode_uuid", "group_id",
+        F.lit(0).alias("sent_idx"),
+        F.lit(None).cast("string").alias("subj_name"),
+        F.lit(None).cast("string").alias("pred"),
+        F.lit(None).cast("string").alias("obj_name"),
+        F.lit(None).cast("string").alias("fact"),
+        "valid_at",
+        F.lit(None).cast("timestamp").alias("invalid_at"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        "name", "norm_name",
+    )
+    return trip.unionByName(ment)
 
 
 def split_extracted(all_df: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -274,13 +406,7 @@ def extract_spans_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def extract_triples(episodes: DataFrame) -> DataFrame:
-    cols = episodes.select("uuid", "group_id", "content", "valid_at")
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield extract_triples_pdf(pdf)
-
-    return cols.mapInPandas(gen, schema=TRIPLES_RAW)
+    return extract_triples_jvm(_sentences(episodes))
 
 
 def _role_case(which: int) -> str:
@@ -327,18 +453,7 @@ def attach_labels(spans: DataFrame, triples: DataFrame) -> DataFrame:
 
 
 def extract_mentions(episodes: DataFrame, triples: DataFrame) -> DataFrame:
-    """Spans (cheap pandas pass) + labels voted from the already-extracted
-    triples (Spark-side) — avoids re-running the 8-pattern triple
+    """Spans (JVM regexp_extract_all pass) + labels voted from the
+    already-extracted triples — avoids re-running the 8-pattern triple
     extraction inside the mention pass."""
-    cols = episodes.select("uuid", "group_id", "content", "valid_at")
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield extract_spans_pdf(pdf)
-
-    span_schema = (
-        "episode_uuid string, group_id string, name string,"
-        " norm_name string, valid_at timestamp"
-    )
-    spans = cols.mapInPandas(gen, schema=span_schema)
-    return attach_labels(spans, triples)
+    return attach_labels(extract_spans_jvm(_sentences(episodes)), triples)

@@ -191,9 +191,13 @@ def bfs_nodes(
     visited = origins.select("origin_uuid", "uuid", F.lit(0).alias("depth"))
     frontier = visited
     for d in range(1, max_depth + 1):
+        # per-hop dedup: one row per (origin, node), not one per path —
+        # without it a dense graph multiplies frontier rows combinatorially
+        # across hops (path explosion) before the final min-depth groupBy
         nxt = (
             frontier.join(bidir, frontier.uuid == bidir.src)
             .select("origin_uuid", F.col("dst").alias("uuid"), F.lit(d).alias("depth"))
+            .dropDuplicates(["origin_uuid", "uuid"])
         )
         visited = visited.union(nxt)
         frontier = nxt
@@ -230,16 +234,19 @@ def episode_mentions_rerank(results: DataFrame, mention_edges: DataFrame) -> Dat
 
 
 def rrf(ranked_lists: list[DataFrame], id_col: str, k: int = RRF_K) -> DataFrame:
-    """Q11: reciprocal rank fusion — score[id] = sum over lists of
-    1/(k + rank); integer micro-units via exact per-rank table so the SQL
-    oracle matches bit-for-bit. Input frames: (query_id, rank, <id_col>)."""
+    """Q11: reciprocal rank fusion — the reference scores
+    1/(i + rank_const) with 0-based list position i (search_utils.py:
+    744-755), so with our 1-based rank the contribution is
+    1/(k + rank - 1): the top hit of a list gets 1/k. Integer micro-units
+    so the SQL oracle matches bit-for-bit. Input frames:
+    (query_id, rank, <id_col>)."""
     u = ranked_lists[0]
     for nxt in ranked_lists[1:]:
         u = u.select("query_id", "rank", id_col).unionByName(
             nxt.select("query_id", "rank", id_col)
         )
     scored = u.withColumn(
-        "c_u", F.expr(f"1000000 div ({k} + rank)")
+        "c_u", F.expr(f"1000000 div ({k} + rank - 1)")
     ).groupBy("query_id", id_col).agg(F.sum("c_u").alias("rrf_u"))
     w = Window.partitionBy("query_id").orderBy(F.desc("rrf_u"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).select(

@@ -42,11 +42,13 @@ def q_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _documents(spark, sf_dir)
     qs = search.make_queries_df(spark, DOC_QUERIES)
     ft = search.bm25_topk(docs, qs, "doc_id", "text", k=20)
+    # orderBy().limit() -> TakeOrderedAndProject (per-partition top-k +
+    # driver merge), then rank only the 20 survivors — never a global
+    # single-partition window sort over the whole corpus
+    top20 = docs.select("doc_id").orderBy(F.desc("doc_id")).limit(20)
     w = Window.orderBy(F.desc("doc_id"))
     recency = (
-        docs.select("doc_id")
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 20)
+        top20.withColumn("rank", F.row_number().over(w))
         .crossJoin(qs.select("query_id"))
         .select("query_id", F.col("rank").cast("long").alias("rank"), "doc_id")
     )
@@ -197,7 +199,9 @@ rec AS (
 ),
 unioned AS (SELECT * FROM ft UNION ALL SELECT * FROM rec),
 fused AS (
-  SELECT query_id, doc_id, CAST(sum(1000000 // (1 + rank)) AS BIGINT) AS rrf_u
+  -- 1/(k + rank - 1) with k=1 and 1-based rank = 1/rank (reference rrf
+  -- scores 1/(i + rank_const) with 0-based i, search_utils.py:744-755)
+  SELECT query_id, doc_id, CAST(sum(1000000 // rank) AS BIGINT) AS rrf_u
   FROM unioned GROUP BY 1, 2
 ),
 franked AS (

@@ -4,110 +4,60 @@ text, lang) per BASELINE.json input_hint.
 At production scale this table is simply `spark.read.table('pages')` /
 `spark.read.parquet(...)` over the crawl dump, partitioned by domain
 (group_id). For tests and benchmarks we *synthesize* it deterministically
-from the driver-provided documents.parquet via a fully vectorized
-numpy/pandas builder inside `mapInPandas` (Arrow-batched; no per-row
-Python). The same content is reproducible by `corpus.golden_pages`
-(pytest oracle) and by `corpus.sql_pages_cte()` (DuckDB oracle).
+from the driver-provided documents.parquet — entirely JVM-side: the
+per-doc sentence bank is built with higher-order functions
+(transform/sequence over array literals), so the whole source stage is
+whole-stage-codegen'd with zero Python workers and zero shuffle after the
+initial small repartition of the base rows. The same content is
+reproducible by `corpus.golden_pages` (pytest oracle) and by
+`corpus.sql_pages_cte()` (DuckDB oracle); byte-identity per url is pinned
+by tests/test_pages_parity.py.
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import numpy as np
-import pandas as pd
-
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import corpus
-from ..schemas import PAGES
 
 
-def synth_pages_pdf(docs: pd.DataFrame) -> pd.DataFrame:
-    """Vectorized page synthesis for one Arrow batch of documents rows."""
-    d = docs["doc_id"].to_numpy(np.int64)
-    n = len(d)
-    if n == 0:
-        return pd.DataFrame(
-            {c: pd.Series(dtype=o) for c, o in
-             [("url", object), ("warc_ts", "datetime64[us]"), ("html", object),
-              ("text", object), ("lang", object), ("group_id", object),
-              ("doc_id", np.int64)]}
-        )
-    nsent = 3 + d % 4
-    doc_idx = np.repeat(np.arange(n), nsent)
-    k = np.arange(int(nsent.sum()), dtype=np.int64) - np.repeat(
-        np.cumsum(nsent) - nsent, nsent
-    )
-    dd = d[doc_idx]
+def _arr(values: list[str]) -> str:
+    return "array(" + ", ".join(f"'{v}'" for v in values) + ")"
 
-    t = (dd * 3 + k * 5) % corpus.N_TEMPLATES
-    persons = np.array(corpus.PERSONS, dtype=object)
-    orgs = np.array(corpus.ORGS, dtype=object)
-    places = np.array(corpus.PLACES, dtype=object)
-    pi = ((dd * 7 + k * 13) // 2) % len(persons)
-    person = persons[pi]
-    person2 = persons[(pi + 1 + dd % 3) % len(persons)]
-    org = orgs[(pi * 3 + dd % 2) % len(orgs)]
-    place = places[(dd * 5 + k * 7) % len(places)]
-    year = (2015 + (dd + k) % 9).astype(str).astype(object)
-    date_iso = pd.Series(
-        np.datetime64(corpus.EPOCH.strftime("%Y-%m-%d"))
-        + ((dd * 13 + k * 29) % 365).astype("timedelta64[D]")
-    ).dt.strftime("%Y-%m-%d").to_numpy(dtype=object)
-    honor = (dd + 3 * k) % 7 == 0
-    org_inc = (dd + 2 * k) % 5 == 0
-    pdisp = np.where(honor, corpus.HONORIFIC + person, person).astype(object)
-    odisp = np.where(org_inc, org + corpus.ORG_SUFFIX, org).astype(object)
 
-    sentence = np.select(
-        [t == 0, t == 1, t == 2, t == 3, t == 4, t == 5, t == 6],
-        [
-            pdisp + " works at " + odisp + ".",
-            pdisp + " no longer works at " + odisp + ".",
-            pdisp + " likes " + person2 + ".",
-            pdisp + " dislikes " + person2 + ".",
-            odisp + " is based in " + place + ".",
-            pdisp + " moved to " + place + ".",
-            "Since " + year + ", " + pdisp + " has led " + odisp + ".",
-        ],
-        default=pdisp + " visited " + place + " on " + date_iso + ".",
-    )
+def _fields_expr() -> str:
+    """array<struct> of per-sentence generative fields for one doc row
+    (columns in scope: doc_id, text=noise, lang, source). Mirrors
+    corpus.sentence_fields term-for-term."""
+    P, O, L = _arr(corpus.PERSONS), _arr(corpus.ORGS), _arr(corpus.PLACES)
+    np_, no_, nl_ = len(corpus.PERSONS), len(corpus.ORGS), len(corpus.PLACES)
+    nt = corpus.N_TEMPLATES
+    return f"""
+transform(sequence(0, cast(2 + doc_id % 4 as int)), k -> named_struct(
+  't', (doc_id*3 + k*5) % {nt},
+  'pdisp', IF((doc_id + 3*k) % 7 = 0, '{corpus.HONORIFIC}', '')
+           || element_at({P}, cast(1 + ((doc_id*7 + k*13) div 2) % {np_} as int)),
+  'odisp', element_at({O}, cast(1 + (((doc_id*7 + k*13) div 2) % {np_} * 3 + doc_id % 2) % {no_} as int))
+           || IF((doc_id + 2*k) % 5 = 0, '{corpus.ORG_SUFFIX}', ''),
+  'person2', element_at({P}, cast(1 + (((doc_id*7 + k*13) div 2) % {np_} + 1 + doc_id % 3) % {np_} as int)),
+  'place', element_at({L}, cast(1 + (doc_id*5 + k*7) % {nl_} as int)),
+  'year_s', cast(2015 + (doc_id + k) % 9 as string),
+  'date_iso', date_format(date_add(date'2024-01-01', cast((doc_id*13 + k*29) % 365 as int)), 'yyyy-MM-dd')
+))"""
 
-    sent_df = pd.DataFrame({"i": doc_idx, "pk": k // 2, "s": sentence})
-    paras = sent_df.groupby(["i", "pk"], sort=True)["s"].agg(" ".join)
-    body = paras.groupby(level=0).agg("\n\n".join)  # aligned to doc order
 
-    src = docs["source"].to_numpy(dtype=object)
-    title = pd.Series(
-        "web digest " + pd.Series(d).astype(str) + " - " + src + " daily notes",
-        dtype=object,
-    )
-    title = title.where(pd.Series(d % 3 != 0), title + corpus.ZWSP)
-    noise = docs["text"].astype(str).str.slice(0, 120).to_numpy(dtype=object)
-    text = title.to_numpy(dtype=object) + "\n\n" + noise + "\n\n" + body.to_numpy(dtype=object)
-
-    html = (
-        "<html><body><p>"
-        + pd.Series(text, dtype=object).str.replace("\n\n", "</p><p>", regex=False)
-        + "</p></body></html>"
-    ).str.encode("utf-8")
-
-    warc_ts = pd.Series(
-        np.datetime64(corpus.EPOCH.strftime("%Y-%m-%dT%H:%M:%S"))
-        + (d * corpus.WARC_STEP_MINUTES).astype("timedelta64[m]")
-    )
-    return pd.DataFrame(
-        {
-            "url": "https://" + src + ".example.com/doc/" + pd.Series(d).astype(str).to_numpy(dtype=object),
-            "warc_ts": warc_ts,
-            "html": html,
-            "text": text,
-            "lang": docs["lang"].to_numpy(dtype=object),
-            "group_id": src,
-            "doc_id": d,
-        }
-    )
+def _sents_expr() -> str:
+    """Rendered sentence per field struct (corpus.render_sentence)."""
+    return """
+transform(_fields, f -> CASE f.t
+  WHEN 0 THEN f.pdisp || ' works at ' || f.odisp || '.'
+  WHEN 1 THEN f.pdisp || ' no longer works at ' || f.odisp || '.'
+  WHEN 2 THEN f.pdisp || ' likes ' || f.person2 || '.'
+  WHEN 3 THEN f.pdisp || ' dislikes ' || f.person2 || '.'
+  WHEN 4 THEN f.odisp || ' is based in ' || f.place || '.'
+  WHEN 5 THEN f.pdisp || ' moved to ' || f.place || '.'
+  WHEN 6 THEN 'Since ' || f.year_s || ', ' || f.pdisp || ' has led ' || f.odisp || '.'
+  ELSE f.pdisp || ' visited ' || f.place || ' on ' || f.date_iso || '.' END)"""
 
 
 def build_pages(
@@ -117,50 +67,73 @@ def build_pages(
     partitions: int | None = None,
     with_html: bool = True,
 ) -> DataFrame:
-    """documents.parquet -> pages DataFrame (Arrow-batched synthesis).
+    """documents.parquet -> pages DataFrame, all-JVM synthesis.
 
-    The driver testdata is a single small parquet file (1 input split), so
-    we explicitly repartition before the Python stage — otherwise the whole
-    extraction chain would run in one task regardless of cluster size. At
-    real crawl scale the source table arrives pre-partitioned by
-    domain/crawl-segment and this repartition is unnecessary.
-
-    ``replicate`` deterministically scales the corpus for benchmarks: page
-    d of replica r becomes page ``doc_id * replicate + r`` (a pure function
-    of the input — replicate=1 is the identity, used by all correctness
-    paths).
+    The driver testdata arrives as one small file (one input split), so
+    the base rows are repartitioned BEFORE replication/synthesis: the
+    shuffle moves only the n_docs base rows, and the replicate-fold
+    explosion happens in place on the spread partitions. Replica ids
+    derive from the REAL doc_id column (doc_id * replicate + r), so
+    gapped or offset doc_id spaces replicate faithfully instead of being
+    silently dropped by a dense-range assumption. replicate=1 is the
+    identity used by all correctness paths.
     """
     base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang", "source"
     )
-    # Natively-partitioned id space + broadcast of the (small) base table:
-    # no shuffle at all — spark.range supplies the partitioning, the base
-    # docs ride the broadcast. (A plain .repartition() would shuffle the
-    # full replicated text through the exchange.)
-    from pyspark.sql import functions as F
-
-    n_docs = base.count()
     n_parts = partitions or spark.sparkContext.defaultParallelism
-    ids = spark.range(n_docs * replicate, numPartitions=n_parts)
-    docs = (
-        ids.select(
-            F.col("id").alias("doc_id"),
-            F.expr(f"id div {replicate}").alias("base_doc_id"),
+    docs = base.repartition(n_parts)
+    if replicate > 1:
+        docs = docs.withColumn(
+            "r", F.explode(F.expr(f"sequence(0, {int(replicate) - 1})"))
+        ).select(
+            (F.col("doc_id") * replicate + F.col("r")).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
         )
-        .join(
-            F.broadcast(base.withColumnRenamed("doc_id", "base_doc_id")),
-            "base_doc_id",
+
+    step = corpus.WARC_STEP_MINUTES
+    pages = (
+        docs.withColumn("_fields", F.expr(_fields_expr()))
+        .withColumn("_sents", F.expr(_sents_expr()))
+        .withColumn(
+            "_body",
+            F.expr(
+                "array_join(transform(sequence(0, cast((size(_sents) - 1) div 2 as int)),"
+                " p -> concat_ws(' ', slice(_sents, 2*p + 1, 2))), '\\n\\n')"
+            ),
         )
-        .select("doc_id", "text", "lang", "source")
+        .withColumn(
+            "_title",
+            F.expr(
+                "'web digest ' || doc_id || ' - ' || source || ' daily notes'"
+                f" || IF(doc_id % 3 = 0, '{corpus.ZWSP}', '')"
+            ),
+        )
+        .withColumn(
+            "page_text",
+            F.expr("_title || '\\n\\n' || substr(text, 1, 120) || '\\n\\n' || _body"),
+        )
+        .withColumn(
+            "html",
+            F.expr(
+                "encode('<html><body><p>' || replace(page_text, '\\n\\n', '</p><p>')"
+                " || '</p></body></html>', 'UTF-8')"
+            )
+            if with_html
+            else F.lit(None).cast("binary"),
+        )
+        .select(
+            F.expr("'https://' || source || '.example.com/doc/' || doc_id").alias("url"),
+            F.expr(
+                f"timestampadd(MINUTE, cast({step} * doc_id as int), timestamp'2024-01-01 00:00:00')"
+            ).alias("warc_ts"),
+            "html",
+            F.col("page_text").alias("text"),
+            "lang",
+            F.col("source").alias("group_id"),
+            "doc_id",
+        )
     )
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = synth_pages_pdf(pdf)
-            if not with_html:
-                # html is only consumed by the text-null fallback; skipping
-                # it halves the Arrow transfer out of the Python stage
-                out["html"] = None
-            yield out
-
-    return docs.mapInPandas(gen, schema=PAGES)
+    return pages

@@ -136,9 +136,10 @@ def test_rrf_fusion(spark):
         [(0, 1, "b"), (0, 2, "c")], ["query_id", "rank", "doc"]
     )
     got = search.rrf([l1, l2], "doc").toPandas().sort_values("rank")
-    # b: 1/3 + 1/2 > a: 1/2 > c: 1/3  (k=1)
+    # reference scoring 1/(k + i) with 0-based i, k=1:
+    # b: 1/2 + 1/1 > a: 1/1 > c: 1/2
     assert got["doc"].tolist() == ["b", "a", "c"]
-    assert got["rrf_u"].tolist() == [833333, 500000, 333333]
+    assert got["rrf_u"].tolist() == [1500000, 1000000, 500000]
 
 
 def test_mmr_prefers_diversity(spark):
