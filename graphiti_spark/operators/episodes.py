@@ -57,7 +57,18 @@ def build_episodes(pages: DataFrame) -> DataFrame:
         .where(F.length(F.col("content")) > 0)
         .withColumn("uuid", F.md5(F.concat_ws("|", "url", "chunk_idx")))
         .withColumn("name", F.concat_ws("#", "url", "chunk_idx"))
-        .withColumn("source", F.lit("text"))
+        # EpisodeType dispatch (nodes.py:42-75) detected from content
+        # shape, never from generative corpus knowledge: a JSON object
+        # chunk is a json episode, a 'Speaker: ...' chunk is a message
+        # episode, anything else is text
+        .withColumn(
+            "source",
+            F.expr(
+                "CASE WHEN content LIKE '{%' THEN 'json'"
+                " WHEN content RLIKE '^(?:Professor |Dr\\\\. )?[A-Z][a-z]+(?: [A-Z][a-z]+)*: '"
+                " THEN 'message' ELSE 'text' END"
+            ),
+        )
         .withColumn("source_description", F.col("url"))
         .withColumn("valid_at", F.col("warc_ts"))
         .withColumn("created_at", F.col("warc_ts"))

@@ -1,10 +1,13 @@
 """Deterministic, vectorized mention detection (X1/X2) and triple
-extraction (X3) — the replacement for graphiti's per-episode LLM calls.
+extraction (X3/X4) — the replacement for graphiti's per-episode LLM calls.
 
 Reference decision structure mirrored:
-- extract_nodes: entity-name list per episode, "full explicit names", no
-  relation/temporal nodes (/root/reference/graphiti_core/utils/maintenance/
-  node_operations.py:40-212; prompts/extract_nodes.py:63-140).
+- extract_nodes: entity-name list per episode, dispatched by EpisodeType
+  (message / json / text, /root/reference/graphiti_core/nodes.py:42-75);
+  "full explicit names", no relation/temporal nodes
+  (utils/maintenance/node_operations.py:40-212; prompts/extract_nodes.py:
+  63-140; json guidance at :93-116; speaker-first rule for messages at
+  :143-164).
 - extract_edges: triples only between extracted entities, relation name
   ALL-CAPS, natural-language fact sentence, episodes=[episode.uuid]
   (utils/maintenance/edge_operations.py:73-148; prompts/extract_edges.py:50-110).
@@ -13,27 +16,20 @@ Reference decision structure mirrored:
   the fact override; ISO-8601 (utils/maintenance/temporal_operations.py:32-68;
   prompts/extract_edge_dates.py:43-87).
 
-The production hot path is ALL-JVM: sentence split, pattern dispatch,
-group extraction, span scan and name normalization are Spark SQL regexp
-expressions inside whole-stage codegen — no Python workers and no Arrow
-transfer anywhere in the flagship pipeline. The pandas twins
-(extract_*_pdf) are kept as the single-process parity oracle used by
-pytest (tests/test_extraction_golden.py pins JVM output == generative
-golden truth).
+The hot path is ALL-JVM: sentence split, per-source pattern dispatch,
+group extraction, span scan, json parse (from_json) and name
+normalization are Spark SQL expressions inside whole-stage codegen — no
+Python workers and no Arrow transfer anywhere in the flagship pipeline.
+Correctness is pinned against the generative golden truth
+(corpus.golden_triples / golden_mentions) in tests/test_extraction_golden.py.
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
-
-from pyspark.sql import DataFrame, functions as F
-
-from ..functions.text import strip_honorific
+from pyspark.sql import DataFrame, Window, functions as F
 
 NAME = r"(?:Professor |Dr\. )?[A-Z][a-z]+(?: [A-Z][a-z]+)*"
 NAME_G = f"({NAME})"
-SPAN_RE = NAME
 SENT_SPLIT = r"(?<=\.)\s+"
 
 # sentence-initial function words a capitalized-span detector must drop
@@ -44,19 +40,6 @@ STOP_SPANS = frozenset(
      "October", "November", "December"}
 )
 
-# (template_id, compiled pattern, predicate) — order matters: the negated
-# form must be tried before its positive substring twin.
-_PATTERNS: list[tuple[int, str, str]] = [
-    (1, rf"^{NAME_G} no longer works at {NAME_G}\.$", "NO_LONGER_WORKS_AT"),
-    (0, rf"^{NAME_G} works at {NAME_G}\.$", "WORKS_AT"),
-    (2, rf"^{NAME_G} likes {NAME_G}\.$", "LIKES"),
-    (3, rf"^{NAME_G} dislikes {NAME_G}\.$", "DISLIKES"),
-    (4, rf"^{NAME_G} is based in {NAME_G}\.$", "BASED_IN"),
-    (5, rf"^{NAME_G} moved to {NAME_G}\.$", "MOVED_TO"),
-    (6, rf"^Since (\d{{4}}), {NAME_G} has led {NAME_G}\.$", "LEADS"),
-    (7, rf"^{NAME_G} visited {NAME_G} on (\d{{4}}-\d{{2}}-\d{{2}})\.$", "VISITED"),
-]
-
 PRED_ROLES = {
     "WORKS_AT": ("Person", "Organization"),
     "NO_LONGER_WORKS_AT": ("Person", "Organization"),
@@ -66,173 +49,9 @@ PRED_ROLES = {
     "MOVED_TO": ("Person", "Place"),
     "LEADS": ("Person", "Organization"),
     "VISITED": ("Person", "Place"),
+    "ADMIRES": ("Person", "Person"),
 }
 
-
-def _explode_sentences(pdf: pd.DataFrame) -> pd.DataFrame:
-    s = pdf[["uuid", "group_id", "content", "valid_at"]].rename(
-        columns={"uuid": "episode_uuid"}
-    )
-    s = s.assign(sentence=s["content"].str.split(SENT_SPLIT)).explode("sentence")
-    s = s[s["sentence"].notna() & (s["sentence"] != "")]
-    s = s.reset_index(drop=True)
-    s["sent_idx"] = s.groupby("episode_uuid").cumcount().astype(np.int32)
-    return s.drop(columns=["content"])
-
-
-def extract_triples_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Episodes batch -> raw triples. Vectorized: one str.extract per
-    pattern over all sentences of the batch."""
-    s = _explode_sentences(pdf)
-    if len(s) == 0:
-        return pd.DataFrame(
-            {
-                "episode_uuid": pd.Series(dtype=object),
-                "group_id": pd.Series(dtype=object),
-                "sent_idx": pd.Series(dtype=np.int32),
-                "subj_name": pd.Series(dtype=object),
-                "pred": pd.Series(dtype=object),
-                "obj_name": pd.Series(dtype=object),
-                "fact": pd.Series(dtype=object),
-                "valid_at": pd.Series(dtype="datetime64[us]"),
-                "invalid_at": pd.Series(dtype="datetime64[us]"),
-                "warc_ts": pd.Series(dtype="datetime64[us]"),
-            }
-        )
-
-    sent = s["sentence"]
-    n = len(s)
-    subj = pd.Series([None] * n, dtype=object)
-    obj = pd.Series([None] * n, dtype=object)
-    pred = pd.Series([None] * n, dtype=object)
-    explicit_valid = pd.Series([pd.NaT] * n, dtype="datetime64[us]")
-    matched = np.zeros(n, dtype=bool)
-
-    for t, pat, name in _PATTERNS:
-        ex = sent.str.extract(pat)
-        if t == 6:
-            hit = ex[0].notna() & ~matched
-            if hit.any():
-                subj[hit] = ex.loc[hit, 1]
-                obj[hit] = ex.loc[hit, 2]
-                explicit_valid[hit] = pd.to_datetime(
-                    ex.loc[hit, 0] + "-01-01", format="%Y-%m-%d"
-                )
-        elif t == 7:
-            hit = ex[0].notna() & ~matched
-            if hit.any():
-                subj[hit] = ex.loc[hit, 0]
-                obj[hit] = ex.loc[hit, 1]
-                explicit_valid[hit] = pd.to_datetime(ex.loc[hit, 2], format="%Y-%m-%d")
-        else:
-            hit = ex[0].notna() & ~matched
-            if hit.any():
-                subj[hit] = ex.loc[hit, 0]
-                obj[hit] = ex.loc[hit, 1]
-        pred[hit.to_numpy()] = name
-        matched |= hit.to_numpy()
-
-    out = s.loc[matched, ["episode_uuid", "group_id", "sent_idx", "valid_at"]].copy()
-    out = out.rename(columns={"valid_at": "warc_ts"})
-    out["subj_name"] = (
-        subj[matched].str.replace(r"^(?:Professor |Dr\. )", "", regex=True)
-    )
-    out["pred"] = pred[matched]
-    out["obj_name"] = (
-        obj[matched].str.replace(r"^(?:Professor |Dr\. )", "", regex=True)
-    )
-    out["fact"] = sent[matched]
-    ev = explicit_valid[matched]
-    out["valid_at"] = ev.where(ev.notna(), out["warc_ts"])
-    out["invalid_at"] = pd.Series(pd.NaT, index=out.index, dtype="datetime64[us]")
-    return out[
-        [
-            "episode_uuid", "group_id", "sent_idx", "subj_name", "pred",
-            "obj_name", "fact", "valid_at", "invalid_at", "warc_ts",
-        ]
-    ].reset_index(drop=True)
-
-
-def extract_mentions_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Capitalized-span mention detector (X1) + role-vote typing (X2).
-
-    Spans come from str.findall over the batch; labels are voted from the
-    predicate roles of the triples the mention participates in (unanimous
-    on template corpora; plurality with label-name tie-break otherwise).
-    """
-    trip = extract_triples_pdf(pdf)
-    s = _explode_sentences(pdf)
-    spans = s.assign(span=s["sentence"].str.findall(SPAN_RE)).explode("span")
-    spans = spans[spans["span"].notna()]
-    spans["name"] = spans["span"].map(strip_honorific)
-    spans = spans[~spans["name"].isin(STOP_SPANS)]
-
-    if len(trip):
-        roles = pd.concat(
-            [
-                trip.assign(
-                    name=trip["subj_name"],
-                    label=trip["pred"].map(lambda p: PRED_ROLES[p][0]),
-                )[["episode_uuid", "name", "label"]],
-                trip.assign(
-                    name=trip["obj_name"],
-                    label=trip["pred"].map(lambda p: PRED_ROLES[p][1]),
-                )[["episode_uuid", "name", "label"]],
-            ]
-        )
-        votes = (
-            roles.groupby(["name", "label"]).size().rename("n").reset_index()
-            .sort_values(["name", "n", "label"], ascending=[True, False, True])
-            .drop_duplicates("name")[["name", "label"]]
-        )
-    else:
-        votes = pd.DataFrame({"name": pd.Series(dtype=object), "label": pd.Series(dtype=object)})
-
-    from ..functions.text import normalize_entity_name
-
-    out = spans[["episode_uuid", "group_id", "name", "valid_at"]].drop_duplicates(
-        ["episode_uuid", "name"]
-    )
-    out = out.merge(votes, on="name", how="left")
-    out["label"] = out["label"].fillna("Entity")
-    out["norm_name"] = out["name"].map(normalize_entity_name)
-    return out[
-        ["episode_uuid", "group_id", "name", "norm_name", "label", "valid_at"]
-    ].reset_index(drop=True)
-
-
-UNION_SCHEMA = (
-    "kind string, episode_uuid string, group_id string, sent_idx int,"
-    " subj_name string, pred string, obj_name string, fact string,"
-    " valid_at timestamp, invalid_at timestamp, warc_ts timestamp,"
-    " name string, norm_name string"
-)
-
-
-def extract_all_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Single-process pandas twin of the JVM extraction (the pytest parity
-    oracle): kind='t' triple rows (X3/X4) and kind='m' mention rows (X1)."""
-    trip = extract_triples_pdf(pdf)
-    ment = extract_spans_pdf(pdf)
-    trip = trip.assign(kind="t", name=None, norm_name=None)
-    ment = ment.assign(
-        kind="m", sent_idx=np.int32(0), subj_name=None, pred=None, obj_name=None,
-        fact=None, invalid_at=pd.NaT, warc_ts=pd.NaT,
-    )
-    cols = [
-        "kind", "episode_uuid", "group_id", "sent_idx", "subj_name", "pred",
-        "obj_name", "fact", "valid_at", "invalid_at", "warc_ts", "name",
-        "norm_name",
-    ]
-    return pd.concat([trip[cols], ment[cols]], ignore_index=True)
-
-
-# --- JVM-native extraction (the production hot path) -----------------------
-# Every regex below runs inside whole-stage codegen: sentence split,
-# pattern dispatch, group extraction, span scan and name normalization are
-# Spark SQL expressions — no Python workers, no Arrow transfer. The pandas
-# twins above remain as the single-process parity oracle
-# (tests/test_extraction_golden.py pins JVM == golden truth).
 
 def _sql_lit(pat: str) -> str:
     """Python regex -> Spark SQL string literal (backslashes doubled)."""
@@ -243,13 +62,17 @@ SENT_SPLIT_SQL = _sql_lit(SENT_SPLIT)
 NAME_SQL = _sql_lit(NAME)
 _HONORIFIC_SQL = _sql_lit(r"^(?:Professor |Dr\. )")
 
-# (pattern, pred, subj_group, obj_group, valid_expr_template) in the same
-# priority order as _PATTERNS (negated form before its positive twin)
-_JVM_PATTERNS: list[tuple[str, str, int, int, str | None]] = [
+# Text-episode pattern bank: (sql_pattern, pred, subj_group, obj_group,
+# valid_expr_template). Priority order matters — the negated form must be
+# tried before its positive substring twin; anchors (^...$) make hedged
+# phrasings like "It is unclear whether X works at Y." non-matches.
+_TEXT_PATTERNS: list[tuple[str, str, int, int, str | None]] = [
     (_sql_lit(rf"^{NAME_G} no longer works at {NAME_G}\.$"), "NO_LONGER_WORKS_AT", 1, 2, None),
     (_sql_lit(rf"^{NAME_G} works at {NAME_G}\.$"), "WORKS_AT", 1, 2, None),
+    (_sql_lit(rf"^{NAME_G} is employed at {NAME_G}\.$"), "WORKS_AT", 1, 2, None),
     (_sql_lit(rf"^{NAME_G} likes {NAME_G}\.$"), "LIKES", 1, 2, None),
     (_sql_lit(rf"^{NAME_G} dislikes {NAME_G}\.$"), "DISLIKES", 1, 2, None),
+    (_sql_lit(rf"^{NAME_G} admires {NAME_G}\.$"), "ADMIRES", 1, 2, None),
     (_sql_lit(rf"^{NAME_G} is based in {NAME_G}\.$"), "BASED_IN", 1, 2, None),
     (_sql_lit(rf"^{NAME_G} moved to {NAME_G}\.$"), "MOVED_TO", 1, 2, None),
     (
@@ -264,6 +87,14 @@ _JVM_PATTERNS: list[tuple[str, str, int, int, str | None]] = [
     ),
 ]
 
+# Message-episode patterns (speaker-first rule: the subject is the name
+# before the colon — prompts/extract_nodes.py:143-164).
+_MSG_PATTERNS: list[tuple[str, str, int, int, str | None]] = [
+    (_sql_lit(rf"^{NAME_G}: relocation to {NAME_G} is complete\.$"), "MOVED_TO", 1, 2, None),
+]
+
+_JSON_SCHEMA = "entity string, relation string, target string, as_of string"
+
 # normalize_entity_name (functions/text.py) as one SQL expression chain:
 # lowercase -> strip one honorific prefix -> strip trailing corporate
 # suffix tokens (never emptying a single-token name)
@@ -275,40 +106,51 @@ _NORM_SQL = (
 
 
 def _sentences(episodes: DataFrame) -> DataFrame:
-    """(episode_uuid, group_id, valid_at, sent_idx, sentence) — the
-    filter() inside the array keeps sent_idx equal to the pandas
-    cumcount-over-nonempty semantics without a window shuffle."""
-    return episodes.select(
+    """(episode_uuid, group_id, valid_at, source, sent_idx, sentence) for
+    non-json episodes — the filter() inside the array keeps sent_idx equal
+    to cumcount-over-nonempty semantics without a window shuffle."""
+    return episodes.where(F.col("source") != "json").select(
         F.col("uuid").alias("episode_uuid"),
         "group_id",
         "valid_at",
+        "source",
         F.posexplode(
             F.expr(f"filter(split(content, '{SENT_SPLIT_SQL}'), s -> s != '')")
         ).alias("sent_idx", "sentence"),
     )
 
 
-def _case(branches: list[tuple[str, str]]) -> str:
+def _case(branches: list[tuple[str, str, str]]) -> str:
     return (
         "CASE "
-        + " ".join(f"WHEN sentence RLIKE '{p}' THEN {v}" for p, v in branches)
+        + " ".join(
+            f"WHEN source = '{src}' AND sentence RLIKE '{p}' THEN {v}"
+            for src, p, v in branches
+        )
         + " END"
     )
 
 
+def _all_patterns() -> list[tuple[str, tuple]]:
+    return [("text", pat) for pat in _TEXT_PATTERNS] + [
+        ("message", pat) for pat in _MSG_PATTERNS
+    ]
+
+
 def extract_triples_jvm(sents: DataFrame) -> DataFrame:
     strip = lambda e: f"regexp_replace({e}, '{_HONORIFIC_SQL}', '')"  # noqa: E731
-    pred = _case([(p, f"'{name}'") for p, name, *_ in _JVM_PATTERNS])
+    pats = _all_patterns()
+    pred = _case([(s, p, f"'{name}'") for s, (p, name, *_) in pats])
     subj = _case(
-        [(p, strip(f"regexp_extract(sentence, '{p}', {sg})"))
-         for p, _, sg, _, _ in _JVM_PATTERNS]
+        [(s, p, strip(f"regexp_extract(sentence, '{p}', {sg})"))
+         for s, (p, _, sg, _, _) in pats]
     )
     obj = _case(
-        [(p, strip(f"regexp_extract(sentence, '{p}', {og})"))
-         for p, _, _, og, _ in _JVM_PATTERNS]
+        [(s, p, strip(f"regexp_extract(sentence, '{p}', {og})"))
+         for s, (p, _, _, og, _) in pats]
     )
     explicit = _case(
-        [(p, v.format(p=p)) for p, _, _, _, v in _JVM_PATTERNS if v is not None]
+        [(s, p, v.format(p=p)) for s, (p, _, _, _, v) in pats if v is not None]
     )
     return (
         sents.withColumn("pred", F.expr(pred))
@@ -346,20 +188,68 @@ def extract_spans_jvm(sents: DataFrame) -> DataFrame:
     )
 
 
-def extract_all(episodes: DataFrame) -> DataFrame:
-    """Extraction stage, all-JVM. Downstream: filter kind='t' for triples,
-    kind='m' for mentions. Persist/materialize this output — it is the
-    skinny fan-out point of the whole pipeline (no page/episode content
-    strings)."""
-    sents = _sentences(episodes)
-    trip = extract_triples_jvm(sents).select(
+def extract_json_jvm(episodes: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """json-episode extraction (F13): from_json with the structured-content
+    schema; the relation value passes through as the predicate, `as_of`
+    gives explicit temporal validity, and the entity/target fields are the
+    mentions (the free-text span scan is NOT applied to json bodies —
+    prompts/extract_nodes.py:93-116 extracts from parsed values)."""
+    j = (
+        episodes.where(F.col("source") == "json")
+        .select(
+            F.col("uuid").alias("episode_uuid"),
+            "group_id",
+            "content",
+            "valid_at",
+            F.from_json("content", _JSON_SCHEMA).alias("j"),
+        )
+        .where(F.col("j.entity").isNotNull() & F.col("j.target").isNotNull())
+    )
+    triples = j.select(
+        "episode_uuid",
+        "group_id",
+        F.lit(0).alias("sent_idx"),
+        F.col("j.entity").alias("subj_name"),
+        F.col("j.relation").alias("pred"),
+        F.col("j.target").alias("obj_name"),
+        F.col("content").alias("fact"),
+        F.coalesce(
+            F.to_timestamp("j.as_of", "yyyy-MM-dd"), F.col("valid_at")
+        ).alias("valid_at"),
+        F.lit(None).cast("timestamp").alias("invalid_at"),
+        F.col("valid_at").alias("warc_ts"),
+    )
+    mentions = (
+        j.select(
+            "episode_uuid",
+            "group_id",
+            "valid_at",
+            F.explode(F.array("j.entity", "j.target")).alias("name"),
+        )
+        .dropDuplicates(["episode_uuid", "name"])
+        .withColumn("norm_name", F.expr(_NORM_SQL))
+        .select("episode_uuid", "group_id", "name", "norm_name", "valid_at")
+    )
+    return triples, mentions
+
+
+UNION_SCHEMA = (
+    "kind string, episode_uuid string, group_id string, sent_idx int,"
+    " subj_name string, pred string, obj_name string, fact string,"
+    " valid_at timestamp, invalid_at timestamp, warc_ts timestamp,"
+    " name string, norm_name string"
+)
+
+
+def _as_union(trip: DataFrame, ment: DataFrame) -> DataFrame:
+    t = trip.select(
         F.lit("t").alias("kind"), "episode_uuid", "group_id", "sent_idx",
         "subj_name", "pred", "obj_name", "fact", "valid_at", "invalid_at",
         "warc_ts",
         F.lit(None).cast("string").alias("name"),
         F.lit(None).cast("string").alias("norm_name"),
     )
-    ment = extract_spans_jvm(sents).select(
+    m = ment.select(
         F.lit("m").alias("kind"), "episode_uuid", "group_id",
         F.lit(0).alias("sent_idx"),
         F.lit(None).cast("string").alias("subj_name"),
@@ -371,7 +261,124 @@ def extract_all(episodes: DataFrame) -> DataFrame:
         F.lit(None).cast("timestamp").alias("warc_ts"),
         "name", "norm_name",
     )
-    return trip.unionByName(ment)
+    return t.unionByName(m)
+
+
+def _result_struct(kind: str, sent_idx: str, subj: str, pred: str, obj: str,
+                   fact: str, valid: str, name: str, norm: str) -> str:
+    return (
+        f"named_struct('kind', {kind}, 'sent_idx', {sent_idx},"
+        f" 'subj_name', {subj}, 'pred', {pred}, 'obj_name', {obj},"
+        f" 'fact', {fact}, 'valid_at', {valid}, 'name', {name},"
+        f" 'norm_name', {norm})"
+    )
+
+
+def _fused_results_expr() -> str:
+    """One array<struct> of extraction results per episode row — triples
+    AND deduped mention spans — so the whole extraction is a single
+    whole-stage-codegen projection: one episode scan, no per-extractor
+    re-reads, and the per-episode mention dedup happens in-array
+    (array_distinct) instead of a dropDuplicates shuffle."""
+    strip = lambda e: f"regexp_replace({e}, '{_HONORIFIC_SQL}', '')"  # noqa: E731
+
+    def trip_branch(src: str, pat: tuple) -> str:
+        p, name, sg, og, v = pat
+        valid = v.format(p=p).replace("sentence", "s") if v else "CAST(NULL AS TIMESTAMP)"
+        st = _result_struct(
+            "'t'", "CAST(i AS INT)",
+            strip(f"regexp_extract(s, '{p}', {sg})"), f"'{name}'",
+            strip(f"regexp_extract(s, '{p}', {og})"), "s",
+            valid, "CAST(NULL AS STRING)", "CAST(NULL AS STRING)",
+        )
+        return f"WHEN source = '{src}' AND s RLIKE '{p}' THEN array({st})"
+
+    trip_case = (
+        "CASE "
+        + " ".join(trip_branch(src, pat) for src, pat in _all_patterns())
+        + " ELSE array() END"
+    )
+    norm_of = (
+        "coalesce(nullif(regexp_replace(regexp_replace(lower(nm),"
+        " '^(professor |dr\\\\. |dr |mr\\\\. |ms\\\\. |mrs\\\\. )', ''),"
+        " '( (inc|llc|ltd))+$', ''), ''), lower(nm))"
+    )
+    stop_list = ", ".join(f"'{w}'" for w in sorted(STOP_SPANS))
+    span_struct = _result_struct(
+        "'m'", "0", "CAST(NULL AS STRING)", "CAST(NULL AS STRING)",
+        "CAST(NULL AS STRING)", "CAST(NULL AS STRING)",
+        "CAST(NULL AS TIMESTAMP)", "nm", norm_of,
+    )
+    json_trip = _result_struct(
+        "'t'", "0", "_j.entity", "_j.relation", "_j.target", "content",
+        "to_timestamp(_j.as_of, 'yyyy-MM-dd')",
+        "CAST(NULL AS STRING)", "CAST(NULL AS STRING)",
+    )
+    json_ment = _result_struct(
+        "'m'", "0", "CAST(NULL AS STRING)", "CAST(NULL AS STRING)",
+        "CAST(NULL AS STRING)", "CAST(NULL AS STRING)",
+        "CAST(NULL AS TIMESTAMP)", "nm", norm_of,
+    )
+    return f"""
+CASE WHEN source = 'json' THEN
+  CASE WHEN _j.entity IS NOT NULL AND _j.target IS NOT NULL THEN
+     concat(array({json_trip}),
+            transform(array_distinct(array(_j.entity, _j.target)), nm -> {json_ment}))
+  ELSE array() END
+ELSE
+  concat(
+    flatten(transform(_sents, (s, i) -> {trip_case})),
+    transform(
+      filter(
+        array_distinct(transform(
+          flatten(transform(_sents, s -> regexp_extract_all(s, '{NAME_SQL}', 0))),
+          sp -> {strip('sp')})),
+        nm -> NOT nm IN ({stop_list})),
+      nm -> {span_struct}))
+END"""
+
+
+def extract_all(episodes: DataFrame) -> DataFrame:
+    """Extraction stage, all-JVM, dispatched by episode source
+    (text/message sentences through the pattern banks; json through
+    from_json). The whole stage is ONE projection over one episode scan:
+    per-episode results (triples + deduped mention spans) are built as an
+    array inside whole-stage codegen, then exploded. Downstream: filter
+    kind='t' for triples, kind='m' for mentions. Persist/materialize this
+    output — it is the skinny fan-out point of the whole pipeline (no
+    page/episode content strings)."""
+    exploded = (
+        episodes.select(
+            F.col("uuid").alias("episode_uuid"),
+            "group_id",
+            "valid_at",
+            "source",
+            "content",
+        )
+        .withColumn(
+            "_sents",
+            F.expr(f"filter(split(content, '{SENT_SPLIT_SQL}'), s -> s != '')"),
+        )
+        .withColumn("_j", F.from_json("content", _JSON_SCHEMA))
+        .withColumn("_res", F.explode(F.expr(_fused_results_expr())))
+    )
+    return exploded.select(
+        F.col("_res.kind").alias("kind"),
+        "episode_uuid",
+        "group_id",
+        F.col("_res.sent_idx").alias("sent_idx"),
+        F.col("_res.subj_name").alias("subj_name"),
+        F.col("_res.pred").alias("pred"),
+        F.col("_res.obj_name").alias("obj_name"),
+        F.col("_res.fact").alias("fact"),
+        F.when(F.col("_res.kind") == "t",
+               F.coalesce(F.col("_res.valid_at"), F.col("valid_at")))
+        .otherwise(F.col("valid_at")).alias("valid_at"),
+        F.lit(None).cast("timestamp").alias("invalid_at"),
+        F.when(F.col("_res.kind") == "t", F.col("valid_at")).alias("warc_ts"),
+        F.col("_res.name").alias("name"),
+        F.col("_res.norm_name").alias("norm_name"),
+    )
 
 
 def split_extracted(all_df: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -386,27 +393,9 @@ def split_extracted(all_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return triples, spans
 
 
-def extract_spans_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Capitalized-span detection only (the cheap half of X1): one
-    str.findall pass per batch, honorific-stripped, stop-span filtered."""
-    from ..functions.text import normalize_entity_name
-
-    s = _explode_sentences(pdf)
-    spans = s.assign(span=s["sentence"].str.findall(SPAN_RE)).explode("span")
-    spans = spans[spans["span"].notna()]
-    spans["name"] = spans["span"].map(strip_honorific)
-    spans = spans[~spans["name"].isin(STOP_SPANS)]
-    out = spans[["episode_uuid", "group_id", "name", "valid_at"]].drop_duplicates(
-        ["episode_uuid", "name"]
-    )
-    out["norm_name"] = out["name"].map(normalize_entity_name)
-    return out[
-        ["episode_uuid", "group_id", "name", "norm_name", "valid_at"]
-    ].reset_index(drop=True)
-
-
 def extract_triples(episodes: DataFrame) -> DataFrame:
-    return extract_triples_jvm(_sentences(episodes))
+    jt, _ = extract_json_jvm(episodes)
+    return extract_triples_jvm(_sentences(episodes)).unionByName(jt)
 
 
 def _role_case(which: int) -> str:
@@ -421,12 +410,18 @@ def mention_labels(triples: DataFrame) -> DataFrame:
     participates in (X2 typing): plurality with label-name tie-break —
     deterministic regardless of batch/partition layout (unlike a per-batch
     vote)."""
-    from pyspark.sql import Window
-
-    roles = triples.selectExpr(
-        "group_id", "subj_name AS name", f"{_role_case(0)} AS label"
-    ).unionAll(
-        triples.selectExpr("group_id", "obj_name AS name", f"{_role_case(1)} AS label")
+    roles = (
+        triples.selectExpr(
+            "group_id", "subj_name AS name", f"{_role_case(0)} AS label"
+        )
+        .unionAll(
+            triples.selectExpr(
+                "group_id", "obj_name AS name", f"{_role_case(1)} AS label"
+            )
+        )
+        # predicates outside the role ontology (e.g. pass-through json
+        # relations) contribute no vote
+        .where(F.col("label").isNotNull())
     )
     w = Window.partitionBy("group_id", "name").orderBy(
         F.desc("n"), F.asc("label")
@@ -453,7 +448,9 @@ def attach_labels(spans: DataFrame, triples: DataFrame) -> DataFrame:
 
 
 def extract_mentions(episodes: DataFrame, triples: DataFrame) -> DataFrame:
-    """Spans (JVM regexp_extract_all pass) + labels voted from the
-    already-extracted triples — avoids re-running the 8-pattern triple
-    extraction inside the mention pass."""
-    return attach_labels(extract_spans_jvm(_sentences(episodes)), triples)
+    """Spans (JVM regexp_extract_all pass + json fields) + labels voted
+    from the already-extracted triples — avoids re-running the pattern
+    bank inside the mention pass."""
+    _, jm = extract_json_jvm(episodes)
+    spans = extract_spans_jvm(_sentences(episodes)).unionByName(jm)
+    return attach_labels(spans, triples)

@@ -25,7 +25,7 @@ from datetime import datetime
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..corpus import CONTRA_CLASS
+from ..contradictions import CONTRA_CLASS
 
 # deterministic "now" for expired_at stamps: derived from data, not wall
 # clock, so reruns are idempotent (reference uses utc_now() at

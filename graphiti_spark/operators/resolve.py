@@ -35,8 +35,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 # --- MinHash parameters (deterministic hash family) -----------------------
+# 16 bands x 2 rows: candidate recall at the verification threshold is
+# effectively 1 (P(miss) = (1 - J^2)^16 ~ 2e-6 at J=0.75) — required
+# because the driver's oracle gate treats fuzzy resolution as exact truth.
+# The wider banding admits more low-J candidates than 8x4 would; the
+# Jaccard verification step is the precision guard (and the corpus's
+# cross-entity ceiling is J=0.2, far under threshold).
 N_HASHES = 32
-LSH_BANDS = 8          # 8 bands x 4 rows
+LSH_BANDS = 16
 LSH_ROWS = N_HASHES // LSH_BANDS
 _MERSENNE = (1 << 61) - 1
 _RNG = np.random.RandomState(42)
@@ -104,7 +110,7 @@ def match_edges_exact(entities: DataFrame) -> DataFrame:
 
 
 def match_edges_lsh(
-    entities: DataFrame, threshold: float = 0.82, n_salt: int = 1
+    entities: DataFrame, threshold: float = 0.6, n_salt: int = 1
 ) -> DataFrame:
     """Fuzzy match edges: MinHash-LSH banding over normalized names, then
     exact Jaccard verification per candidate pair (applyInPandas)."""
@@ -187,6 +193,49 @@ def match_edges_lsh(
     return pairs.mapInPandas(verify, schema=out_schema)
 
 
+def _local_components(edges: DataFrame) -> DataFrame:
+    """Driver-side union-find over a SMALL match-edge list. The alias
+    graph is orders of magnitude smaller than the corpus (only colliding
+    distinct names appear), so below the threshold the iterative
+    distributed fixpoint — whose cost is per-round scheduling latency, not
+    data — is replaced by one collect + union-find + broadcast-back, the
+    same small-graph cutover GraphX-style CC implementations use. Returns
+    (id, component=min member id) for ids touched by any edge; untouched
+    vertices keep themselves via the caller's coalesce."""
+    pairs = edges.select("src", "dst").collect()
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        a, b = find(r["src"]), find(r["dst"])
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    roots: dict[str, str] = {}
+    comp: dict[str, str] = {}
+    for x in set(parent) | {r["src"] for r in pairs} | {r["dst"] for r in pairs}:
+        root = find(x)
+        comp[x] = min(roots.get(root, x), x)
+        roots[root] = comp[x]
+    rows = [(x, roots[find(x)]) for x in comp]
+    spark = edges.sparkSession
+    if not rows:
+        from pyspark.sql import types as T
+
+        return spark.createDataFrame(
+            [], T.StructType([T.StructField("id", T.StringType()),
+                              T.StructField("component", T.StringType())])
+        )
+    return spark.createDataFrame(rows, ["id", "component"])
+
+
+LOCAL_CC_THRESHOLD = 1_000_000
+
+
 def connected_components(
     edges: DataFrame, vertices: DataFrame, max_iter: int = 25
 ) -> DataFrame:
@@ -194,6 +243,18 @@ def connected_components(
     undirected. Returns (id, component). Iterations are bounded by graph
     diameter; alias-resolution graphs are star-shaped so this converges in
     1-2 rounds; checkpointing via localCheckpoint truncates lineage."""
+    # adaptive small-graph cutover: the match-edge list is tiny relative
+    # to the corpus (distinct colliding names only) — count it, and solve
+    # locally when it fits; the distributed fixpoint below is the
+    # arbitrarily-large-graph path
+    edges = edges.persist()
+    if edges.count() <= LOCAL_CC_THRESHOLD:
+        local = _local_components(edges)
+        edges.unpersist()
+        return vertices.join(local, "id", "left").select(
+            "id", F.coalesce("component", "id").alias("component")
+        )
+
     labels = vertices.select(F.col("id"), F.col("id").alias("component"))
     bidir = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -228,7 +289,7 @@ def connected_components(
 
 
 def resolve_entities(
-    mentions: DataFrame, use_lsh: bool = False, lsh_threshold: float = 0.82
+    mentions: DataFrame, use_lsh: bool = True, lsh_threshold: float = 0.6
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (nodes, uuid_map).
 

@@ -61,7 +61,7 @@ def _materialize(df: DataFrame, root: str, name: str) -> DataFrame:
 def build_graph(
     spark: SparkSession,
     sf_dir: str,
-    use_lsh: bool = False,
+    use_lsh: bool = True,
     pages: DataFrame | None = None,
     replicate: int = 1,
     materialize_dir: str | None = None,

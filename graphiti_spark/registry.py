@@ -195,26 +195,83 @@ def q_kg_nodes_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_alias_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5/X7 under the oracle gate: the fuzzy-resolution outcome itself —
+    every canonical entity with its resolved alias surface forms (typos
+    via MinHash-LSH + Jaccard + connected components; honorifics and
+    corporate suffixes via exact-norm blocking). The oracle knows the
+    alias clusters generatively, so this row set IS the resolution truth."""
+    t = _graph(spark, sf_dir)
+    canon_names = t.nodes.select(
+        F.col("uuid").alias("canon_uuid"), F.col("name").alias("name")
+    )
+    return (
+        t.uuid_map.groupBy("group_id", "canon_uuid")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("name")), ",").alias("aliases"),
+            F.countDistinct("name").cast("long").alias("n_aliases"),
+        )
+        .join(F.broadcast(canon_names), "canon_uuid")
+        .where(F.col("n_aliases") > 1)
+        .select("group_id", "name", "n_aliases", "aliases")
+    )
+
+
+def _sql_kg_alias_resolution() -> str:
+    body = """
+SELECT e.group_id, c.canon_name AS name,
+       count(DISTINCT e.name) AS n_aliases,
+       string_agg(DISTINCT e.name, ',' ORDER BY e.name) AS aliases
+FROM ents e
+JOIN canon c ON c.group_id = e.group_id AND c.base = e.base
+GROUP BY 1, 2
+HAVING count(DISTINCT e.name) > 1"""
+    return _kg_sql(body)
+
+
+_NEAR_DUP_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text || ' appended near duplicate marker' AS text
+FROM documents WHERE doc_id < 50"""
+
+
 def q_doc_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs, Jaccard-verified (rows-only check —
-    crc32 hash family is not DuckDB-expressible; recall/precision vs exact
-    Jaccard pinned in tests/test_dedup.py)."""
+    """MinHash+LSH near-dup pairs, exact-Jaccard-verified. The md5-derived
+    hash family is bit-reproducible in DuckDB, so banding, bucket caps and
+    verification all sit under the exact-match oracle gate."""
     from .operators.dedup import minhash_dedup_pairs
 
     return minhash_dedup_pairs(_docs_with_near_dups(spark, sf_dir), threshold=0.5)
 
 
+def _sql_doc_minhash_dedup() -> str:
+    from .operators.dedup import sql_minhash_pairs
+
+    return sql_minhash_pairs(_NEAR_DUP_SQL, threshold=0.5)
+
+
 def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via 16-bit chunk blocking + Hamming verify
-    (rows-only check)."""
+    """SimHash near-dup pairs via 16-bit chunk blocking (pigeonhole) +
+    full Hamming verify — oracle-gated like the MinHash path."""
     from .operators.dedup import simhash_near_pairs
 
     return simhash_near_pairs(_docs_with_near_dups(spark, sf_dir), max_hamming=6)
 
 
+def _sql_doc_simhash_pairs() -> str:
+    from .operators.dedup import sql_simhash_pairs
+
+    return sql_simhash_pairs(_NEAR_DUP_SQL, max_hamming=6)
+
+
 def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X16: label-propagation communities over the canonical entity graph
-    (rows-only: iterative fixpoint, not single-query SQL)."""
+    """X16: label-propagation communities over the canonical entity graph.
+    Oracle-gated: the engine iterates sync LPA (plurality label, larger-id
+    tie-break, monotone max update) to its fixpoint; the DuckDB oracle
+    unrolls the same recurrence for LPA_ORACLE_ROUNDS rounds — the update
+    is idempotent once converged, so any round count >= the measured
+    convergence (9 at sf0.001/sf0.01) yields the identical fixpoint."""
     from .operators.communities import build_communities
 
     t = _graph(spark, sf_dir)
@@ -224,7 +281,68 @@ def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LPA_ORACLE_ROUNDS = 12
+
+
+def _sql_kg_communities() -> str:
+    rounds = []
+    for r in range(1, LPA_ORACLE_ROUNDS + 1):
+        prev = f"l{r - 1}"
+        rounds.append(f"""
+c{r} AS (
+  SELECT group_id, uuid, nbr_comm AS candidate FROM (
+    SELECT p.group_id, p.uuid, l.community AS nbr_comm,
+           row_number() OVER (PARTITION BY p.group_id, p.uuid
+                              ORDER BY sum(p.edge_count) DESC, l.community DESC) AS rn
+    FROM proj p JOIN {prev} l ON l.group_id = p.group_id AND l.uuid = p.nbr
+    GROUP BY p.group_id, p.uuid, l.community
+  ) WHERE rn = 1
+),
+l{r} AS MATERIALIZED (
+  SELECT l.group_id, l.uuid,
+         greatest(coalesce(c.candidate, -1), l.community) AS community
+  FROM {prev} l LEFT JOIN c{r} c ON c.group_id = l.group_id AND c.uuid = l.uuid
+)""")
+    body = f"""
+, canonu AS (
+  SELECT e.group_id, c.canon_name,
+         min(md5('node|' || e.group_id || '|' || e.name)) AS uuid
+  FROM ents e JOIN canon c ON c.group_id = e.group_id AND c.base = e.base
+  GROUP BY 1, 2
+),
+ce AS (
+  SELECT DISTINCT e.group_id, su.uuid AS src, ou.uuid AS dst, e.pred
+  FROM eds e
+  JOIN canonu su ON su.group_id = e.group_id AND su.canon_name = e.subj
+  JOIN canonu ou ON ou.group_id = e.group_id AND ou.canon_name = e.obj
+),
+proj AS MATERIALIZED (
+  SELECT group_id, uuid, nbr, count(*) AS edge_count
+  FROM (SELECT group_id, src AS uuid, dst AS nbr FROM ce
+        UNION ALL SELECT group_id, dst, src FROM ce)
+  WHERE uuid <> nbr GROUP BY 1, 2, 3
+),
+l0 AS MATERIALIZED (
+  SELECT group_id, uuid,
+         row_number() OVER (PARTITION BY group_id ORDER BY uuid) - 1 AS community
+  FROM (SELECT DISTINCT group_id, uuid FROM canonu)
+),{",".join(rounds)},
+agg AS (
+  SELECT l.group_id, l.community, min(l.uuid) AS anchor_uuid,
+         min(n.canon_name) AS anchor_name, count(*) AS n_members
+  FROM l{LPA_ORACLE_ROUNDS} l
+  JOIN canonu n ON n.group_id = l.group_id AND n.uuid = l.uuid
+  GROUP BY 1, 2
+)
+SELECT md5('community|' || group_id || '|' || anchor_uuid) AS uuid,
+       anchor_name || ' community of ' || n_members AS name,
+       group_id, n_members
+FROM agg"""
+    return _kg_sql(body, with_eds=True)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_alias_resolution": q_kg_alias_resolution,
     "kg_nodes_page": q_kg_nodes_page,
     "doc_minhash_dedup": q_doc_minhash_dedup,
     "doc_simhash_pairs": q_doc_simhash_pairs,
@@ -248,24 +366,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # DuckDB oracle SQL.
 # ---------------------------------------------------------------------------
 
+# Canonicalization oracle: the engine clusters alias display forms via
+# exact-norm blocking + MinHash-LSH + connected components; the oracle
+# knows the clusters GENERATIVELY (every display form carries its base
+# key in mentions_g), so the gate checks that fuzzy resolution recovers
+# exactly the generative truth — typos ("Alice Johnsonn"), honorifics and
+# corporate suffixes all collapse onto the base entity.
 _CANON_CTES = """
 ents AS (
-  SELECT DISTINCT group_id, subj AS name FROM triples_g
-  UNION
-  SELECT DISTINCT group_id, obj FROM triples_g
+  SELECT DISTINCT group_id, name, base FROM mentions_g
 ),
-norm AS (
-  SELECT group_id, name, regexp_replace(lower(name), ' inc$', '') AS norm_name
-  FROM ents
-),
-canon AS (
-  SELECT group_id, norm_name,
+canon AS MATERIALIZED (
+  SELECT group_id, base,
          substr(min(lpad(CAST(length(name) AS VARCHAR), 4, '0') || name), 5) AS canon_name
-  FROM norm GROUP BY 1, 2
-),
-cmap AS (
-  SELECT n.group_id, n.name, c.canon_name
-  FROM norm n JOIN canon c ON c.group_id = n.group_id AND c.norm_name = n.norm_name
+  FROM ents GROUP BY 1, 2
 )"""
 
 _EDS_CTES = (
@@ -275,12 +389,12 @@ raw AS (
   SELECT t.group_id, cs.canon_name AS subj, t.pred, co.canon_name AS obj, t.fact,
          t.valid_at,
          md5(t.url || '|' || t.para_idx) AS episode_uuid,
-         md5('edge|' || md5(t.url || '|' || t.para_idx) || '|' || (t.k % 2)) AS raw_uuid
+         md5('edge|' || md5(t.url || '|' || t.para_idx) || '|' || t.sent_idx) AS raw_uuid
   FROM triples_g t
-  JOIN cmap cs ON cs.group_id = t.group_id AND cs.name = t.subj
-  JOIN cmap co ON co.group_id = t.group_id AND co.name = t.obj
+  JOIN canon cs ON cs.group_id = t.group_id AND cs.base = t.subj_base
+  JOIN canon co ON co.group_id = t.group_id AND co.base = t.obj_base
 ),
-eds AS (
+eds AS MATERIALIZED (
   SELECT group_id, subj, pred, obj,
          arg_min(fact, strftime(valid_at, '%Y-%m-%d %H:%M:%S.%f') || raw_uuid) AS fact,
          min(valid_at) AS valid_at,
@@ -306,7 +420,13 @@ inv AS (
 
 
 def _kg_sql(body: str, with_eds: bool = False) -> str:
-    ctes = corpus.sql_pages_cte() + "," + corpus.sql_triples_cte()
+    ctes = (
+        corpus.sql_pages_cte()
+        + ","
+        + corpus.sql_triples_cte()
+        + ","
+        + corpus.sql_mentions_cte()
+    )
     ctes += "," + (_EDS_CTES if with_eds else _CANON_CTES)
     return "WITH " + ctes.lstrip() + "\n" + body
 
@@ -350,6 +470,11 @@ FROM chunks WHERE length(content) > 0"""
 
 
 def _sql_kg_nodes() -> str:
+    # per-display label = role vote from the triples the display name
+    # participates in (each display carries exactly one role in this
+    # corpus, so min == plurality); mention-only displays (distractor
+    # participants) fall back to 'Entity' — then labels aggregate over
+    # the alias cluster exactly like the engine's collect_set
     body = """
 , labs AS (
   SELECT group_id, subj AS name,
@@ -358,32 +483,26 @@ def _sql_kg_nodes() -> str:
   UNION ALL
   SELECT group_id, obj,
          CASE WHEN pred IN ('WORKS_AT','NO_LONGER_WORKS_AT','LEADS') THEN 'Organization'
-              WHEN pred IN ('LIKES','DISLIKES') THEN 'Person' ELSE 'Place' END
+              WHEN pred IN ('LIKES','DISLIKES','ADMIRES') THEN 'Person' ELSE 'Place' END
   FROM triples_g
 ),
 alias_label AS (SELECT group_id, name, min(label) AS label FROM labs GROUP BY 1, 2)
-SELECT n.group_id, c.canon_name AS name,
-       string_agg(DISTINCT al.label, '/' ORDER BY al.label) AS labels_str,
-       count(DISTINCT n.name) AS n_aliases
-FROM norm n
-JOIN canon c ON c.group_id = n.group_id AND c.norm_name = n.norm_name
-JOIN alias_label al ON al.group_id = n.group_id AND al.name = n.name
+SELECT e.group_id, c.canon_name AS name,
+       string_agg(DISTINCT coalesce(al.label, 'Entity'), '/' ORDER BY coalesce(al.label, 'Entity')) AS labels_str,
+       count(DISTINCT e.name) AS n_aliases
+FROM ents e
+JOIN canon c ON c.group_id = e.group_id AND c.base = e.base
+LEFT JOIN alias_label al ON al.group_id = e.group_id AND al.name = e.name
 GROUP BY 1, 2"""
     return _kg_sql(body)
 
 
 def _sql_kg_mentions() -> str:
     body = """
-, parts AS (
-  SELECT DISTINCT group_id, url, para_idx, subj AS name FROM triples_g
-  UNION
-  SELECT DISTINCT group_id, url, para_idx, obj FROM triples_g
-)
-SELECT p.group_id, c.canon_name AS name,
-       count(DISTINCT p.url || '#' || p.para_idx) AS n_mentions
-FROM parts p
-JOIN norm n ON n.group_id = p.group_id AND n.name = p.name
-JOIN canon c ON c.group_id = n.group_id AND c.norm_name = n.norm_name
+SELECT m.group_id, c.canon_name AS name,
+       count(DISTINCT m.url || '#' || m.para_idx) AS n_mentions
+FROM mentions_g m
+JOIN canon c ON c.group_id = m.group_id AND c.base = m.base
 GROUP BY 1, 2"""
     return _kg_sql(body)
 
@@ -507,9 +626,9 @@ SELECT q_id, rank, c_id FROM ranked WHERE rank <= 5"""
 def _sql_kg_nodes_page() -> str:
     body = f"""
 , canonu AS (
-  SELECT n.group_id, c.canon_name AS name,
-         min(md5('node|' || n.group_id || '|' || n.name)) AS uuid
-  FROM norm n JOIN canon c ON c.group_id = n.group_id AND c.norm_name = n.norm_name
+  SELECT e.group_id, c.canon_name AS name,
+         min(md5('node|' || e.group_id || '|' || e.name)) AS uuid
+  FROM ents e JOIN canon c ON c.group_id = e.group_id AND c.base = e.base
   GROUP BY 1, 2
 )
 SELECT group_id, uuid, name FROM canonu
@@ -519,7 +638,11 @@ ORDER BY uuid DESC LIMIT {PAGE_LIMIT}"""
 
 
 ORACLES: dict[str, Callable[[], str]] = {
+    "kg_alias_resolution": _sql_kg_alias_resolution,
     "kg_nodes_page": _sql_kg_nodes_page,
+    "doc_minhash_dedup": _sql_doc_minhash_dedup,
+    "doc_simhash_pairs": _sql_doc_simhash_pairs,
+    "kg_communities": _sql_kg_communities,
     "kg_triples": _sql_kg_triples,
     "kg_contradictions": _sql_kg_contradictions,
     "kg_episodes": _sql_kg_episodes,

@@ -242,7 +242,13 @@ def _kg_eds_sql() -> str:
     from .registry import _EDS_CTES
 
     return (
-        corpus.sql_pages_cte() + "," + corpus.sql_triples_cte() + "," + _EDS_CTES
+        corpus.sql_pages_cte()
+        + ","
+        + corpus.sql_triples_cte()
+        + ","
+        + corpus.sql_mentions_cte()
+        + ","
+        + _EDS_CTES
     )
 
 
@@ -325,47 +331,217 @@ FROM ranked WHERE rank <= 10"""
 
 NAME_QUERIES = ["alice johnson", "acme corp", "helios energy", "paris"]
 
+# Quantized-embedding similarity: the L2-normalized 1024-dim hashing
+# embeddings are quantized to integer milli-units and written to a parquet
+# view that BOTH engines read — the Spark query scores with an exact
+# integer dot product (JVM zip_with/aggregate), the DuckDB oracle with
+# list_inner_product over the same integers (values < 2^30, exact in
+# double). Integer quantization is also the realistic 100-TB pattern
+# (int8/int16-quantized ANN); min_score and ranking live in the exact
+# integer domain so the gate is bit-stable.
+ORACLE_SCRATCH = "/dev/shm/graphiti_spark_oracle"
+SIM_MIN_SCORE_Q = 200_000  # 0.2 cosine at milli-quantization (1e3 * 1e3)
+MMR_K = 5
 
-def q_kg_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5: cosine similarity search over node name embeddings (hashing
-    embedder U1/U2 — not SQL-expressible, driver records the rows-only
-    check; the numpy-oracle equivalence is pinned in tests/test_search.py)."""
+
+def _quantize(vecs) -> list[list[int]]:
+    import numpy as np
+
+    return [[int(x) for x in np.floor(np.asarray(v, dtype=np.float64) * 1000)] for v in vecs]
+
+
+def node_emb_paths(sf_dir: str) -> tuple[str, str]:
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return (
+        f"{ORACLE_SCRATCH}/{tag}/node_embeddings.parquet",
+        f"{ORACLE_SCRATCH}/{tag}/name_queries.parquet",
+    )
+
+
+def _write_node_embeddings(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize quantized node-name embeddings + query vectors as the
+    shared parquet inputs of the similarity/MMR queries and their oracles
+    (the 'embeddings table' of the production design — at scale this is a
+    persisted Iceberg table, not a per-query recompute)."""
     from .functions.embed import embed_texts, with_embedding
 
+    nodes_path, queries_path = node_emb_paths(sf_dir)
     t = _graph(spark, sf_dir)
-    nodes = with_embedding(
+    emb = with_embedding(
         t.nodes.select("uuid", "group_id", "name"), "name", "name_embedding"
-    )
-    qv = embed_texts(NAME_QUERIES)
+    ).withColumn(
+        "emb",
+        F.expr("transform(name_embedding, x -> cast(floor(x * 1000) as bigint))"),
+    ).select("uuid", "group_id", "name", "emb")
+    emb.write.mode("overwrite").parquet(nodes_path)
+    qv = _quantize(embed_texts(NAME_QUERIES))
     qdf = spark.createDataFrame(
-        [(i, [float(x) for x in qv[i]]) for i in range(len(NAME_QUERIES))],
-        "query_id long, qvec array<float>",
+        [(i, qv[i]) for i in range(len(NAME_QUERIES))],
+        "query_id long, qvec array<bigint>",
     )
-    return search.cosine_topk(
-        nodes, qdf, "uuid", "name_embedding", k=5, min_score=0.2
-    ).select("query_id", "rank", "uuid", F.floor(F.col("score") * 1000).alias("score_m"))
+    qdf.coalesce(1).write.mode("overwrite").parquet(queries_path)
+    return nodes_path, queries_path
+
+
+_DOT = "aggregate(zip_with(emb, qvec, (x, y) -> x * y), 0L, (a, x) -> a + x)"
+
+
+def _scored_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes_path, queries_path = _write_node_embeddings(spark, sf_dir)
+    emb = spark.read.parquet(nodes_path)
+    qdf = spark.read.parquet(queries_path)
+    return (
+        emb.crossJoin(F.broadcast(qdf))
+        .withColumn("score_q", F.expr(_DOT))
+        .select("query_id", "uuid", "score_q")
+    )
+
+
+def q_kg_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: similarity search over node name embeddings — exact integer
+    dot product of the quantized shared embedding table, min-score
+    filtered, top-5 per query (search_utils.py:384-444 semantics)."""
+    scored = _scored_nodes(spark, sf_dir).where(
+        F.col("score_q") >= SIM_MIN_SCORE_Q
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("uuid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "uuid",
+                F.col("score_q").cast("long").alias("score_q"))
+    )
 
 
 def q_kg_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q12: MMR diversity rerank of the top-20 similarity candidates
-    (rows-only check; numpy parity in tests)."""
-    from .functions.embed import embed_texts, with_embedding
+    """Q12: MMR diversity rerank (lambda=0.5, search_utils.py:825-838) of
+    the top-20 similarity candidates. With lambda=0.5 the argmax of
+    lam*rel - (1-lam)*div equals the argmax of (rel - div), so selection
+    runs entirely in the exact integer domain; ties break on uuid asc.
+    The greedy loop is a grouped pandas pass per query over <=20
+    candidates (the reference's own loop shape, F10)."""
+    import numpy as np
+    import pandas as pd
 
-    t = _graph(spark, sf_dir)
-    nodes = with_embedding(
-        t.nodes.select("uuid", "group_id", "name"), "name", "name_embedding"
+    scored = _scored_nodes(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("uuid"))
+    top = scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= 20
     )
-    qv = embed_texts(NAME_QUERIES)
-    qdf = spark.createDataFrame(
-        [(i, [float(x) for x in qv[i]]) for i in range(len(NAME_QUERIES))],
-        "query_id long, qvec array<float>",
+    nodes_path, _ = node_emb_paths(sf_dir)
+    emb = scored.sparkSession.read.parquet(nodes_path).select("uuid", "emb")
+    cands = top.join(emb, "uuid").select("query_id", "uuid", "score_q", "emb")
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("uuid").reset_index(drop=True)
+        vecs = np.stack(pdf["emb"].to_numpy()).astype(np.int64)
+        rel = pdf["score_q"].to_numpy().astype(np.int64)
+        chosen: list[int] = []
+        rest = list(range(len(pdf)))
+        while rest and len(chosen) < MMR_K:
+            if chosen:
+                div = (vecs[rest] @ vecs[chosen].T).max(axis=1)
+            else:
+                div = np.zeros(len(rest), dtype=np.int64)
+            mmr2 = rel[rest] - div  # = 2 * (0.5*rel - 0.5*div), exact ints
+            best = rest[int(np.argmax(mmr2))]  # first index = lowest uuid on ties
+            chosen.append(best)
+            rest.remove(best)
+        out = pdf.iloc[chosen][["query_id", "uuid"]].copy()
+        out["rank"] = np.arange(1, len(chosen) + 1, dtype=np.int64)
+        return out
+
+    return cands.groupBy("query_id").applyInPandas(
+        pick, schema="query_id long, uuid string, rank long"
     )
-    top = search.cosine_topk(nodes, qdf, "uuid", "name_embedding", k=20, min_score=0.0)
-    cands = (
-        top.join(nodes.select("uuid", "name_embedding"), "uuid")
-        .join(qdf, "query_id")
-    )
-    return search.mmr_rerank(cands, "uuid", "name_embedding", "qvec", k=5)
+
+
+def _sim_oracle_ctes(sf_dir: str) -> str:
+    nodes_path, queries_path = node_emb_paths(sf_dir)
+    return f"""
+nemb AS (SELECT uuid, emb FROM read_parquet('{nodes_path}/*.parquet')),
+qv AS (SELECT query_id, qvec FROM read_parquet('{queries_path}/*.parquet')),
+scored AS (
+  SELECT q.query_id, n.uuid,
+         CAST(list_inner_product(n.emb, q.qvec) AS BIGINT) AS score_q
+  FROM nemb n CROSS JOIN qv q
+)"""
+
+
+def _sql_kg_node_similarity(sf_dir: str) -> str:
+    return f"""
+WITH {_sim_oracle_ctes(sf_dir).lstrip()},
+ranked AS (
+  SELECT query_id, uuid, score_q,
+         row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, uuid) AS rank
+  FROM scored WHERE score_q >= {SIM_MIN_SCORE_Q}
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, uuid, score_q
+FROM ranked WHERE rank <= 5"""
+
+
+def _sql_kg_mmr(sf_dir: str) -> str:
+    """Greedy MMR unrolled to MMR_K selection steps: step i picks, per
+    query, the remaining candidate maximizing rel - max(dot to chosen),
+    ties by uuid asc — the exact integer recurrence of q_kg_mmr."""
+    steps = []
+    prev_chosen = "sel0"
+    parts = ["sel0 AS (SELECT query_id, uuid, 0 AS rank FROM scored WHERE FALSE)"]
+    for i in range(1, MMR_K + 1):
+        parts.append(f"""
+pick{i} AS (
+  SELECT query_id, uuid, {i} AS rank FROM (
+    SELECT t.query_id, t.uuid,
+           row_number() OVER (PARTITION BY t.query_id
+                              ORDER BY t.score_q - coalesce(d.div, 0) DESC, t.uuid) AS rn
+    FROM top t
+    LEFT JOIN (
+      SELECT t2.query_id, t2.uuid,
+             max(CAST(list_inner_product(t2.emb, ne.emb) AS BIGINT)) AS div
+      FROM topemb t2
+      JOIN {prev_chosen} s ON s.query_id = t2.query_id
+      JOIN nemb ne ON ne.uuid = s.uuid
+      GROUP BY 1, 2
+    ) d ON d.query_id = t.query_id AND d.uuid = t.uuid
+    WHERE t.uuid NOT IN (SELECT uuid FROM {prev_chosen} s2 WHERE s2.query_id = t.query_id)
+  ) WHERE rn = 1
+),
+sel{i} AS (SELECT * FROM {prev_chosen} UNION ALL SELECT * FROM pick{i})""")
+        prev_chosen = f"sel{i}"
+        steps.append(f"SELECT query_id, uuid, CAST(rank AS BIGINT) AS rank FROM pick{i}")
+    return f"""
+WITH {_sim_oracle_ctes(sf_dir).lstrip()},
+top AS MATERIALIZED (
+  SELECT query_id, uuid, score_q FROM (
+    SELECT query_id, uuid, score_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, uuid) AS rank
+    FROM scored
+  ) WHERE rank <= 20
+),
+topemb AS MATERIALIZED (
+  SELECT t.query_id, t.uuid, n.emb FROM top t JOIN nemb n ON n.uuid = t.uuid
+),
+{",".join(parts)}
+{" UNION ALL ".join(steps)}"""
+
+
+# The similarity/MMR oracles read the shared quantized-embedding parquet
+# written by their Spark twins; the driver's gate runs at sf0.01 (its
+# DuckDB views are registered for that scale), overridable for local runs.
+def _oracle_sf_dir() -> str:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+
+
+def _sql_kg_node_similarity_env() -> str:
+    return _sql_kg_node_similarity(_oracle_sf_dir())
+
+
+def _sql_kg_mmr_env() -> str:
+    return _sql_kg_mmr(_oracle_sf_dir())
 
 
 SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -380,6 +556,8 @@ SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 SEARCH_ORACLES: dict[str, Callable[[], str]] = {
+    "kg_node_similarity": _sql_kg_node_similarity_env,
+    "kg_mmr": _sql_kg_mmr_env,
     "kg_edge_fulltext": _sql_kg_edge_fulltext,
     "search_bm25": _sql_search_bm25,
     "search_rrf": _sql_search_rrf,

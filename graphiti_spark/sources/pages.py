@@ -28,15 +28,19 @@ def _arr(values: list[str]) -> str:
 def _fields_expr() -> str:
     """array<struct> of per-sentence generative fields for one doc row
     (columns in scope: doc_id, text=noise, lang, source). Mirrors
-    corpus.sentence_fields term-for-term."""
+    corpus.sentence_fields term-for-term (incl. the typo'd alias surface
+    form of the person slot: last letter doubled when the typo flag hits)."""
     P, O, L = _arr(corpus.PERSONS), _arr(corpus.ORGS), _arr(corpus.PLACES)
     np_, no_, nl_ = len(corpus.PERSONS), len(corpus.ORGS), len(corpus.PLACES)
     nt = corpus.N_TEMPLATES
+    person = f"element_at({P}, cast(1 + ((doc_id*7 + k*13) div 2) % {np_} as int))"
+    person_x = (
+        f"IF((doc_id*2 + 3*k) % 13 = 0, {person} || right({person}, 1), {person})"
+    )
     return f"""
 transform(sequence(0, cast(2 + doc_id % 4 as int)), k -> named_struct(
   't', (doc_id*3 + k*5) % {nt},
-  'pdisp', IF((doc_id + 3*k) % 7 = 0, '{corpus.HONORIFIC}', '')
-           || element_at({P}, cast(1 + ((doc_id*7 + k*13) div 2) % {np_} as int)),
+  'pdisp', IF((doc_id + 3*k) % 7 = 0, '{corpus.HONORIFIC}', '') || {person_x},
   'odisp', element_at({O}, cast(1 + (((doc_id*7 + k*13) div 2) % {np_} * 3 + doc_id % 2) % {no_} as int))
            || IF((doc_id + 2*k) % 5 = 0, '{corpus.ORG_SUFFIX}', ''),
   'person2', element_at({P}, cast(1 + (((doc_id*7 + k*13) div 2) % {np_} + 1 + doc_id % 3) % {np_} as int)),
@@ -57,7 +61,37 @@ transform(_fields, f -> CASE f.t
   WHEN 4 THEN f.odisp || ' is based in ' || f.place || '.'
   WHEN 5 THEN f.pdisp || ' moved to ' || f.place || '.'
   WHEN 6 THEN 'Since ' || f.year_s || ', ' || f.pdisp || ' has led ' || f.odisp || '.'
-  ELSE f.pdisp || ' visited ' || f.place || ' on ' || f.date_iso || '.' END)"""
+  WHEN 7 THEN f.pdisp || ' visited ' || f.place || ' on ' || f.date_iso || '.'
+  WHEN 8 THEN f.pdisp || ' is employed at ' || f.odisp || '.'
+  WHEN 9 THEN f.pdisp || ' and ' || f.odisp || ' were mentioned in the same report.'
+  WHEN 10 THEN f.pdisp || ' admires ' || f.person2 || '.'
+  ELSE 'It is unclear whether ' || f.pdisp || ' works at ' || f.odisp || '.' END)"""
+
+
+def _extra_paras_expr() -> str:
+    """Message ('Speaker: ...') and json episode paragraphs appended to
+    eligible docs (corpus.has_message / has_json arithmetic)."""
+    P, O, L = _arr(corpus.PERSONS), _arr(corpus.ORGS), _arr(corpus.PLACES)
+    np_, no_, nl_ = len(corpus.PERSONS), len(corpus.ORGS), len(corpus.PLACES)
+    msg = (
+        f"element_at({P}, cast(1 + (doc_id*5 + 1) % {np_} as int))"
+        " || ': relocation to '"
+        f" || element_at({L}, cast(1 + (doc_id*3 + 2) % {nl_} as int))"
+        " || ' is complete.'"
+    )
+    jsn = (
+        "'{\"entity\": \"'"
+        f" || element_at({O}, cast(1 + (doc_id*7) % {no_} as int))"
+        " || '\", \"relation\": \"BASED_IN\", \"target\": \"'"
+        f" || element_at({L}, cast(1 + (doc_id*11) % {nl_} as int))"
+        " || '\", \"as_of\": \"'"
+        " || date_format(date_add(date'2024-01-01', cast((doc_id*17) % 365 as int)), 'yyyy-MM-dd')"
+        " || '\"}'"
+    )
+    return (
+        f"IF(doc_id % 5 = 2, '\\n\\n' || {msg}, '')"
+        f" || IF(doc_id % 7 = 3, '\\n\\n' || {jsn}, '')"
+    )
 
 
 def build_pages(
@@ -113,7 +147,10 @@ def build_pages(
         )
         .withColumn(
             "page_text",
-            F.expr("_title || '\\n\\n' || substr(text, 1, 120) || '\\n\\n' || _body"),
+            F.expr(
+                "_title || '\\n\\n' || substr(text, 1, 120) || '\\n\\n' || _body || "
+                + _extra_paras_expr()
+            ),
         )
         .withColumn(
             "html",

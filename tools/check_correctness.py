@@ -44,6 +44,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # similarity/MMR oracles embed the shared-embedding parquet path for
+    # the scale under test (the driver always gates at sf0.01)
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
     only = set(sys.argv[2:])
 
     import __spark_entry__ as e
