@@ -50,6 +50,16 @@ def run_bench(sf_dir: str, cpus: int, names: list[str]) -> dict:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # JIT/codegen warm-up on the tiny scale: the fused extraction and
+    # synthesis expressions compile to large generated classes whose
+    # first-compile cost (~15s) would otherwise be billed to the first
+    # timed query; Janino caches compiled classes per plan shape
+    from graphiti_spark.plans.pipeline import build_graph as _bg, triples_view as _tv
+
+    _tv(_bg(spark, "/root/testdata/sf0.001")).count()
+    registry._GRAPH_CACHE.clear()
+    spark.catalog.clearCache()
+
     timings: dict[str, float] = {}
     n_triples = 0
     tput = {}
@@ -116,62 +126,93 @@ print(json.dumps({"cpus": cpus, "times": times, "n_raw": n_raw, "n_canonical": n
 
 CALIBRATION_SNIPPET = """
 import json, multiprocessing as mp, sys, time
+import numpy as np
+lo, hi = int(sys.argv[1]), int(sys.argv[2])
 def spin(_):
     t0 = time.perf_counter(); x = 0
     for i in range(30_000_000): x += i
     return time.perf_counter() - t0
+def stream(_):
+    # STREAM-like triad over a buffer far larger than LLC: the memory-
+    # bandwidth ceiling, which on this single-bus VM saturates by ~2 cores
+    a = np.random.rand(8_000_000); b = np.random.rand(8_000_000)
+    t0 = time.perf_counter()
+    for _ in range(10): c = a * 2.0 + b
+    return time.perf_counter() - t0
 out = {}
-for n in (8, 32):
-    with mp.Pool(n) as pool:
-        t0 = time.perf_counter(); pool.map(spin, range(n))
-        out[n] = round(n / (time.perf_counter() - t0), 2)
+for name, fn in (("cpu", spin), ("bw", stream)):
+    th = {}
+    for n in (lo, hi):
+        with mp.Pool(n) as pool:
+            t0 = time.perf_counter(); pool.map(fn, range(n))
+            th[n] = n / (time.perf_counter() - t0)
+    out[name] = round(th[hi] / th[lo] / (hi // lo), 3)
 print(json.dumps(out))
 """
 
 
-def run_scaling(sf_dir: str, replicate: int = 100) -> dict:
+def _calibrate(lo: int, hi: int) -> dict:
+    cal = subprocess.run(
+        [sys.executable, "-c", CALIBRATION_SNIPPET, str(lo), str(hi)],
+        capture_output=True, text=True,
+    )
+    return json.loads(cal.stdout.splitlines()[-1])
+
+
+def run_scaling(sf_dir: str, replicate: int = 400, lo: int = 8,
+                hi: int = 32, runs: int = 3) -> dict:
     """The north-rule N -> 4N evidence, sandbox proxy: the same flagship
-    KG-construction job at local[8] vs local[32] on the same input, warm
-    (workers spawned, JIT done), min of 3 runs. Also measures the
-    MACHINE's own 8->32 pure-CPU scaling ceiling (this VM does not
-    deliver 4x from 8 to 32 threads even for plain multiprocessing), and
-    reports job efficiency normalized by that ceiling."""
-    results = {}
+    KG-construction job at local[lo] vs local[hi] on the same input, warm
+    (workers spawned, JIT done), min of `runs`. The replicate default is
+    sized so per-run fixed latency (stage scheduling, eager resolution
+    actions) is amortized — at x100 the fixed ~15s dominates T_hi and
+    understates scaling. The MACHINE's own lo->hi ceilings — pure-CPU and
+    STREAM-like memory bandwidth — are measured BEFORE, BETWEEN and AFTER
+    the timed blocks (this shared single-bus VM delivers neither 4x CPU
+    nor any bandwidth growth past ~2 cores, and drifts), and job
+    efficiency is reported against both: a KG-construction pass is a
+    compute/bandwidth blend, so its honest ceiling lies between them."""
     env = {**os.environ, "SPARK_GRAFT_DRIVER_MEM": "48g"}
-    for cpus in (8, 32):
+    cals = [_calibrate(lo, hi)]
+    results = {}
+    for cpus in (lo, hi):
         proc = subprocess.run(
-            [sys.executable, "-c", SCALING_SNIPPET, str(cpus), sf_dir, str(replicate)],
+            [sys.executable, "-c",
+             SCALING_SNIPPET.replace("range(3)", f"range({runs})"),
+             str(cpus), sf_dir, str(replicate)],
             capture_output=True, text=True, cwd=REPO, env=env,
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
         results[cpus] = json.loads(line)
-    cal = subprocess.run(
-        [sys.executable, "-c", CALIBRATION_SNIPPET],
-        capture_output=True, text=True,
-    )
-    calib = json.loads(cal.stdout.splitlines()[-1])
-    hw_eff = round(calib["32"] / calib["8"] / 4, 3)
+        cals.append(_calibrate(lo, hi))
+    cpu_eff = round(sum(c["cpu"] for c in cals) / len(cals), 3)
+    bw_eff = round(sum(c["bw"] for c in cals) / len(cals), 3)
 
-    t8 = min(results[8]["times"])
-    t32 = min(results[32]["times"])
-    n = results[8]["n_raw"]
-    eff = round((t8 / t32) / 4, 3)
+    t_lo = min(results[lo]["times"])
+    t_hi = min(results[hi]["times"])
+    n = results[lo]["n_raw"]
+    factor = hi // lo
+    eff = round((t_lo / t_hi) / factor, 3)
     summary = {
-        "metric": "kg_construct_scaling_efficiency_8_to_32",
+        "metric": f"kg_construct_scaling_efficiency_{lo}_to_{hi}",
         "value": eff,
         "unit": "ratio",
         "sf": sf_dir,
         "replicate": replicate,
         "n_raw_triples": n,
-        "n_canonical_edges": results[8]["n_canonical"],
-        "sec_local8": t8,
-        "sec_local32": t32,
-        "times_local8": results[8]["times"],
-        "times_local32": results[32]["times"],
-        "triples_per_sec_local8": round(n / t8, 1),
-        "triples_per_sec_local32": round(n / t32, 1),
-        "hw_ceiling_efficiency_8_to_32": hw_eff,
-        "efficiency_vs_hw_ceiling": round(eff / hw_eff, 3) if hw_eff else None,
+        "n_canonical_edges": results[lo]["n_canonical"],
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "times_lo": results[lo]["times"],
+        "times_hi": results[hi]["times"],
+        "triples_per_sec_lo": round(n / t_lo, 1),
+        "triples_per_sec_hi": round(n / t_hi, 1),
+        "hw_cpu_ceiling": cpu_eff,
+        "hw_bw_ceiling": bw_eff,
+        "hw_ceiling_samples": cals,
+        "efficiency_vs_cpu_ceiling": round(eff / cpu_eff, 3) if cpu_eff else None,
     }
     _append_bench_md(summary)
     return summary
@@ -185,18 +226,16 @@ def _append_bench_md(s: dict) -> None:
             f.write(
                 "# BENCH — measured KG-construction throughput & scaling\n\n"
                 "North rule: throughput scaling efficiency >= 0.8 from N to 4N\n"
-                "parallelism; sandbox proxy = local[8] vs local[32], same input.\n"
+                "parallelism; sandbox proxy = local[N] vs local[4N], same input.\n"
                 "Efficiency = (T_N / T_4N) / 4.\n\n"
-                "| input | raw triples | sec local[8] | sec local[32] | tps local[8] "
-                "| tps local[32] | efficiency | hw ceiling eff | eff vs ceiling |\n"
-                "|---|---|---|---|---|---|---|---|---|\n"
             )
         f.write(
-            f"| {s['sf']} x{s['replicate']} | {s['n_raw_triples']} | {s['sec_local8']} "
-            f"| {s['sec_local32']} | {s['triples_per_sec_local8']} "
-            f"| {s['triples_per_sec_local32']} | {s['value']} "
-            f"| {s['hw_ceiling_efficiency_8_to_32']} "
-            f"| {s['efficiency_vs_hw_ceiling']} |\n"
+            f"| {s['sf']} x{s['replicate']} | {s['cpus_lo']}->{s['cpus_hi']} "
+            f"| {s['n_raw_triples']} | {s['sec_lo']} "
+            f"| {s['sec_hi']} | {s['triples_per_sec_lo']} "
+            f"| {s['triples_per_sec_hi']} | {s['value']} "
+            f"| cpu {s['hw_cpu_ceiling']} / bw {s['hw_bw_ceiling']} "
+            f"| {s['efficiency_vs_cpu_ceiling']} |\n"
         )
 
 
@@ -206,11 +245,15 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--queries", default=",".join(HEADLINE))
     ap.add_argument("--scaling", action="store_true")
-    ap.add_argument("--replicate", type=int, default=100)
+    ap.add_argument("--replicate", type=int, default=400)
+    ap.add_argument("--cpus-lo", type=int, default=8)
+    ap.add_argument("--cpus-hi", type=int, default=32)
+    ap.add_argument("--runs", type=int, default=3)
     args = ap.parse_args()
 
     if args.scaling:
-        out = run_scaling(args.sf_dir, replicate=args.replicate)
+        out = run_scaling(args.sf_dir, replicate=args.replicate,
+                          lo=args.cpus_lo, hi=args.cpus_hi, runs=args.runs)
     else:
         out = run_bench(args.sf_dir, args.cpus, args.queries.split(","))
     print(json.dumps(out))

@@ -14,8 +14,9 @@ so a user of the reference can run every operation they run today:
 | build_indices_and_constraints (:186)       | no-op (Iceberg stats/pruning)   |
 
 Search recipes mirror search_config_recipes.py:31-202: hybrid
-fulltext+cosine with the configured reranker; cross-encoder recipes fall
-back to RRF (Q13 needs model weights unavailable here).
+fulltext+cosine with the configured reranker; `_CROSS_ENCODER` recipes
+rerank with the deterministic cross-encoder scorer
+(operators/cross_encoder.py) behind the reference client surface.
 """
 
 from __future__ import annotations
@@ -44,23 +45,30 @@ EDGE_HYBRID_SEARCH_RRF = SearchConfig("edges", "rrf")
 EDGE_HYBRID_SEARCH_MMR = SearchConfig("edges", "mmr")
 EDGE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig("edges", "node_distance")
 EDGE_HYBRID_SEARCH_EPISODE_MENTIONS = SearchConfig("edges", "episode_mentions")
+EDGE_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig("edges", "cross_encoder")
 NODE_HYBRID_SEARCH_RRF = SearchConfig("nodes", "rrf")
 NODE_HYBRID_SEARCH_MMR = SearchConfig("nodes", "mmr")
 NODE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig("nodes", "node_distance")
 NODE_HYBRID_SEARCH_EPISODE_MENTIONS = SearchConfig("nodes", "episode_mentions")
+NODE_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig("nodes", "cross_encoder")
 COMBINED_HYBRID_SEARCH_RRF = SearchConfig("combined", "rrf")
+COMBINED_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig("combined", "cross_encoder")
+COMMUNITY_HYBRID_SEARCH_RRF = SearchConfig("communities", "rrf")
+COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig("communities", "cross_encoder")
 
 
 class GraphitiSpark:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self.tables: GraphTables | None = None
+        self._comm: tuple[DataFrame, DataFrame] | None = None
 
     # -- ingestion ---------------------------------------------------------
 
     def build(self, sf_dir: str, **kwargs) -> GraphTables:
         """add_episode_bulk analogue: the full construction DAG."""
         self.tables = build_graph(self.spark, sf_dir, **kwargs)
+        self._comm = None
         return self.tables
 
     def add_pages(self, pages: DataFrame) -> GraphTables:
@@ -125,6 +133,11 @@ class GraphitiSpark:
             corpus = t.nodes.select(
                 "uuid", F.concat_ws(" ", "name", "summary").alias("text")
             )
+        elif config.scope == "communities":
+            # Q3/Q6: fulltext/similarity over community names
+            # (search_utils.py:496-579)
+            comm = self._communities()
+            corpus = comm.select("uuid", F.col("name").alias("text"))
         else:  # combined
             corpus = (
                 t.edges.select("uuid", F.col("fact").alias("text"))
@@ -187,7 +200,32 @@ class GraphitiSpark:
                 )
             else:
                 out = S.episode_mentions_rerank(res, t.mention_edges)
-        else:  # rrf (also the cross-encoder fallback)
+        elif config.reranker == "cross_encoder":
+            # Q13/U5: deterministic cross-encoder rerank of the hybrid
+            # candidate set (reference reranks only its candidates;
+            # cross_encoder/client.py:28-40)
+            from .operators.cross_encoder import cross_encoder_rank
+            from pyspark.sql import Window
+
+            cand_corpus = (
+                fused.join(emb.select("uuid", "text"), "uuid")
+                .select("uuid", "text")
+                .dropDuplicates(["uuid"])
+            )
+            ce = cross_encoder_rank(cand_corpus, qs, "uuid", "text", k=10**9)
+            own = ce.join(
+                fused.select("query_id", "uuid"), ["query_id", "uuid"], "left_semi"
+            )
+            w = Window.partitionBy("query_id").orderBy(F.asc("rank"))
+            out = (
+                own.withColumn("r2", F.row_number().over(w))
+                .where(F.col("r2") <= config.limit)
+                .select(
+                    "query_id", F.col("r2").cast("long").alias("rank"),
+                    "uuid", "ce_score_u",
+                )
+            )
+        else:  # rrf
             out = fused.where(F.col("rank") <= config.limit)
         return out
 
@@ -206,7 +244,13 @@ class GraphitiSpark:
 
     def build_communities(self):
         t = self._t()
-        return _build_communities(t.nodes, t.edges)
+        self._comm = _build_communities(t.nodes, t.edges)
+        return self._comm
+
+    def _communities(self) -> DataFrame:
+        if getattr(self, "_comm", None) is None:
+            self.build_communities()
+        return self._comm[0]
 
     def remove_episodes(self, episode_uuids: list[str]) -> None:
         """graphiti.py:758-787: drop the episodes, their MENTIONS rows, and

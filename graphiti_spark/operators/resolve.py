@@ -11,7 +11,7 @@ north rule):
    3-gram shingles of the normalized name;
 2. **match-edge list** — candidate pairs from a block are verified
    (exact-norm pairs are matches by definition; LSH pairs verified by
-   Jaccard >= threshold inside applyInPandas);
+   exact shingle Jaccard >= threshold, JVM-side in the band join);
 3. **connected components** over the match edges (iterative min-label
    propagation — GraphFrames-free), canonical uuid = min(uuid) per
    component. This reproduces graphiti's order-dependent "first wins"
@@ -27,10 +27,7 @@ verification* stage; the CC edge list is tiny relative to the corpus
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import numpy as np
-import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
 
@@ -44,10 +41,14 @@ from pyspark.sql import DataFrame, Window, functions as F
 N_HASHES = 32
 LSH_BANDS = 16
 LSH_ROWS = N_HASHES // LSH_BANDS
-_MERSENNE = (1 << 61) - 1
+# Carter-Wegman family over Z_p, p = 2^31 - 1: hashes reduced mod p first
+# so products never overflow int64 and the multiplication wraps the
+# modulus ~2^31 times (proper min-hash mixing) — same family shape as
+# operators/dedup.py
+_MERSENNE31 = (1 << 31) - 1
 _RNG = np.random.RandomState(42)
-_A = _RNG.randint(1, _MERSENNE, size=N_HASHES, dtype=np.int64)
-_B = _RNG.randint(0, _MERSENNE, size=N_HASHES, dtype=np.int64)
+_A_NM = _RNG.randint(1, _MERSENNE31, size=N_HASHES).astype(np.int64)
+_B_NM = _RNG.randint(0, _MERSENNE31, size=N_HASHES).astype(np.int64)
 
 
 def char_shingles(name: str, n: int = 3) -> set[str]:
@@ -56,18 +57,21 @@ def char_shingles(name: str, n: int = 3) -> set[str]:
 
 
 def _shingle_hashes(name: str) -> np.ndarray:
-    import zlib
+    import hashlib
 
     return np.array(
-        [zlib.crc32(sh.encode("utf-8")) for sh in char_shingles(name)],
+        [
+            int(hashlib.md5(sh.encode("utf-8")).hexdigest()[:8], 16) % _MERSENNE31
+            for sh in char_shingles(name)
+        ],
         dtype=np.int64,
     )
 
 
 def minhash_signature(name: str) -> np.ndarray:
+    """Single-process twin of the JVM banding expressions (pytest parity)."""
     h = _shingle_hashes(name)
-    # (a*x + b) mod p for the whole family at once
-    sig = ((_A[None, :] * h[:, None] + _B[None, :]) % _MERSENNE).min(axis=0)
+    sig = ((_A_NM[None, :] * h[:, None] + _B_NM[None, :]) % _MERSENNE31).min(axis=0)
     return sig
 
 
@@ -109,100 +113,83 @@ def match_edges_exact(entities: DataFrame) -> DataFrame:
     )
 
 
+# char-3-gram shingle array of '^'||norm_name||'$' as a JVM expression
+_SHINGLE_ARR = (
+    "array_distinct(transform("
+    "sequence(0, greatest(length('^' || norm_name || '$') - 3, 0)),"
+    " i -> substr('^' || norm_name || '$', i + 1, 3)))"
+)
+# md5-derived 32-bit hash + Carter-Wegman family over Z_(2^31-1) — the
+# same overflow-free, DuckDB-reproducible family as operators/dedup.py
+_H32 = "cast(conv(substr(md5({x}), 1, 8), 16, 10) as bigint) % 2147483647"
+
+
 def match_edges_lsh(
     entities: DataFrame, threshold: float = 0.6, n_salt: int = 1
 ) -> DataFrame:
-    """Fuzzy match edges: MinHash-LSH banding over normalized names, then
-    exact Jaccard verification per candidate pair (applyInPandas)."""
+    """Fuzzy match edges, ALL-JVM: MinHash-LSH banding over char-3-gram
+    shingles of the normalized name (higher-order-function min-hash per
+    band, no Python workers), then exact Jaccard verification inline in
+    the band join via array_intersect/array_union on the carried shingle
+    arrays (names are short, so the arrays ride the shuffle cheaply).
 
-    def sig_gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pd.DataFrame(
-                    {"uuid": [], "group_id": [], "norm_name": [], "band": [], "bucket": []}
-                )
-                continue
-            sigs = np.stack([minhash_signature(nm) for nm in pdf["norm_name"]])
-            rows = []
-            for band in range(LSH_BANDS):
-                chunk = sigs[:, band * LSH_ROWS : (band + 1) * LSH_ROWS]
-                bucket = pd.util.hash_array(
-                    np.ascontiguousarray(chunk).view([("", np.int64)] * LSH_ROWS).ravel()
-                ).astype(np.int64)
-                rows.append(
-                    pd.DataFrame(
-                        {
-                            "uuid": pdf["uuid"].to_numpy(),
-                            "group_id": pdf["group_id"].to_numpy(),
-                            "norm_name": pdf["norm_name"].to_numpy(),
-                            "band": np.int32(band),
-                            "bucket": bucket,
-                        }
-                    )
-                )
-            yield pd.concat(rows, ignore_index=True)
-
-    import pyspark.sql.types as T
-
-    sig_schema = T.StructType(
-        [
-            T.StructField("uuid", T.StringType()),
-            T.StructField("group_id", T.StringType()),
-            T.StructField("norm_name", T.StringType()),
-            T.StructField("band", T.IntegerType()),
-            T.StructField("bucket", T.LongType()),
-        ]
+    At crawl scale the input is the DISTINCT name table — orders of
+    magnitude smaller than the mention stream — and the band/bucket key
+    is the shuffle key; AQE skew-join splits hot buckets ('john smith')."""
+    thr = float(threshold)
+    sig = lambda i: (  # noqa: E731
+        f"array_min(transform(_sh, s -> ({int(_A_NM[i])} * ({_H32.format(x='s')})"
+        f" + {int(_B_NM[i])}) % {_MERSENNE31}))"
     )
-    sigs = entities.select("uuid", "group_id", "norm_name").mapInPandas(
-        sig_gen, schema=sig_schema
+    band_structs = ", ".join(
+        "struct({b} as band, concat_ws('|', {cols}) as bkey)".format(
+            b=b,
+            cols=", ".join(sig(b * LSH_ROWS + r) for r in range(LSH_ROWS)),
+        )
+        for b in range(LSH_BANDS)
     )
-
-    a = sigs.alias("a")
-    b = sigs.alias("b")
-    pairs = (
+    bands = (
+        entities.select("uuid", "group_id", "norm_name")
+        .withColumn("_sh", F.expr(_SHINGLE_ARR))
+        .select(
+            "uuid",
+            "group_id",
+            "_sh",
+            F.explode(F.expr(f"array({band_structs})")).alias("x"),
+        )
+        .select("uuid", "group_id", "_sh", F.col("x.band").alias("band"),
+                F.col("x.bkey").alias("bkey"))
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
         a.join(
             b,
             (F.col("a.group_id") == F.col("b.group_id"))  # group is a hard partition (nodes.py:81)
             & (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.uuid") < F.col("b.uuid")),
         )
-        .select(
-            F.col("a.uuid").alias("src"),
-            F.col("b.uuid").alias("dst"),
-            F.col("a.norm_name").alias("name_a"),
-            F.col("b.norm_name").alias("name_b"),
+        .where(
+            F.expr(
+                "size(array_intersect(a._sh, b._sh)) >="
+                f" {thr} * size(array_union(a._sh, b._sh))"
+            )
         )
+        .select(F.col("a.uuid").alias("src"), F.col("b.uuid").alias("dst"))
         .dropDuplicates(["src", "dst"])
     )
 
-    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pdf[["src", "dst"]]
-                continue
-            keep = [
-                jaccard(x, y) >= threshold
-                for x, y in zip(pdf["name_a"], pdf["name_b"])
-            ]
-            yield pdf.loc[keep, ["src", "dst"]]
 
-    out_schema = T.StructType(
-        [T.StructField("src", T.StringType()), T.StructField("dst", T.StringType())]
-    )
-    return pairs.mapInPandas(verify, schema=out_schema)
-
-
-def _local_components(edges: DataFrame) -> DataFrame:
-    """Driver-side union-find over a SMALL match-edge list. The alias
-    graph is orders of magnitude smaller than the corpus (only colliding
-    distinct names appear), so below the threshold the iterative
+def _local_components(spark, pairs) -> DataFrame:
+    """Driver-side union-find over a SMALL collected match-edge list. The
+    alias graph is orders of magnitude smaller than the corpus (only
+    colliding distinct names appear), so below the threshold the iterative
     distributed fixpoint — whose cost is per-round scheduling latency, not
-    data — is replaced by one collect + union-find + broadcast-back, the
-    same small-graph cutover GraphX-style CC implementations use. Returns
-    (id, component=min member id) for ids touched by any edge; untouched
-    vertices keep themselves via the caller's coalesce."""
-    pairs = edges.select("src", "dst").collect()
+    data — is replaced by union-find over the already-collected pairs +
+    broadcast-back, the same small-graph cutover GraphX-style CC
+    implementations use. Returns (id, component=min member id) for ids
+    touched by any edge; untouched vertices keep themselves via the
+    caller's coalesce."""
     parent: dict[str, str] = {}
 
     def find(x: str) -> str:
@@ -222,7 +209,6 @@ def _local_components(edges: DataFrame) -> DataFrame:
         comp[x] = min(roots.get(root, x), x)
         roots[root] = comp[x]
     rows = [(x, roots[find(x)]) for x in comp]
-    spark = edges.sparkSession
     if not rows:
         from pyspark.sql import types as T
 
@@ -244,12 +230,13 @@ def connected_components(
     diameter; alias-resolution graphs are star-shaped so this converges in
     1-2 rounds; checkpointing via localCheckpoint truncates lineage."""
     # adaptive small-graph cutover: the match-edge list is tiny relative
-    # to the corpus (distinct colliding names only) — count it, and solve
-    # locally when it fits; the distributed fixpoint below is the
-    # arbitrarily-large-graph path
+    # to the corpus (distinct colliding names only) — ONE limit-collect
+    # action decides and, when small, already holds the data; the
+    # distributed fixpoint below is the arbitrarily-large-graph path
     edges = edges.persist()
-    if edges.count() <= LOCAL_CC_THRESHOLD:
-        local = _local_components(edges)
+    pairs = edges.select("src", "dst").limit(LOCAL_CC_THRESHOLD + 1).collect()
+    if len(pairs) <= LOCAL_CC_THRESHOLD:
+        local = _local_components(edges.sparkSession, pairs)
         edges.unpersist()
         return vertices.join(local, "id", "left").select(
             "id", F.coalesce("component", "id").alias("component")

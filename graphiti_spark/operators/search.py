@@ -204,6 +204,36 @@ def bfs_nodes(
     return visited.groupBy("origin_uuid", "uuid").agg(F.min("depth").alias("depth"))
 
 
+def bfs_edges(
+    edges: DataFrame,
+    origins: DataFrame,
+    max_depth: int = MAX_SEARCH_DEPTH,
+    edge_cols: list[str] | None = None,
+) -> DataFrame:
+    """Edge BFS (Q7 proper, search_utils.py:277-329): the DISTINCT edges
+    lying on any undirected path of <= max_depth hops from an origin —
+    i.e. edges with at least one endpoint within distance max_depth - 1.
+    Returns (origin_uuid, <edge_cols>). Distances come from the deduped
+    node BFS, so the expansion is linear in reachable nodes."""
+    cols = edge_cols or ["source_node_uuid", "target_node_uuid", "name"]
+    dist = bfs_nodes(edges, origins, max_depth - 1).select(
+        "origin_uuid", "uuid", "depth"
+    )
+    src_hit = dist.select(
+        "origin_uuid", F.col("uuid").alias("source_node_uuid")
+    )
+    dst_hit = dist.select(
+        "origin_uuid", F.col("uuid").alias("target_node_uuid")
+    )
+    by_src = edges.join(src_hit, "source_node_uuid")
+    by_dst = edges.join(dst_hit, "target_node_uuid")
+    return (
+        by_src.select("origin_uuid", *cols)
+        .unionByName(by_dst.select("origin_uuid", *cols))
+        .dropDuplicates(["origin_uuid", *cols])
+    )
+
+
 def node_distance_rerank(
     results: DataFrame, edges: DataFrame, center_uuid: str
 ) -> DataFrame:

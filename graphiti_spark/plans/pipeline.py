@@ -107,12 +107,18 @@ def build_graph(
     edges = invalidate_edges(materialize_edges(resolved))
     mention_edges = build_mention_edges(mentions_raw, uuid_map)
 
-    # final node table with summary + created_at (deterministic summary:
-    # canonical name + labels; content is not scored by the triples metric,
-    # schema parity per nodes.py:255-260)
-    nodes_full = nodes.withColumn(
-        "summary",
-        F.concat_ws(" ", F.col("name"), F.lit("is a"), F.array_join("labels", "/")),
+    # final node table: deterministic summary (canonical name + labels;
+    # content is not scored by the triples metric, schema parity per
+    # nodes.py:255-260) + derived typed attributes (X2/F14,
+    # operators/attributes.py)
+    from ..operators.attributes import with_attributes
+
+    nodes_full = with_attributes(
+        nodes.withColumn(
+            "summary",
+            F.concat_ws(" ", F.col("name"), F.lit("is a"), F.array_join("labels", "/")),
+        ),
+        edges,
     )
     return GraphTables(
         pages=pages,

@@ -229,6 +229,42 @@ HAVING count(DISTINCT e.name) > 1"""
     return _kg_sql(body)
 
 
+def q_kg_node_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/F14: derived typed attributes per canonical node (lead_since /
+    last_visited / hq), rendered as a sorted k=v list for the exact-match
+    gate."""
+    t = _graph(spark, sf_dir)
+    return (
+        t.nodes.where(F.size(F.map_keys("attributes")) > 0)
+        .select(
+            "group_id",
+            "name",
+            F.expr(
+                "array_join(array_sort(transform(map_entries(attributes),"
+                " e -> e.key || '=' || e.value)), ';')"
+            ).alias("attrs"),
+        )
+    )
+
+
+def _sql_kg_node_attributes() -> str:
+    body = """
+, kv AS (
+  SELECT group_id, subj AS name, 'lead_since' AS k,
+         CAST(min(year(valid_at)) AS VARCHAR) AS v
+  FROM eds WHERE pred = 'LEADS' GROUP BY 1, 2
+  UNION ALL
+  SELECT group_id, subj, 'last_visited', max(strftime(valid_at, '%Y-%m-%d'))
+  FROM eds WHERE pred = 'VISITED' GROUP BY 1, 2
+  UNION ALL
+  SELECT group_id, subj, 'hq', min(obj)
+  FROM eds WHERE pred = 'BASED_IN' GROUP BY 1, 2
+)
+SELECT group_id, name, string_agg(k || '=' || v, ';' ORDER BY k) AS attrs
+FROM kv GROUP BY 1, 2"""
+    return _kg_sql(body, with_eds=True)
+
+
 _NEAR_DUP_SQL = """
 SELECT doc_id, text FROM documents
 UNION ALL
@@ -284,7 +320,10 @@ def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 LPA_ORACLE_ROUNDS = 12
 
 
-def _sql_kg_communities() -> str:
+def communities_ctes() -> str:
+    """CTE chain (append after the eds chain) ending in
+    `comm(uuid, name, group_id, n_members)` — the unrolled-LPA community
+    table shared by the kg_communities oracle and community search."""
     rounds = []
     for r in range(1, LPA_ORACLE_ROUNDS + 1):
         prev = f"l{r - 1}"
@@ -333,16 +372,26 @@ agg AS (
   FROM l{LPA_ORACLE_ROUNDS} l
   JOIN canonu n ON n.group_id = l.group_id AND n.uuid = l.uuid
   GROUP BY 1, 2
-)
-SELECT md5('community|' || group_id || '|' || anchor_uuid) AS uuid,
-       anchor_name || ' community of ' || n_members AS name,
-       group_id, n_members
-FROM agg"""
-    return _kg_sql(body, with_eds=True)
+),
+comm AS (
+  SELECT md5('community|' || group_id || '|' || anchor_uuid) AS uuid,
+         anchor_name || ' community of ' || n_members AS name,
+         group_id, n_members
+  FROM agg
+)"""
+    return body
+
+
+def _sql_kg_communities() -> str:
+    return _kg_sql(
+        communities_ctes() + "\nSELECT uuid, name, group_id, n_members FROM comm",
+        with_eds=True,
+    )
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_alias_resolution": q_kg_alias_resolution,
+    "kg_node_attributes": q_kg_node_attributes,
     "kg_nodes_page": q_kg_nodes_page,
     "doc_minhash_dedup": q_doc_minhash_dedup,
     "doc_simhash_pairs": q_doc_simhash_pairs,
@@ -639,6 +688,7 @@ ORDER BY uuid DESC LIMIT {PAGE_LIMIT}"""
 
 ORACLES: dict[str, Callable[[], str]] = {
     "kg_alias_resolution": _sql_kg_alias_resolution,
+    "kg_node_attributes": _sql_kg_node_attributes,
     "kg_nodes_page": _sql_kg_nodes_page,
     "doc_minhash_dedup": _sql_doc_minhash_dedup,
     "doc_simhash_pairs": _sql_doc_simhash_pairs,

@@ -100,6 +100,63 @@ def q_kg_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_bfs_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 proper: the DISTINCT canonical edges on any <=2-hop undirected
+    path from the seed nodes (edge-returning BFS, search_utils.py:277-329)."""
+    t = _graph(spark, sf_dir)
+    from .plans.pipeline import triples_view
+
+    tv = triples_view(t)
+    edges = tv.select(
+        F.concat_ws("|", "group_id", "subj").alias("source_node_uuid"),
+        F.concat_ws("|", "group_id", "obj").alias("target_node_uuid"),
+        F.col("pred").alias("name"),
+    )
+    origins = (
+        t.nodes.where(F.col("name").startswith(BFS_SEED_PREFIX))
+        .select(F.concat_ws("|", "group_id", "name").alias("uuid"))
+        .withColumn("origin_uuid", F.col("uuid"))
+        .select("origin_uuid", "uuid")
+    )
+    out = search.bfs_edges(edges, origins, max_depth=2)
+    return out.select(
+        "origin_uuid",
+        F.col("source_node_uuid").alias("src_key"),
+        F.col("target_node_uuid").alias("dst_key"),
+        F.col("name").alias("pred"),
+    )
+
+
+def _sql_kg_bfs_edges() -> str:
+    seed = BFS_SEED_PREFIX
+    return f"""
+WITH {_kg_eds_sql().lstrip()},
+epairs AS (
+  SELECT DISTINCT group_id || '|' || subj AS src, group_id || '|' || obj AS dst, pred
+  FROM eds
+),
+bidir AS (
+  SELECT src, dst FROM epairs UNION SELECT dst, src FROM epairs
+),
+seeds AS (
+  SELECT DISTINCT c.group_id || '|' || c.canon_name AS id
+  FROM canon c WHERE c.canon_name LIKE '{seed}%'
+),
+d0 AS (SELECT id AS origin_uuid, id AS uuid FROM seeds),
+d1 AS (
+  SELECT d0.origin_uuid, b.dst AS uuid FROM d0 JOIN bidir b ON b.src = d0.uuid
+),
+reach AS (SELECT DISTINCT origin_uuid, uuid FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1)),
+hit AS (
+  SELECT r.origin_uuid, e.src, e.dst, e.pred
+  FROM epairs e JOIN reach r ON r.uuid = e.src
+  UNION
+  SELECT r.origin_uuid, e.src, e.dst, e.pred
+  FROM epairs e JOIN reach r ON r.uuid = e.dst
+)
+SELECT origin_uuid, src AS src_key, dst AS dst_key, pred FROM hit"""
+
+
 DATE_LO = "2024-01-01 12:00:00"
 DATE_HI = "2024-01-02 00:00:00"
 
@@ -527,6 +584,57 @@ topemb AS MATERIALIZED (
 {" UNION ALL ".join(steps)}"""
 
 
+def q_search_cross_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13/U5: deterministic cross-encoder rerank over documents — the
+    idf-weighted distinct-term overlap with symmetric length
+    normalization (operators/cross_encoder.py), reference surface
+    cross_encoder/client.py:28-40."""
+    from .operators.cross_encoder import cross_encoder_rank
+
+    qs = search.make_queries_df(spark, DOC_QUERIES)
+    return cross_encoder_rank(_documents(spark, sf_dir), qs, "doc_id", "text", k=10)
+
+
+def _sql_search_cross_encoder() -> str:
+    from .operators.cross_encoder import sql_cross_encoder
+
+    ctes = sql_cross_encoder(
+        "SELECT doc_id AS doc, text FROM documents", _queries_values()
+    )
+    return f"""
+WITH {ctes.lstrip()}
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc AS doc_id, ce_score_u
+FROM cranked WHERE rank <= 10"""
+
+
+COMM_QUERIES = ["alice johnson community", "acme corp", "paris community of"]
+
+
+def q_kg_community_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: community fulltext search (search_utils.py:496-529) — BM25 over
+    the LPA community names."""
+    from .operators.communities import build_communities
+
+    t = _graph(spark, sf_dir)
+    comm, _ = build_communities(t.nodes, t.edges)
+    qs = search.make_queries_df(spark, COMM_QUERIES)
+    return search.bm25_topk(comm.select("uuid", "name"), qs, "uuid", "name", k=5)
+
+
+def _sql_kg_community_search() -> str:
+    from .registry import _kg_sql, communities_ctes
+
+    body = (
+        communities_ctes()
+        + ",\n"
+        + bm25_ctes("SELECT uuid AS doc, name AS text FROM comm", COMM_QUERIES).lstrip()
+        + """
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc AS uuid, score_u
+FROM ranked WHERE rank <= 5"""
+    )
+    return _kg_sql(body, with_eds=True)
+
+
 # The similarity/MMR oracles read the shared quantized-embedding parquet
 # written by their Spark twins; the driver's gate runs at sf0.01 (its
 # DuckDB views are registered for that scale), overridable for local runs.
@@ -545,6 +653,9 @@ def _sql_kg_mmr_env() -> str:
 
 
 SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "search_cross_encoder": q_search_cross_encoder,
+    "kg_community_search": q_kg_community_search,
+    "kg_bfs_edges": q_kg_bfs_edges,
     "kg_edge_fulltext": q_kg_edge_fulltext,
     "kg_node_similarity": q_kg_node_similarity,
     "kg_mmr": q_kg_mmr,
@@ -556,6 +667,9 @@ SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 SEARCH_ORACLES: dict[str, Callable[[], str]] = {
+    "search_cross_encoder": _sql_search_cross_encoder,
+    "kg_community_search": _sql_kg_community_search,
+    "kg_bfs_edges": _sql_kg_bfs_edges,
     "kg_node_similarity": _sql_kg_node_similarity_env,
     "kg_mmr": _sql_kg_mmr_env,
     "kg_edge_fulltext": _sql_kg_edge_fulltext,
