@@ -66,8 +66,19 @@ class GraphitiSpark:
     # -- ingestion ---------------------------------------------------------
 
     def build(self, sf_dir: str, **kwargs) -> GraphTables:
-        """add_episode_bulk analogue: the full construction DAG."""
+        """add_episode_bulk analogue: the full construction DAG. The hot
+        graph tables are persisted — the facade is a long-lived handle
+        that serves many reads, so re-executing the construction lineage
+        per query would be wrong (the production analogue: the DAG's
+        outputs live as Iceberg tables, read not recomputed)."""
         self.tables = build_graph(self.spark, sf_dir, **kwargs)
+        for name in ("episodes", "nodes", "edges", "mention_edges"):
+            setattr(self.tables, name, getattr(self.tables, name).persist())
+        # materialize now: build() is the write path; reads that follow
+        # must start from the finished tables, not re-run construction
+        self.tables.edges.count()
+        self.tables.nodes.count()
+        self.tables.mention_edges.count()
         self._comm = None
         return self.tables
 
@@ -97,6 +108,28 @@ class GraphitiSpark:
                           group_ids: list[str] | None = None) -> DataFrame:
         return S.retrieve_episodes(
             self._t().episodes, reference_time, last_n, group_ids
+        )
+
+    def get_nodes_by_uuids(self, uuids: list[str]) -> DataFrame:
+        """S6 (nodes.py:298-347): point/keyed entity lookup — a broadcast-
+        able semi-join filter; Iceberg/parquet stats prune the scan."""
+        return self._t().nodes.where(F.col("uuid").isin(uuids))
+
+    def get_edges_by_uuids(self, uuids: list[str]) -> DataFrame:
+        """S6 (edges.py:233-292): point/keyed fact-edge lookup."""
+        return self._t().edges.where(F.col("uuid").isin(uuids))
+
+    def get_episodes_by_uuids(self, uuids: list[str]) -> DataFrame:
+        """S6 (nodes.py:162-211): point/keyed episode lookup."""
+        return self._t().episodes.where(F.col("uuid").isin(uuids))
+
+    def get_edges_by_node_uuid(self, node_uuid: str) -> DataFrame:
+        """S8 (edges.py:342-365): all fact edges touching a node,
+        direction-agnostic."""
+        e = self._t().edges
+        return e.where(
+            (F.col("source_node_uuid") == node_uuid)
+            | (F.col("target_node_uuid") == node_uuid)
         )
 
     def nodes_and_edges_by_episode(self, episode_uuids: list[str]):
@@ -147,7 +180,10 @@ class GraphitiSpark:
                     )
                 )
             )
-        emb = with_embedding(corpus, "text", "vec")
+        # the embedded corpus feeds fulltext, cosine and the rerankers in
+        # separate subplans — persist so the (Python) embedding pass runs
+        # once per search, not once per consumer
+        emb = with_embedding(corpus, "text", "vec").persist()
         fused = S.hybrid_search(
             emb, qs, qvec, "uuid", "text", "vec", limit=2 * config.limit
         )
@@ -207,10 +243,16 @@ class GraphitiSpark:
             from .operators.cross_encoder import cross_encoder_rank
             from pyspark.sql import Window
 
+            # persist the (tiny) candidate set: the scorer derives idf /
+            # doc-count aggregates from it in separate subplans, which
+            # would otherwise re-execute the whole hybrid-search lineage
+            # (including the embedding pass) once per aggregate
+            fused = fused.persist()
             cand_corpus = (
                 fused.join(emb.select("uuid", "text"), "uuid")
                 .select("uuid", "text")
                 .dropDuplicates(["uuid"])
+                .persist()
             )
             ce = cross_encoder_rank(cand_corpus, qs, "uuid", "text", k=10**9)
             own = ce.join(

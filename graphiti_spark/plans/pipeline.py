@@ -107,19 +107,14 @@ def build_graph(
     edges = invalidate_edges(materialize_edges(resolved))
     mention_edges = build_mention_edges(mentions_raw, uuid_map)
 
-    # final node table: deterministic summary (canonical name + labels;
-    # content is not scored by the triples metric, schema parity per
-    # nodes.py:255-260) + derived typed attributes (X2/F14,
-    # operators/attributes.py)
+    # final node table: content-derived summary (X15 — identity sentence +
+    # the node's earliest facts, deterministic analogue of the <=500-word
+    # LLM summary from episode context, prompts/summarize_nodes.py:48-125)
+    # + derived typed attributes (X2/F14, operators/attributes.py)
     from ..operators.attributes import with_attributes
+    from ..operators.summaries import with_summaries
 
-    nodes_full = with_attributes(
-        nodes.withColumn(
-            "summary",
-            F.concat_ws(" ", F.col("name"), F.lit("is a"), F.array_join("labels", "/")),
-        ),
-        edges,
-    )
+    nodes_full = with_attributes(with_summaries(nodes, edges), edges)
     return GraphTables(
         pages=pages,
         episodes=episodes,

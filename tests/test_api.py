@@ -92,3 +92,91 @@ def test_remove_episodes(spark, sf_dir):
         api.tables.edges.where(F.size("episodes") > 0).count()
         == api.tables.edges.count()
     )
+
+
+def test_edge_scope_rerankers_use_edge_semantics(g):
+    """EDGE_* node_distance / episode_mentions recipes must actually
+    rerank (regression: node-keyed joins against edge uuids matched
+    nothing, leaving uuid order)."""
+    from graphiti_spark.api import (
+        EDGE_HYBRID_SEARCH_EPISODE_MENTIONS,
+        EDGE_HYBRID_SEARCH_NODE_DISTANCE,
+    )
+
+    em = g.search(["works at acme"], EDGE_HYBRID_SEARCH_EPISODE_MENTIONS).toPandas()
+    assert len(em) > 0
+    # n_mentions comes from size(episodes) on the edge rows — at least one
+    # returned edge has real provenance
+    assert em["n_mentions"].max() >= 1
+    assert (em["n_mentions"].to_numpy() == sorted(em["n_mentions"], reverse=True)).all()
+
+    # center = the source node of one of the query's own candidate edges,
+    # so a finite distance MUST appear (distance 0 for that edge)
+    cand_edge = em["uuid"].iloc[0]
+    center = (
+        g.tables.edges.where(F.col("uuid") == cand_edge)
+        .collect()[0]["source_node_uuid"]
+    )
+    nd = g.search(
+        ["works at acme"], EDGE_HYBRID_SEARCH_NODE_DISTANCE, center_node_uuid=center
+    ).toPandas()
+    assert len(nd) > 0
+    assert nd["distance"].min() == 0
+    assert (nd["distance"].to_numpy() == sorted(nd["distance"])).all()
+
+
+def test_cross_encoder_recipes(g):
+    from graphiti_spark.api import (
+        EDGE_HYBRID_SEARCH_CROSS_ENCODER,
+        NODE_HYBRID_SEARCH_CROSS_ENCODER,
+    )
+
+    ce = g.search(["alice johnson works"], EDGE_HYBRID_SEARCH_CROSS_ENCODER).toPandas()
+    assert 0 < len(ce) <= EDGE_HYBRID_SEARCH_CROSS_ENCODER.limit
+    assert (ce.sort_values("rank")["ce_score_u"].diff().dropna() <= 0).all()
+    nce = g.search(["acme corp"], NODE_HYBRID_SEARCH_CROSS_ENCODER).toPandas()
+    assert len(nce) > 0
+
+
+def test_community_scope_search(g):
+    from graphiti_spark.api import COMMUNITY_HYBRID_SEARCH_RRF
+
+    out = g.search(["alice johnson community"], COMMUNITY_HYBRID_SEARCH_RRF).toPandas()
+    assert len(out) > 0
+    comm_uuids = {r["uuid"] for r in g._communities().select("uuid").collect()}
+    assert set(out["uuid"]) <= comm_uuids
+
+
+def test_get_by_uuids_and_node_edges(g):
+    some = [r["uuid"] for r in g.tables.nodes.limit(3).collect()]
+    assert g.get_nodes_by_uuids(some).count() == len(some)
+    node = g.tables.edges.limit(1).collect()[0]["source_node_uuid"]
+    touching = g.get_edges_by_node_uuid(node).toPandas()
+    assert len(touching) > 0
+    assert (
+        (touching["source_node_uuid"] == node) | (touching["target_node_uuid"] == node)
+    ).all()
+
+
+def test_summaries_are_content_derived(g):
+    rows = g.tables.nodes.where(F.size(F.col("labels")) > 0).limit(20).toPandas()
+    # at least one node's summary carries an actual fact sentence beyond
+    # the identity prefix
+    assert any(": " in s and s.split(": ", 1)[1] for s in rows["summary"])
+    assert all(len(s.split(" ")) <= 500 for s in rows["summary"])
+
+
+def test_attributes_populated_and_merge(g, spark):
+    from graphiti_spark.operators.attributes import merge_attributes
+
+    withattrs = g.tables.nodes.where(F.size(F.map_keys("attributes")) > 0)
+    assert withattrs.count() > 0
+    # merge semantics: new wins when non-null, existing fills the rest
+    df = spark.createDataFrame(
+        [({"a": "new", "b": None}, {"a": "old", "b": "keep", "c": "extra"})],
+        "new map<string,string>, old map<string,string>",
+    )
+    got = df.select(merge_attributes("new", "old").alias("m")).collect()[0]["m"]
+    # new wins on a; existing fills b's null and contributes its own key c
+    # (node_operations.py:398-403 iterates existing attributes)
+    assert got == {"a": "new", "b": "keep", "c": "extra"}

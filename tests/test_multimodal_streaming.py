@@ -1,4 +1,4 @@
-"""Multimodal plumbing (stubbed decode, real Spark batch shapes) and the
+"""Multimodal image path (REAL PNG decode via functions/png.py) and the
 Structured Streaming ingest path."""
 
 from __future__ import annotations
@@ -18,11 +18,22 @@ from graphiti_spark.operators.multimodal import (
 )
 
 
-def test_decode_stub_raises_without_fake():
+def test_decode_rejects_non_png():
     import pandas as pd
 
-    with pytest.raises(NotImplementedError):
-        decode_image_batch(pd.Series([b"xx"]), fake=False)
+    with pytest.raises(ValueError):
+        decode_image_batch(pd.Series([b"xx"]))
+
+
+def test_decode_roundtrips_real_png():
+    import pandas as pd
+
+    from graphiti_spark.functions.png import png_encode
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, size=(5, 7, 3)).astype(np.uint8)
+    (got,) = decode_image_batch(pd.Series([png_encode(arr)]))
+    assert (got == arr).all()
 
 
 def test_image_features_deterministic(spark):
@@ -35,11 +46,14 @@ def test_image_features_deterministic(spark):
     assert len(a) == n_images
 
 
-def test_resize_shapes(spark):
+def test_resize_emits_decodable_pngs(spark):
+    from graphiti_spark.functions.png import png_decode
+
     media = synth_media(spark, 12)
     out = resize_images(media, w=4, h=3).toPandas()
     assert (out["width"] == 4).all() and (out["height"] == 3).all()
-    assert all(len(p) == 4 * 3 * 3 for p in out["payload"])  # h*w*3 bytes
+    for p in out["payload"]:
+        assert png_decode(bytes(p)).shape == (3, 4, 3)
 
 
 def test_frame_sampling_counts(spark):

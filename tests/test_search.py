@@ -221,3 +221,35 @@ def test_edge_date_filter_dnf(spark):
         ],
     ).toPandas()
     assert sorted(got["uuid"]) == ["e1", "e3"]
+
+
+def test_cross_encoder_client_surface():
+    """DeterministicCrossEncoder.rank matches the reference client
+    contract: [(passage, score)] sorted desc, query-relevant first."""
+    from graphiti_spark.operators.cross_encoder import DeterministicCrossEncoder
+
+    ce = DeterministicCrossEncoder()
+    out = ce.rank(
+        "alice works acme",
+        ["alice johnson works at acme corp", "the weather in oslo", "acme corp"],
+    )
+    assert [p for p, _ in out][0] == "alice johnson works at acme corp"
+    scores = [s for _, s in out]
+    assert scores == sorted(scores, reverse=True)
+    assert ce.rank("q", []) == []
+
+
+def test_bfs_edges_collects_path_edges(spark):
+    """bfs_edges returns exactly the edges with an endpoint within
+    max_depth-1 of the origin (the reference's relationships-on-paths
+    semantics)."""
+    edges = spark.createDataFrame(
+        [("a", "b", "R1"), ("b", "c", "R2"), ("c", "d", "R3"), ("x", "y", "R4")],
+        ["source_node_uuid", "target_node_uuid", "name"],
+    )
+    origins = spark.createDataFrame([("a", "a")], ["origin_uuid", "uuid"])
+    got = search.bfs_edges(edges, origins, max_depth=2).toPandas()
+    names = set(got["name"])
+    # depth 2 from a: nodes within distance 1 = {a, b}; edges touching
+    # them = R1 (a-b) and R2 (b-c); R3/R4 unreachable within 2 hops
+    assert names == {"R1", "R2"}
