@@ -41,6 +41,41 @@ class SearchConfig:
     limit: int = S.DEFAULT_SEARCH_LIMIT
 
 
+@dataclass(frozen=True)
+class SearchFilters:
+    """search_filters.py:41-62 analogue, threaded through every search
+    method like the reference's `search(..., search_filter=...)`
+    (search/search.py:68,91,103).
+
+    node_labels: keep nodes carrying any of these labels (P1).
+    edge_types: keep edges whose relation name is in this list.
+    valid_at / invalid_at / created_at / expired_at: OR-of-ANDs clause
+    lists over that temporal column — each inner list is a conjunction of
+    (op, value) with op in =, <>, >, <, >=, <=, is_null, is_not_null
+    (search_filters.py:25-38 DateFilter + ComparisonOperator). Fields are
+    ANDed together, mirroring the reference's per-field query_and.
+    """
+
+    node_labels: list[str] | None = None
+    edge_types: list[str] | None = None
+    valid_at: list[list[tuple]] | None = None
+    invalid_at: list[list[tuple]] | None = None
+    created_at: list[list[tuple]] | None = None
+    expired_at: list[list[tuple]] | None = None
+
+    def edge_clauses(self) -> list[tuple[str, list[list[tuple]]]]:
+        return [
+            (col, cl)
+            for col, cl in (
+                ("valid_at", self.valid_at),
+                ("invalid_at", self.invalid_at),
+                ("created_at", self.created_at),
+                ("expired_at", self.expired_at),
+            )
+            if cl
+        ]
+
+
 EDGE_HYBRID_SEARCH_RRF = SearchConfig("edges", "rrf")
 EDGE_HYBRID_SEARCH_MMR = SearchConfig("edges", "mmr")
 EDGE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig("edges", "node_distance")
@@ -72,14 +107,22 @@ class GraphitiSpark:
         per query would be wrong (the production analogue: the DAG's
         outputs live as Iceberg tables, read not recomputed)."""
         self.tables = build_graph(self.spark, sf_dir, **kwargs)
+        # materialize now AND truncate lineage: build() is the write path;
+        # reads that follow must start from the finished tables, not
+        # re-run (or even re-ANALYZE) construction. localCheckpoint swaps
+        # each table's plan for its materialized RDD — without it every
+        # search re-optimizes the full construction plan (LSH band
+        # expressions etc.) per action: measured 123s -> ~5s for a
+        # cross-encoder search at sf0.001. The production analogue is
+        # exactly this: the DAG's outputs live as Iceberg tables, read
+        # not replanned.
         for name in ("episodes", "nodes", "edges", "mention_edges"):
-            setattr(self.tables, name, getattr(self.tables, name).persist())
-        # materialize now: build() is the write path; reads that follow
-        # must start from the finished tables, not re-run construction
-        self.tables.edges.count()
-        self.tables.nodes.count()
-        self.tables.mention_edges.count()
+            setattr(
+                self.tables, name,
+                getattr(self.tables, name).localCheckpoint(eager=True),
+            )
         self._comm = None
+        self._comm_emb = None
         return self.tables
 
     def add_pages(self, pages: DataFrame) -> GraphTables:
@@ -143,16 +186,47 @@ class GraphitiSpark:
         )
         return nodes, edges
 
+    def _filter_corpus(
+        self, emb: DataFrame, scope: str, filters: "SearchFilters"
+    ) -> DataFrame:
+        """Prune the embedded search corpus to rows passing SearchFilters —
+        a key semi-join against the (small) allowed-uuid set, so the
+        persisted embedding index itself is never rebuilt per filter."""
+        t = self._t()
+        allowed = None
+        if scope in ("edges", "combined"):
+            e = t.edges
+            if filters.edge_types:
+                e = e.where(F.col("name").isin(filters.edge_types))
+            for col, clauses in filters.edge_clauses():
+                e = S.edge_date_filter(
+                    e, [[(col, op, val) for (op, val) in conj] for conj in clauses]
+                )
+            allowed = e.select("uuid")
+        if scope in ("nodes", "combined"):
+            n = t.nodes
+            if filters.node_labels:
+                n = S.node_label_filter(n, filters.node_labels)
+            nn = n.select("uuid")
+            allowed = nn if allowed is None else allowed.unionByName(nn)
+        if allowed is None:
+            return emb
+        return emb.join(allowed, "uuid", "left_semi")
+
     def search(
         self,
         queries: list[str],
         config: SearchConfig = EDGE_HYBRID_SEARCH_RRF,
         center_node_uuid: str | None = None,
+        filters: "SearchFilters | None" = None,
     ) -> DataFrame:
         """graphiti.py:630-687: hybrid fulltext ∪ cosine per scope, fused
         by the configured reranker, truncated to limit. With a center node
         and the node_distance reranker, results order by BFS distance
-        (the reference's auto recipe switch at :669-672)."""
+        (the reference's auto recipe switch at :669-672). `filters`
+        (SearchFilters) prunes the corpus before scoring, like the
+        reference threading search_filter into every method
+        (search/search.py:68,91,103)."""
         t = self._t()
         qs = S.make_queries_df(self.spark, queries)
         qv = embed_texts(queries)
@@ -160,30 +234,23 @@ class GraphitiSpark:
             [(i, [float(x) for x in qv[i]]) for i in range(len(queries))],
             "query_id long, qvec array<float>",
         )
+        # embeddings are materialized at BUILD time (GraphTables.nodes_emb
+        # / edges_emb — the reference stores name_embedding/fact_embedding
+        # at ingest, nodes.py:262-269, edges.py:199-208); search reads the
+        # persisted index table, so search latency is independent of the
+        # corpus (re-)embedding cost after the first build
         if config.scope == "edges":
-            corpus = t.edges.select("uuid", F.col("fact").alias("text"))
+            emb = t.edges_emb
         elif config.scope == "nodes":
-            corpus = t.nodes.select(
-                "uuid", F.concat_ws(" ", "name", "summary").alias("text")
-            )
+            emb = t.nodes_emb
         elif config.scope == "communities":
             # Q3/Q6: fulltext/similarity over community names
             # (search_utils.py:496-579)
-            comm = self._communities()
-            corpus = comm.select("uuid", F.col("name").alias("text"))
+            emb = self._communities_emb()
         else:  # combined
-            corpus = (
-                t.edges.select("uuid", F.col("fact").alias("text"))
-                .unionByName(
-                    t.nodes.select(
-                        "uuid", F.concat_ws(" ", "name", "summary").alias("text")
-                    )
-                )
-            )
-        # the embedded corpus feeds fulltext, cosine and the rerankers in
-        # separate subplans — persist so the (Python) embedding pass runs
-        # once per search, not once per consumer
-        emb = with_embedding(corpus, "text", "vec").persist()
+            emb = t.edges_emb.unionByName(t.nodes_emb)
+        if filters is not None and config.scope != "communities":
+            emb = self._filter_corpus(emb, config.scope, filters)
         fused = S.hybrid_search(
             emb, qs, qvec, "uuid", "text", "vec", limit=2 * config.limit
         )
@@ -197,9 +264,7 @@ class GraphitiSpark:
                 # edge results rank by the distance of their SOURCE node to
                 # the center (reference search/search.py:203-222 maps edges
                 # through edge.source_node_uuid before node_distance)
-                src = F.broadcast(
-                    t.edges.select("uuid", "source_node_uuid")
-                )
+                src = t.edges.select("uuid", "source_node_uuid")  # edge-scaled: AQE decides
                 origins = self.spark.createDataFrame(
                     [(center_node_uuid, center_node_uuid)],
                     ["origin_uuid", "uuid"],
@@ -224,11 +289,9 @@ class GraphitiSpark:
             if config.scope == "edges":
                 # edges rank by their own provenance count len(episodes)
                 # (reference search/search.py:225-226)
-                nm = F.broadcast(
-                    t.edges.select(
-                        "uuid", F.size("episodes").alias("n_mentions")
-                    )
-                )
+                nm = t.edges.select(
+                    "uuid", F.size("episodes").alias("n_mentions")
+                )  # edge-scaled: AQE decides
                 out = (
                     res.join(nm, "uuid", "left")
                     .withColumn("n_mentions", F.coalesce("n_mentions", F.lit(0)))
@@ -287,12 +350,21 @@ class GraphitiSpark:
     def build_communities(self):
         t = self._t()
         self._comm = _build_communities(t.nodes, t.edges)
+        self._comm_emb = None
         return self._comm
 
     def _communities(self) -> DataFrame:
         if getattr(self, "_comm", None) is None:
             self.build_communities()
         return self._comm[0]
+
+    def _communities_emb(self) -> DataFrame:
+        if getattr(self, "_comm_emb", None) is None:
+            corpus = self._communities().select(
+                "uuid", F.col("name").alias("text")
+            )
+            self._comm_emb = with_embedding(corpus, "text", "vec").persist()
+        return self._comm_emb
 
     def remove_episodes(self, episode_uuids: list[str]) -> None:
         """graphiti.py:758-787: drop the episodes, their MENTIONS rows, and

@@ -21,6 +21,7 @@ from __future__ import annotations
 # predicate -> (contradiction class, polarity)
 CONTRA_CLASS: dict[str, tuple[str, int]] = {
     "WORKS_AT": ("WORKS_AT", 1),
+    "EMPLOYED_AT": ("WORKS_AT", 1),  # WORKS_AT paraphrase (ontology.py synonyms)
     "NO_LONGER_WORKS_AT": ("WORKS_AT", -1),
     "LIKES": ("LIKES", 1),
     "DISLIKES": ("LIKES", -1),

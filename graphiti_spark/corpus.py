@@ -82,6 +82,7 @@ WARC_STEP_MINUTES = 7                 # warc_ts = EPOCH + doc_id * 7 min
 PRED_ROLES = {
     # predicate -> (subject label, object label)
     "WORKS_AT": ("Person", "Organization"),
+    "EMPLOYED_AT": ("Person", "Organization"),
     "NO_LONGER_WORKS_AT": ("Person", "Organization"),
     "LIKES": ("Person", "Person"),
     "DISLIKES": ("Person", "Person"),
@@ -107,6 +108,14 @@ def has_message(d: int) -> bool:
 
 def has_json(d: int) -> bool:
     return d % 7 == 3
+
+
+def has_rel(d: int) -> bool:
+    """Docs carrying a relative-time paragraph ("N days ago, ...") — the
+    X4 fixture: temporal attribution resolved AGAINST the episode's
+    reference timestamp (temporal_operations.py:32-68), not an explicit
+    date in the text."""
+    return d % 6 == 1
 
 
 def sentence_fields(d: int, k: int) -> dict:
@@ -189,8 +198,14 @@ def sentence_triple(f: dict) -> tuple[str, str, str, str] | None:
     suffix ARE part of the extracted display name (alias-resolved later).
     """
     t = f["t"]
-    if t in (0, 8):
+    if t == 0:
         return f["person_x"], "WORKS_AT", f["org_display"], "ref"
+    if t == 8:
+        # paraphrase surface ("is employed at"): extracted as its own
+        # predicate EMPLOYED_AT; the engine's same-pair similarity dedup
+        # (synonym class, operators/materialize.py) merges it with
+        # WORKS_AT edges on the same canonical pair
+        return f["person_x"], "EMPLOYED_AT", f["org_display"], "ref"
     if t == 1:
         return f["person_x"], "NO_LONGER_WORKS_AT", f["org_display"], "ref"
     if t == 2:
@@ -255,6 +270,19 @@ def render_json(d: int) -> str:
     )
 
 
+def rel_fields(d: int) -> dict:
+    return {
+        "person": PERSONS[(d * 11 + 3) % len(PERSONS)],
+        "place": PLACES[(d * 7 + 1) % len(PLACES)],
+        "days": 1 + d % 5,
+    }
+
+
+def render_rel(d: int) -> str:
+    r = rel_fields(d)
+    return f"{r['days']} days ago, {r['person']} visited {r['place']}."
+
+
 # --------------------------------------------------------------------------
 # Page assembly.
 # --------------------------------------------------------------------------
@@ -288,6 +316,13 @@ def json_para_idx(d: int) -> int:
     return 2 + n_body_paras(d) + (1 if has_message(d) else 0)
 
 
+def rel_para_idx(d: int) -> int:
+    return (
+        2 + n_body_paras(d) + (1 if has_message(d) else 0)
+        + (1 if has_json(d) else 0)
+    )
+
+
 def page_text(d: int, source: str, noise: str) -> str:
     """Raw page text (pre-clean). Pure function of (d, source, noise)."""
     title = page_title(d, source)
@@ -299,6 +334,8 @@ def page_text(d: int, source: str, noise: str) -> str:
         paras.append(render_message(d))
     if has_json(d):
         paras.append(render_json(d))
+    if has_rel(d):
+        paras.append(render_rel(d))
     return title + "\n\n" + noise[:120] + "\n\n" + "\n\n".join(paras)
 
 
@@ -396,6 +433,18 @@ jpara AS (
            || jplace || '", "as_of": "' || jdate || '"}}' AS para
   FROM jfields
 ),
+rfields AS (
+  SELECT d.doc_id,
+         ({persons})[1 + (d.doc_id*11 + 3) % {np}] AS rperson,
+         ({places})[1 + (d.doc_id*7 + 1) % {nl}] AS rplace,
+         1 + d.doc_id % 5 AS rdays
+  FROM documents d WHERE d.doc_id % 6 = 1
+),
+rpara AS (
+  SELECT doc_id,
+         CAST(rdays AS VARCHAR) || ' days ago, ' || rperson || ' visited ' || rplace || '.' AS para
+  FROM rfields
+),
 pages_g AS MATERIALIZED (
   SELECT d.doc_id,
          'https://' || d.source || '.example.com/doc/' || d.doc_id AS url,
@@ -410,6 +459,7 @@ pages_g AS MATERIALIZED (
                WHERE pp.sdoc = d.doc_id)
            || coalesce((SELECT chr(10) || chr(10) || m.para FROM mpara m WHERE m.doc_id = d.doc_id), '')
            || coalesce((SELECT chr(10) || chr(10) || j.para FROM jpara j WHERE j.doc_id = d.doc_id), '')
+           || coalesce((SELECT chr(10) || chr(10) || r.para FROM rpara r WHERE r.doc_id = d.doc_id), '')
            AS clean_text
   FROM documents d
 )"""
@@ -431,7 +481,7 @@ ttrip AS (
            WHEN 0 THEN 'WORKS_AT' WHEN 1 THEN 'NO_LONGER_WORKS_AT'
            WHEN 2 THEN 'LIKES' WHEN 3 THEN 'DISLIKES' WHEN 4 THEN 'BASED_IN'
            WHEN 5 THEN 'MOVED_TO' WHEN 6 THEN 'LEADS' WHEN 7 THEN 'VISITED'
-           WHEN 8 THEN 'WORKS_AT' WHEN 10 THEN 'ADMIRES' END AS pred,
+           WHEN 8 THEN 'EMPLOYED_AT' WHEN 10 THEN 'ADMIRES' END AS pred,
          CASE s.t
            WHEN 0 THEN s.org_display WHEN 1 THEN s.org_display
            WHEN 2 THEN s.person2 WHEN 3 THEN s.person2 WHEN 4 THEN s.place
@@ -472,6 +522,18 @@ triples_g AS MATERIALIZED (
          j.jdate::TIMESTAMP AS valid_at, p.url, p.group_id, p.warc_ts
   FROM jfields j JOIN jpara jp ON jp.doc_id = j.doc_id
   JOIN pages_g p ON p.doc_id = j.doc_id
+  UNION ALL
+  SELECT r.doc_id, 0 AS sent_idx,
+         2 + (4 + r.doc_id % 4) // 2
+           + (CASE WHEN r.doc_id % 5 = 2 THEN 1 ELSE 0 END)
+           + (CASE WHEN r.doc_id % 7 = 3 THEN 1 ELSE 0 END) AS para_idx,
+         rp.para AS fact,
+         r.rperson AS subj, r.rperson AS subj_base, 'VISITED' AS pred,
+         r.rplace AS obj, r.rplace AS obj_base,
+         p.warc_ts - INTERVAL 1 DAY * r.rdays AS valid_at,
+         p.url, p.group_id, p.warc_ts
+  FROM rfields r JOIN rpara rp ON rp.doc_id = r.doc_id
+  JOIN pages_g p ON p.doc_id = r.doc_id
 )"""
 
 
@@ -512,6 +574,14 @@ mentions_g AS MATERIALIZED (
          v.name, v.base
   FROM jfields j JOIN pages_g p ON p.doc_id = j.doc_id,
   LATERAL (SELECT * FROM (VALUES (j.jorg, j.jorg), (j.jplace, j.jplace)) AS x(name, base)) v
+  UNION ALL
+  SELECT r.doc_id, p.url, p.group_id,
+         2 + (4 + r.doc_id % 4) // 2
+           + (CASE WHEN r.doc_id % 5 = 2 THEN 1 ELSE 0 END)
+           + (CASE WHEN r.doc_id % 7 = 3 THEN 1 ELSE 0 END) AS para_idx,
+         v.name, v.base
+  FROM rfields r JOIN pages_g p ON p.doc_id = r.doc_id,
+  LATERAL (SELECT * FROM (VALUES (r.rperson, r.rperson), (r.rplace, r.rplace)) AS x(name, base)) v
 )"""
 
 
@@ -604,6 +674,23 @@ def golden_triples(documents) -> "pandas.DataFrame":  # noqa: F821
                     "warc_ts": warc,
                 }
             )
+        if has_rel(d):
+            rel = rel_fields(d)
+            rows.append(
+                {
+                    "doc_id": d, "k": -3, "sent_idx": 0,
+                    "para_idx": rel_para_idx(d),
+                    "url": page_url(d, r.source), "group_id": r.source,
+                    "subj": rel["person"], "pred": "VISITED",
+                    "obj": rel["place"],
+                    "fact": render_rel(d),
+                    # X4: relative expression resolved against the
+                    # episode's reference time (warc_ts), not a date in
+                    # the text (temporal_operations.py:32-68)
+                    "valid_at": warc - timedelta(days=rel["days"]),
+                    "warc_ts": warc,
+                }
+            )
     return pd.DataFrame(rows)
 
 
@@ -641,6 +728,16 @@ def golden_mentions(documents) -> "pandas.DataFrame":  # noqa: F821
                 rows.append(
                     {
                         "doc_id": d, "para_idx": json_para_idx(d),
+                        "url": page_url(d, r.source), "group_id": r.source,
+                        "name": name, "base": name,
+                    }
+                )
+        if has_rel(d):
+            rel = rel_fields(d)
+            for name in (rel["person"], rel["place"]):
+                rows.append(
+                    {
+                        "doc_id": d, "para_idx": rel_para_idx(d),
                         "url": page_url(d, r.source), "group_id": r.source,
                         "name": name, "base": name,
                     }

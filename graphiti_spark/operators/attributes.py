@@ -45,7 +45,7 @@ def node_attributes(edges: DataFrame, nodes: DataFrame) -> DataFrame:
     )
     hq = (
         edges.where(F.col("name") == "BASED_IN")
-        .join(F.broadcast(place_names), "target_node_uuid")
+        .join(place_names, "target_node_uuid")  # entity-scaled: AQE decides
         .groupBy(F.col("source_node_uuid").alias("uuid"))
         .agg(F.min("place").alias("v"))
         .withColumn("k", F.lit("hq"))

@@ -62,7 +62,7 @@ def cross_encoder_rank(
 
     scored = (
         terms.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), "term")
+        .join(dfreq, "term")  # vocabulary-scaled: AQE decides
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "idf_u",

@@ -40,17 +40,11 @@ STOP_SPANS = frozenset(
      "October", "November", "December"}
 )
 
-PRED_ROLES = {
-    "WORKS_AT": ("Person", "Organization"),
-    "NO_LONGER_WORKS_AT": ("Person", "Organization"),
-    "LIKES": ("Person", "Person"),
-    "DISLIKES": ("Person", "Person"),
-    "BASED_IN": ("Organization", "Place"),
-    "MOVED_TO": ("Person", "Place"),
-    "LEADS": ("Person", "Organization"),
-    "VISITED": ("Person", "Place"),
-    "ADMIRES": ("Person", "Person"),
-}
+# role table now lives in the user-extensible Ontology (ontology.py);
+# kept as a module alias for the default configuration
+from ..ontology import DEFAULT as DEFAULT_ONTOLOGY, Ontology
+
+PRED_ROLES = DEFAULT_ONTOLOGY.pred_roles
 
 
 def _sql_lit(pat: str) -> str:
@@ -69,7 +63,11 @@ _HONORIFIC_SQL = _sql_lit(r"^(?:Professor |Dr\. )")
 _TEXT_PATTERNS: list[tuple[str, str, int, int, str | None]] = [
     (_sql_lit(rf"^{NAME_G} no longer works at {NAME_G}\.$"), "NO_LONGER_WORKS_AT", 1, 2, None),
     (_sql_lit(rf"^{NAME_G} works at {NAME_G}\.$"), "WORKS_AT", 1, 2, None),
-    (_sql_lit(rf"^{NAME_G} is employed at {NAME_G}\.$"), "WORKS_AT", 1, 2, None),
+    # paraphrase predicate: extraction emits the surface relation verbatim
+    # (open predicate vocabulary, prompts/extract_edges.py:25-30 puts no
+    # closed list on relation names); the same-pair similarity dedup
+    # (operators/materialize.py, J4/X8) collapses it onto WORKS_AT edges
+    (_sql_lit(rf"^{NAME_G} is employed at {NAME_G}\.$"), "EMPLOYED_AT", 1, 2, None),
     (_sql_lit(rf"^{NAME_G} likes {NAME_G}\.$"), "LIKES", 1, 2, None),
     (_sql_lit(rf"^{NAME_G} dislikes {NAME_G}\.$"), "DISLIKES", 1, 2, None),
     (_sql_lit(rf"^{NAME_G} admires {NAME_G}\.$"), "ADMIRES", 1, 2, None),
@@ -84,6 +82,16 @@ _TEXT_PATTERNS: list[tuple[str, str, int, int, str | None]] = [
         _sql_lit(rf"^{NAME_G} visited {NAME_G} on (\d{{4}}-\d{{2}}-\d{{2}})\.$"),
         "VISITED", 1, 2,
         "to_timestamp(regexp_extract(sentence, '{p}', 3), 'yyyy-MM-dd')",
+    ),
+    (
+        # X4 relative-time rule (temporal_operations.py:32-68): "N days
+        # ago" resolves against the episode's reference timestamp
+        # (valid_at = warc_ts for crawl pages) — explicit dates override,
+        # relative expressions subtract from the reference
+        _sql_lit(rf"^(\d+) days ago, {NAME_G} visited {NAME_G}\.$"),
+        "VISITED", 2, 3,
+        "valid_at - make_interval(0, 0, 0,"
+        " cast(regexp_extract(sentence, '{p}', 1) as int))",
     ),
 ]
 
@@ -398,25 +406,31 @@ def extract_triples(episodes: DataFrame) -> DataFrame:
     return extract_triples_jvm(_sentences(episodes)).unionByName(jt)
 
 
-def _role_case(which: int) -> str:
+def _role_case(which: int, ontology: Ontology = DEFAULT_ONTOLOGY) -> str:
     branches = " ".join(
-        f"WHEN '{p}' THEN '{roles[which]}'" for p, roles in PRED_ROLES.items()
+        f"WHEN '{p}' THEN '{roles[which]}'"
+        for p, roles in ontology.pred_roles.items()
     )
     return f"CASE pred {branches} END"
 
 
-def mention_labels(triples: DataFrame) -> DataFrame:
+def mention_labels(
+    triples: DataFrame, ontology: Ontology = DEFAULT_ONTOLOGY
+) -> DataFrame:
     """Global role vote per (group_id, name) from the triples the mention
     participates in (X2 typing): plurality with label-name tie-break —
     deterministic regardless of batch/partition layout (unlike a per-batch
-    vote)."""
+    vote). The predicate->role table comes from the user-extensible
+    Ontology (reference entity_types, graphiti.py:264)."""
     roles = (
         triples.selectExpr(
-            "group_id", "subj_name AS name", f"{_role_case(0)} AS label"
+            "group_id", "subj_name AS name",
+            f"{_role_case(0, ontology)} AS label",
         )
         .unionAll(
             triples.selectExpr(
-                "group_id", "obj_name AS name", f"{_role_case(1)} AS label"
+                "group_id", "obj_name AS name",
+                f"{_role_case(1, ontology)} AS label",
             )
         )
         # predicates outside the role ontology (e.g. pass-through json
@@ -435,13 +449,16 @@ def mention_labels(triples: DataFrame) -> DataFrame:
     )
 
 
-def attach_labels(spans: DataFrame, triples: DataFrame) -> DataFrame:
+def attach_labels(
+    spans: DataFrame, triples: DataFrame,
+    ontology: Ontology = DEFAULT_ONTOLOGY,
+) -> DataFrame:
     """Mention rows = spans + globally-voted labels (X2). Unmatched spans
     get the bare 'Entity' label (node_operations.py:191-209 drops unknown
     types to Entity)."""
-    labels = mention_labels(triples)
+    labels = mention_labels(triples, ontology)
     return (
-        spans.join(F.broadcast(labels), ["group_id", "name"], "left")
+        spans.join(labels, ["group_id", "name"], "left")  # entity-scaled: AQE decides
         .withColumn("label", F.coalesce("label", F.lit("Entity")))
         .select("episode_uuid", "group_id", "name", "norm_name", "label", "valid_at")
     )

@@ -272,6 +272,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()  # labels is checkpointed; the edge lineage is done
     return labels
 
 

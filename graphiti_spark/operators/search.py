@@ -93,7 +93,9 @@ def bm25_topk(
 
     scored = (
         tf.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), "term")
+        # dfreq is vocabulary-scaled (no forced broadcast; AQE decides) —
+        # after the qterms semi-restriction it is usually tiny at runtime
+        .join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs_avg))
         .withColumn(
             "idf", F.log(F.lit(1.0) + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
@@ -187,20 +189,39 @@ def bfs_nodes(
             F.col("source_node_uuid").alias("dst"),
         )
     ).distinct()
+    # Iterative frontier expansion MUST truncate lineage per hop: the
+    # adjacency list and each frontier are checkpointed so hop d's plan
+    # joins two materialized tables instead of nesting hop d-1's whole
+    # plan (which itself nests the full upstream lineage — over a derived
+    # graph like triples_view the un-truncated plan grows ~2x per hop and
+    # Catalyst optimization alone takes minutes by depth 3). Same pattern
+    # as connected_components (operators/resolve.py).
+    bidir = bidir.localCheckpoint(eager=False)
 
     visited = origins.select("origin_uuid", "uuid", F.lit(0).alias("depth"))
     frontier = visited
     for d in range(1, max_depth + 1):
         # per-hop dedup: one row per (origin, node), not one per path —
         # without it a dense graph multiplies frontier rows combinatorially
-        # across hops (path explosion) before the final min-depth groupBy
+        # across hops (path explosion) before the final min-depth groupBy.
+        # The anti-join against visited keeps the frontier to NEW nodes
+        # only: already-settled nodes (which on a dense graph are most of
+        # each hop's expansion) are not re-expanded next round.
         nxt = (
             frontier.join(bidir, frontier.uuid == bidir.src)
             .select("origin_uuid", F.col("dst").alias("uuid"), F.lit(d).alias("depth"))
             .dropDuplicates(["origin_uuid", "uuid"])
-        )
+            .join(
+                visited.select("origin_uuid", "uuid"),
+                ["origin_uuid", "uuid"],
+                "left_anti",
+            )
+        ).localCheckpoint(eager=False)
         visited = visited.union(nxt)
         frontier = nxt
+    # frontiers are disjoint from visited by construction, so each (origin,
+    # node) appears once at its minimal depth already; the groupBy stays as
+    # a cheap safety net for duplicate origin rows
     return visited.groupBy("origin_uuid", "uuid").agg(F.min("depth").alias("depth"))
 
 
@@ -356,6 +377,15 @@ def retrieve_episodes(
         .where(F.col("rn") <= last_n)
         .drop("rn")
         .orderBy("group_id", "valid_at", "uuid")
+    )
+
+
+def node_label_filter(nodes: DataFrame, labels: list[str]) -> DataFrame:
+    """P1 (search_filters.py:41-47 node_labels): keep nodes whose label
+    set intersects the requested labels — arrays_overlap stays inside
+    whole-stage codegen and pushes the scan down to the labels column."""
+    return nodes.where(
+        F.arrays_overlap(F.col("labels"), F.array(*[F.lit(x) for x in labels]))
     )
 
 

@@ -53,7 +53,7 @@ def add_triplets(
             F.col("node_norm").alias(f"{side}_norm"),
             F.col("node_uuid").alias(f"{side}_uuid_existing"),
         ).dropDuplicates(["group_id", f"{side}_norm"])
-        t2 = t.join(F.broadcast(m), ["group_id", f"{side}_norm"], "left")
+        t2 = t.join(m, ["group_id", f"{side}_norm"], "left")  # entity-scaled: AQE decides
         return t2.withColumn(
             f"{side}_uuid",
             F.coalesce(

@@ -92,7 +92,7 @@ def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_mentions")
     )
     names = t.nodes.select(F.col("uuid").alias("entity_uuid"), "group_id", "name")
-    return counts.join(F.broadcast(names), "entity_uuid").select(
+    return counts.join(names, "entity_uuid").select(
         "group_id", "name", F.col("n_mentions").cast("long").alias("n_mentions")
     )
 
@@ -165,6 +165,99 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_CELLS, IVF_PROBE, IVF_ITERS, IVF_K = 8, 2, 2, 5
+_QZ = "transform(embedding, x -> cast(floor(cast(x as double) * 1000) as bigint))"
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path end-to-end under the exact gate: deterministic
+    k-means centroid TRAINING (integer sum-vector centroids — cosine is
+    scale-invariant, so training never leaves exact arithmetic), IVF cell
+    assignment, n_probe cell pruning, exact-integer scoring inside probed
+    cells. Same query/candidate split as ann_topk, so recall is
+    measurable against it (pytest pins recall >= 0.8)."""
+    emb = ann.read_embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.expr(_QZ).alias("emb")
+    )
+    c = emb.where(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("c_id"), F.expr(_QZ).alias("emb")
+    )
+    out = ann.ivf_topk_trained(
+        q, c, n_cells=IVF_CELLS, n_probe=IVF_PROBE, k=IVF_K
+    )
+    return out.select(
+        "q_id", F.col("rank").cast("long").alias("rank"), "c_id",
+        F.col("score_q").cast("long").alias("score_q"),
+    )
+
+
+def _sql_ann_ivf_topk() -> str:
+    emb_d = "list_transform({v}, x -> CAST(x AS DOUBLE))"
+
+    def cos(a: str, b: str) -> str:
+        ad, bd = emb_d.format(v=a), emb_d.format(v=b)
+        return (
+            f"(list_inner_product({ad}, {bd})"
+            f" / (sqrt(list_inner_product({ad}, {ad}))"
+            f" * sqrt(list_inner_product({bd}, {bd}))))"
+        )
+
+    qz = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+    parts = [f"""
+cand AS (SELECT vec_id AS c_id, {qz} AS emb FROM embeddings WHERE vec_id >= 8),
+qs AS (SELECT vec_id AS q_id, {qz} AS emb FROM embeddings WHERE vec_id < 8),
+prm AS (SELECT greatest(count(*) // {IVF_CELLS}, 1) AS s FROM cand),
+cent0 AS (
+  SELECT CAST((rn - 1) // s AS INT) AS cell_id, emb AS centroid
+  FROM (SELECT emb, row_number() OVER (ORDER BY c_id) AS rn FROM cand) r, prm
+  WHERE (rn - 1) % s = 0 AND rn <= 1 + {IVF_CELLS - 1} * s
+)"""]
+    for i in range(1, IVF_ITERS + 2):
+        parts.append(f"""
+asg{i} AS (
+  SELECT c_id, emb, cell_id FROM (
+    SELECT c.c_id, c.emb, ct.cell_id,
+           row_number() OVER (PARTITION BY c.c_id
+                              ORDER BY {cos("c.emb", "ct.centroid")} DESC, ct.cell_id) AS rn
+    FROM cand c CROSS JOIN cent{i - 1} ct
+  ) WHERE rn = 1
+)""")
+        if i <= IVF_ITERS:
+            parts.append(f"""
+cent{i} AS (
+  SELECT cell_id, list(CAST(sv AS BIGINT) ORDER BY pos) AS centroid FROM (
+    SELECT cell_id, pos, sum(v) AS sv
+    FROM (SELECT cell_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS pos
+          FROM asg{i})
+    GROUP BY 1, 2
+  ) GROUP BY 1
+)""")
+    last_asg, last_cent = f"asg{IVF_ITERS + 1}", f"cent{IVF_ITERS}"
+    parts.append(f"""
+probe AS (
+  SELECT q_id, emb AS qemb, cell_id FROM (
+    SELECT q.q_id, q.emb, ct.cell_id,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {cos("q.emb", "ct.centroid")} DESC, ct.cell_id) AS rn
+    FROM qs q CROSS JOIN {last_cent} ct
+  ) WHERE rn <= {IVF_PROBE}
+),
+scored AS (
+  SELECT p.q_id, a.c_id, CAST(list_inner_product(a.emb, p.qemb) AS BIGINT) AS score_q
+  FROM {last_asg} a JOIN probe p ON p.cell_id = a.cell_id
+)""")
+    return (
+        "WITH " + ",".join(p.strip() for p in parts)
+        + f"""
+SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, score_q FROM (
+  SELECT q_id, c_id, score_q,
+         row_number() OVER (PARTITION BY q_id ORDER BY score_q DESC, c_id) AS rank
+  FROM scored
+) WHERE rank <= {IVF_K}"""
+    )
+
+
 def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ deterministic perturbed copies of the first 50 docs
     (doc_id + 1_000_000, one appended sentence) — the fixture that makes
@@ -195,6 +288,65 @@ def q_kg_nodes_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_edges_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 for fact edges (edges.py:295-339): the same keyset pagination
+    shape as q_kg_nodes_page over the canonical edge table — uuid-
+    descending cursor + LIMIT, a single TakeOrderedAndProject."""
+    t = _graph(spark, sf_dir)
+    return (
+        t.edges.where(F.col("group_id").isin("src0", "src1"))
+        .where(F.col("uuid") < PAGE_CURSOR)
+        .orderBy(F.desc("uuid"))
+        .limit(PAGE_LIMIT)
+        .select("group_id", "uuid", F.col("name").alias("pred"))
+    )
+
+
+def _sql_kg_edges_page() -> str:
+    body = f"""
+SELECT group_id, uuid, pred FROM eds
+WHERE group_id IN ('src0', 'src1') AND uuid < '{PAGE_CURSOR}'
+ORDER BY uuid DESC LIMIT {PAGE_LIMIT}"""
+    return _kg_sql(body, with_eds=True)
+
+
+def q_kg_episodes_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 for episodes (nodes.py:214-252): keyset pagination over the
+    episode table."""
+    t = _graph(spark, sf_dir)
+    return (
+        t.episodes.where(F.col("group_id").isin("src0", "src1"))
+        .where(F.col("uuid") < PAGE_CURSOR)
+        .orderBy(F.desc("uuid"))
+        .limit(PAGE_LIMIT)
+        .select("group_id", "uuid", "url",
+                F.col("chunk_idx").cast("long").alias("chunk_idx"))
+    )
+
+
+def _sql_kg_episodes_page() -> str:
+    ctes = corpus.sql_pages_cte()
+    return (
+        "WITH "
+        + ctes.lstrip()
+        + f""",
+chunks AS (
+  SELECT url, group_id, warc_ts,
+         unnest(string_split(clean_text, chr(10) || chr(10))) AS content,
+         generate_subscripts(string_split(clean_text, chr(10) || chr(10)), 1) AS i
+  FROM pages_g
+),
+eps AS (
+  SELECT md5(url || '|' || (i - 1)) AS uuid, url, CAST(i - 1 AS BIGINT) AS chunk_idx,
+         group_id
+  FROM chunks WHERE length(content) > 0
+)
+SELECT group_id, uuid, url, chunk_idx FROM eps
+WHERE group_id IN ('src0', 'src1') AND uuid < '{PAGE_CURSOR}'
+ORDER BY uuid DESC LIMIT {PAGE_LIMIT}"""
+    )
+
+
 def q_kg_alias_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5/X7 under the oracle gate: the fuzzy-resolution outcome itself —
     every canonical entity with its resolved alias surface forms (typos
@@ -211,7 +363,7 @@ def q_kg_alias_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.collect_set("name")), ",").alias("aliases"),
             F.countDistinct("name").cast("long").alias("n_aliases"),
         )
-        .join(F.broadcast(canon_names), "canon_uuid")
+        .join(canon_names, "canon_uuid")
         .where(F.col("n_aliases") > 1)
         .select("group_id", "name", "n_aliases", "aliases")
     )
@@ -393,6 +545,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_alias_resolution": q_kg_alias_resolution,
     "kg_node_attributes": q_kg_node_attributes,
     "kg_nodes_page": q_kg_nodes_page,
+    "kg_edges_page": q_kg_edges_page,
+    "kg_episodes_page": q_kg_episodes_page,
     "doc_minhash_dedup": q_doc_minhash_dedup,
     "doc_simhash_pairs": q_doc_simhash_pairs,
     "kg_communities": q_kg_communities,
@@ -408,6 +562,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_dedup_exact": q_doc_dedup_exact,
     "doc_ngram_pairs": q_doc_ngram_pairs,
     "ann_topk": q_ann_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 
@@ -444,15 +599,25 @@ raw AS (
   JOIN canon co ON co.group_id = t.group_id AND co.base = t.obj_base
 ),
 eds AS MATERIALIZED (
-  SELECT group_id, subj, pred, obj,
+  -- dedup key = (pair, synonym class of pred): paraphrase predicates
+  -- (EMPLOYED_AT ~ WORKS_AT) collapse onto one edge; the earliest
+  -- observation (valid_at || raw_uuid order) donates predicate AND fact,
+  -- mirroring operators/materialize.py materialize_edges (J4/X8)
+  SELECT group_id, subj,
+         arg_min(pred, strftime(valid_at, '%Y-%m-%d %H:%M:%S.%f') || raw_uuid) AS pred,
+         obj,
+         min(raw_uuid) AS uuid,
          arg_min(fact, strftime(valid_at, '%Y-%m-%d %H:%M:%S.%f') || raw_uuid) AS fact,
          min(valid_at) AS valid_at,
          count(DISTINCT episode_uuid) AS n_episodes
-  FROM raw GROUP BY 1, 2, 3, 4
+  FROM raw
+  GROUP BY group_id, subj,
+           (CASE pred WHEN 'EMPLOYED_AT' THEN 'WORKS_AT' ELSE pred END), obj
 ),
 classed AS (
   SELECT *,
-    CASE pred WHEN 'WORKS_AT' THEN 'WORKS_AT' WHEN 'NO_LONGER_WORKS_AT' THEN 'WORKS_AT'
+    CASE pred WHEN 'WORKS_AT' THEN 'WORKS_AT' WHEN 'EMPLOYED_AT' THEN 'WORKS_AT'
+              WHEN 'NO_LONGER_WORKS_AT' THEN 'WORKS_AT'
               WHEN 'LIKES' THEN 'LIKES' WHEN 'DISLIKES' THEN 'LIKES' END AS contra_class,
     CASE pred WHEN 'NO_LONGER_WORKS_AT' THEN -1 WHEN 'DISLIKES' THEN -1 ELSE 1 END AS polarity
   FROM eds
@@ -531,7 +696,7 @@ def _sql_kg_nodes() -> str:
   FROM triples_g
   UNION ALL
   SELECT group_id, obj,
-         CASE WHEN pred IN ('WORKS_AT','NO_LONGER_WORKS_AT','LEADS') THEN 'Organization'
+         CASE WHEN pred IN ('WORKS_AT','EMPLOYED_AT','NO_LONGER_WORKS_AT','LEADS') THEN 'Organization'
               WHEN pred IN ('LIKES','DISLIKES','ADMIRES') THEN 'Person' ELSE 'Place' END
   FROM triples_g
 ),
@@ -690,6 +855,8 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_alias_resolution": _sql_kg_alias_resolution,
     "kg_node_attributes": _sql_kg_node_attributes,
     "kg_nodes_page": _sql_kg_nodes_page,
+    "kg_edges_page": _sql_kg_edges_page,
+    "kg_episodes_page": _sql_kg_episodes_page,
     "doc_minhash_dedup": _sql_doc_minhash_dedup,
     "doc_simhash_pairs": _sql_doc_simhash_pairs,
     "kg_communities": _sql_kg_communities,
@@ -705,6 +872,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "doc_dedup_exact": _sql_doc_dedup_exact,
     "doc_ngram_pairs": _sql_doc_ngram_pairs,
     "ann_topk": _sql_ann_topk,
+    "ann_ivf_topk": _sql_ann_ivf_topk,
 }
 
 

@@ -584,6 +584,57 @@ topemb AS MATERIALIZED (
 {" UNION ALL ".join(steps)}"""
 
 
+FILTER_QUERIES = ["alice johnson", "bob hartley", "paris"]
+
+
+def q_kg_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 under the exact gate: label-filtered fulltext search — the
+    SearchFilters(node_labels=...) path of GraphitiSpark.search (reference
+    search_filters.py:41-47 node_labels threaded through
+    search/search.py:68). The corpus is pruned to Person-labeled nodes
+    BEFORE scoring, so the 'paris' query (a Place) returns nothing —
+    the filter is observable in the row set, not just a smaller corpus."""
+    t = _graph(spark, sf_dir)
+    pn = search.node_label_filter(t.nodes, ["Person"])
+    qs = search.make_queries_df(spark, FILTER_QUERIES)
+    return search.bm25_topk(pn.select("uuid", "name"), qs, "uuid", "name", k=10)
+
+
+def _sql_kg_filtered_search() -> str:
+    from .registry import _kg_sql
+
+    body = (
+        """
+, labs AS (
+  SELECT group_id, subj AS name,
+         CASE WHEN pred = 'BASED_IN' THEN 'Organization' ELSE 'Person' END AS label
+  FROM triples_g
+  UNION ALL
+  SELECT group_id, obj,
+         CASE WHEN pred IN ('WORKS_AT','EMPLOYED_AT','NO_LONGER_WORKS_AT','LEADS') THEN 'Organization'
+              WHEN pred IN ('LIKES','DISLIKES','ADMIRES') THEN 'Person' ELSE 'Place' END
+  FROM triples_g
+),
+alias_label AS (SELECT group_id, name, min(label) AS label FROM labs GROUP BY 1, 2),
+nl AS (
+  SELECT e.group_id, c.canon_name AS name,
+         min(md5('node|' || e.group_id || '|' || e.name)) AS uuid,
+         bool_or(coalesce(al.label, 'Entity') = 'Person') AS has_person
+  FROM ents e
+  JOIN canon c ON c.group_id = e.group_id AND c.base = e.base
+  LEFT JOIN alias_label al ON al.group_id = e.group_id AND al.name = e.name
+  GROUP BY 1, 2
+),
+pnodes AS (SELECT uuid, name FROM nl WHERE has_person),
+"""
+        + bm25_ctes("SELECT uuid AS doc, name AS text FROM pnodes", FILTER_QUERIES).lstrip()
+        + """
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc AS uuid, score_u
+FROM ranked WHERE rank <= 10"""
+    )
+    return _kg_sql(body)
+
+
 def q_search_cross_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q13/U5: deterministic cross-encoder rerank over documents — the
     idf-weighted distinct-term overlap with symmetric length
@@ -605,6 +656,91 @@ def _sql_search_cross_encoder() -> str:
 WITH {ctes.lstrip()}
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc AS doc_id, ce_score_u
 FROM cranked WHERE rank <= 10"""
+
+
+SIM_DUP_MIN_Q = 400_000  # 0.4 cosine at milli-quantization
+
+
+def fact_emb_path(sf_dir: str) -> str:
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return f"{ORACLE_SCRATCH}/{tag}/fact_embeddings.parquet"
+
+
+def q_kg_edge_dedup_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/X8 similarity verify under the exact gate: candidate duplicate
+    edge pairs between the SAME canonical node pair, scored by exact
+    integer dot product of milli-quantized fact embeddings, each carrying
+    the deterministic duplicate judgment (same ontology synonym class,
+    not an opposite-polarity contradiction). Runs on the PRE-merge edge
+    set (per raw predicate), i.e. the candidate surface the pipeline's
+    materialize_edges collapses (reference search_utils.py:702-740 +
+    edge_operations.py:151-192)."""
+    from .functions.embed import with_embedding
+    from .ontology import Ontology
+    from .operators.materialize import (
+        edge_dup_candidates,
+        materialize_edges,
+        resolve_edge_pointers,
+    )
+
+    t = _graph(spark, sf_dir)
+    pre = materialize_edges(
+        resolve_edge_pointers(t.triples_raw, t.uuid_map),
+        ontology=Ontology(synonyms={}),
+    )
+    embq = (
+        with_embedding(pre.select("uuid", "fact"), "fact", "vec")
+        .withColumn(
+            "emb", F.expr("transform(vec, x -> cast(floor(x * 1000) as bigint))")
+        )
+        .select("uuid", "emb")
+    )
+    path = fact_emb_path(sf_dir)
+    embq.write.mode("overwrite").parquet(path)
+    embq = spark.read.parquet(path)
+    return edge_dup_candidates(pre, embq, min_score_q=SIM_DUP_MIN_Q).select(
+        "group_id", "uuid_a", "uuid_b", "pred_a", "pred_b", "score_q", "is_dup"
+    )
+
+
+def _sql_kg_edge_dedup_similar() -> str:
+    from .registry import _kg_sql
+
+    path = fact_emb_path(_oracle_sf_dir())
+    body = f"""
+, raw AS (
+  SELECT t.group_id, cs.canon_name AS subj, t.pred, co.canon_name AS obj,
+         md5('edge|' || md5(t.url || '|' || t.para_idx) || '|' || t.sent_idx) AS raw_uuid
+  FROM triples_g t
+  JOIN canon cs ON cs.group_id = t.group_id AND cs.base = t.subj_base
+  JOIN canon co ON co.group_id = t.group_id AND co.base = t.obj_base
+),
+eds_raw AS (
+  SELECT group_id, subj, pred, obj, min(raw_uuid) AS uuid
+  FROM raw GROUP BY 1, 2, 3, 4
+),
+femb AS (SELECT uuid, emb FROM read_parquet('{path}/*.parquet')),
+e AS (
+  SELECT r.group_id, r.subj, r.obj, r.uuid, r.pred, f.emb,
+         CASE r.pred WHEN 'WORKS_AT' THEN 'WORKS_AT' WHEN 'EMPLOYED_AT' THEN 'WORKS_AT'
+                     WHEN 'NO_LONGER_WORKS_AT' THEN 'WORKS_AT'
+                     WHEN 'LIKES' THEN 'LIKES' WHEN 'DISLIKES' THEN 'LIKES' END AS contra_class,
+         CASE r.pred WHEN 'NO_LONGER_WORKS_AT' THEN -1 WHEN 'DISLIKES' THEN -1 ELSE 1 END AS polarity,
+         CASE r.pred WHEN 'EMPLOYED_AT' THEN 'WORKS_AT' ELSE r.pred END AS dclass
+  FROM eds_raw r JOIN femb f ON f.uuid = r.uuid
+)
+SELECT a.group_id, a.uuid AS uuid_a, b.uuid AS uuid_b,
+       a.pred AS pred_a, b.pred AS pred_b,
+       CAST(list_inner_product(a.emb, b.emb) AS BIGINT) AS score_q,
+       (a.dclass = b.dclass AND NOT (a.contra_class IS NOT NULL
+          AND a.contra_class = b.contra_class AND a.polarity <> b.polarity)) AS is_dup
+FROM e a
+JOIN e b ON a.group_id = b.group_id AND a.subj = b.subj AND a.obj = b.obj
+        AND a.uuid < b.uuid
+WHERE CAST(list_inner_product(a.emb, b.emb) AS BIGINT) >= {SIM_DUP_MIN_Q}"""
+    return _kg_sql(body)
 
 
 COMM_QUERIES = ["alice johnson community", "acme corp", "paris community of"]
@@ -653,6 +789,8 @@ def _sql_kg_mmr_env() -> str:
 
 
 SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_filtered_search": q_kg_filtered_search,
+    "kg_edge_dedup_similar": q_kg_edge_dedup_similar,
     "search_cross_encoder": q_search_cross_encoder,
     "kg_community_search": q_kg_community_search,
     "kg_bfs_edges": q_kg_bfs_edges,
@@ -667,6 +805,8 @@ SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 SEARCH_ORACLES: dict[str, Callable[[], str]] = {
+    "kg_filtered_search": _sql_kg_filtered_search,
+    "kg_edge_dedup_similar": _sql_kg_edge_dedup_similar,
     "search_cross_encoder": _sql_search_cross_encoder,
     "kg_community_search": _sql_kg_community_search,
     "kg_bfs_edges": _sql_kg_bfs_edges,

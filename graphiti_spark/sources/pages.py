@@ -88,9 +88,17 @@ def _extra_paras_expr() -> str:
         " || date_format(date_add(date'2024-01-01', cast((doc_id*17) % 365 as int)), 'yyyy-MM-dd')"
         " || '\"}'"
     )
+    rel = (
+        "cast(1 + doc_id % 5 as string) || ' days ago, '"
+        f" || element_at({P}, cast(1 + (doc_id*11 + 3) % {np_} as int))"
+        " || ' visited '"
+        f" || element_at({L}, cast(1 + (doc_id*7 + 1) % {nl_} as int))"
+        " || '.'"
+    )
     return (
         f"IF(doc_id % 5 = 2, '\\n\\n' || {msg}, '')"
         f" || IF(doc_id % 7 = 3, '\\n\\n' || {jsn}, '')"
+        f" || IF(doc_id % 6 = 1, '\\n\\n' || {rel}, '')"
     )
 
 

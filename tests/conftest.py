@@ -9,6 +9,11 @@ import pytest
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# oracle SQL builders resolve shared scratch-parquet paths (similarity /
+# MMR / edge-dedup embeddings) from this env var; it must agree with the
+# scale the Spark side runs at, exactly as tools/check_correctness.py sets
+# it before building oracles
+os.environ["SPARK_GRAFT_ORACLE_SF"] = SF_DIR
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,74 @@
+"""IVF scale path end-to-end: deterministic k-means centroid training
+(integer sum-vector centroids — see operators/ann.py:train_centroids),
+cell assignment, n_probe pruning, exact-integer in-cell scoring. The
+driver gates exact row equality via the `ann_ivf_topk` oracle; this test
+pins the APPROXIMATION quality — recall vs brute force — which SQL
+equality alone can't express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators import ann
+from graphiti_spark.registry import IVF_CELLS, IVF_K, IVF_PROBE, _QZ
+
+
+def _split(spark, sf_dir):
+    emb = ann.read_embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.expr(_QZ).alias("emb")
+    )
+    c = emb.where(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("c_id"), F.expr(_QZ).alias("emb")
+    )
+    return q, c
+
+
+def test_ivf_trained_recall_vs_brute_force(spark, sf_dir):
+    """Recall grows monotonically with probes and reaches 1.0 at full
+    probe (every cell scanned == brute force). The testdata embeddings
+    are RANDOM (no cluster structure), the worst case for IVF — measured
+    recall at 2/8 probes is 0.50 on sf0.001 (vs 0.25 for random cell
+    pruning), 0.775 at 4, 1.0 at 8."""
+    q, c = _split(spark, sf_dir)
+    exact = ann.brute_force_topk(
+        q.select("q_id", F.col("emb").alias("qe")),
+        c.select("c_id", F.col("emb").alias("ce")),
+        k=IVF_K,
+    ).select("q_id", "c_id")
+    exact.cache()
+    total = exact.count()
+    assert total == 8 * IVF_K
+
+    def recall(n_probe: int) -> float:
+        ivf = ann.ivf_topk_trained(
+            q, c, n_cells=IVF_CELLS, n_probe=n_probe, k=IVF_K
+        ).select("q_id", "c_id")
+        return ivf.join(exact, ["q_id", "c_id"]).count() / total
+
+    r2, r4, r8 = recall(IVF_PROBE), recall(4), recall(IVF_CELLS)
+    assert r2 >= 0.45, f"2-probe recall {r2}"
+    assert r4 >= r2 and r4 >= 0.7, f"4-probe recall {r4}"
+    assert r8 == 1.0, f"full-probe must equal brute force, got {r8}"
+
+
+def test_ivf_training_is_deterministic(spark, sf_dir):
+    _, c = _split(spark, sf_dir)
+    a = ann.train_centroids(c, n_cells=IVF_CELLS).collect()
+    b = ann.train_centroids(c, n_cells=IVF_CELLS).collect()
+    assert sorted(r["cell_id"] for r in a) == sorted(r["cell_id"] for r in b)
+    ca = {r["cell_id"]: r["centroid"] for r in a}
+    cb = {r["cell_id"]: r["centroid"] for r in b}
+    assert ca == cb
+
+
+def test_ivf_cells_partition_candidates(spark, sf_dir):
+    _, c = _split(spark, sf_dir)
+    cents = ann.train_centroids(c, n_cells=IVF_CELLS)
+    assigned = ann.assign_cells(c, cents)
+    # every candidate lands in exactly one cell
+    assert assigned.count() == c.count()
+    assert assigned.select("c_id").distinct().count() == c.count()
+    n_cells = assigned.select("cell_id").distinct().count()
+    assert 2 <= n_cells <= IVF_CELLS
