@@ -289,17 +289,38 @@ def _fused_results_expr() -> str:
     re-reads, and the per-episode mention dedup happens in-array
     (array_distinct) instead of a dropDuplicates shuffle."""
     strip = lambda e: f"regexp_replace({e}, '{_HONORIFIC_SQL}', '')"  # noqa: E731
+    SEP = "\x01"  # never occurs in page text (clean_text strips controls)
 
     def trip_branch(src: str, pat: tuple) -> str:
+        # ONE regex evaluation on the matched branch: regexp_replace
+        # rewrites the (anchored) sentence into all its capture groups
+        # joined by SEP, and a single-element transform() binds the split
+        # group array as `g` — vs the previous 2-3 regexp_extract calls
+        # per matched pattern (each a full re-match of the sentence).
+        import re as _re
+
         p, name, sg, og, v = pat
-        valid = v.format(p=p).replace("sentence", "s") if v else "CAST(NULL AS TIMESTAMP)"
+        ng = max([sg, og] + [int(m) for m in _re.findall(r"', (\d+)\)", v or "")])
+        repl = SEP.join(f"${i}" for i in range(1, ng + 1))
+        if v:
+            valid = _re.sub(
+                r"regexp_extract\(sentence, '\{p\}', (\d+)\)",
+                r"element_at(g, \1)",
+                v,
+            ).replace("sentence", "s")
+        else:
+            valid = "CAST(NULL AS TIMESTAMP)"
         st = _result_struct(
             "'t'", "CAST(i AS INT)",
-            strip(f"regexp_extract(s, '{p}', {sg})"), f"'{name}'",
-            strip(f"regexp_extract(s, '{p}', {og})"), "s",
+            strip(f"element_at(g, {sg})"), f"'{name}'",
+            strip(f"element_at(g, {og})"), "s",
             valid, "CAST(NULL AS STRING)", "CAST(NULL AS STRING)",
         )
-        return f"WHEN source = '{src}' AND s RLIKE '{p}' THEN array({st})"
+        return (
+            f"WHEN source = '{src}' AND s RLIKE '{p}' THEN "
+            f"transform(array(split(regexp_replace(s, '{p}', '{repl}'), '{SEP}')),"
+            f" g -> {st})"
+        )
 
     trip_case = (
         "CASE "
