@@ -347,6 +347,78 @@ ORDER BY uuid DESC LIMIT {PAGE_LIMIT}"""
     )
 
 
+def q_kg_mentions_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 for MENTIONS episodic edges (edges.py:141-178): keyset
+    pagination over the mention-edge table — with nodes/edges/episodes/
+    communities this completes cursor paging across all stored models."""
+    t = _graph(spark, sf_dir)
+    return (
+        t.mention_edges.where(F.col("group_id").isin("src0", "src1"))
+        .where(F.col("uuid") < PAGE_CURSOR)
+        .orderBy(F.desc("uuid"))
+        .limit(PAGE_LIMIT)
+        .select("group_id", "uuid", "episode_uuid", "entity_uuid")
+    )
+
+
+def _sql_kg_mentions_page() -> str:
+    # mention edge uuid = md5('mention|' episode_uuid '|' entity_uuid),
+    # episode uuid = md5(url '|' para_idx), entity uuid = min md5 over the
+    # canonical alias group (operators/materialize.py build_mention_edges)
+    body = f"""
+, canonu AS (
+  SELECT e.group_id, c.canon_name AS name,
+         min(md5('node|' || e.group_id || '|' || e.name)) AS uuid
+  FROM ents e JOIN canon c ON c.group_id = e.group_id AND c.base = e.base
+  GROUP BY 1, 2
+),
+ment_edges AS (
+  SELECT DISTINCT m.group_id,
+         md5(m.url || '|' || m.para_idx) AS episode_uuid,
+         cu.uuid AS entity_uuid
+  FROM mentions_g m
+  JOIN canon c ON c.group_id = m.group_id AND c.base = m.base
+  JOIN canonu cu ON cu.group_id = m.group_id AND cu.name = c.canon_name
+)
+SELECT group_id,
+       md5('mention|' || episode_uuid || '|' || entity_uuid) AS uuid,
+       episode_uuid, entity_uuid
+FROM ment_edges
+WHERE group_id IN ('src0', 'src1')
+  AND md5('mention|' || episode_uuid || '|' || entity_uuid) < '{PAGE_CURSOR}'
+ORDER BY uuid DESC LIMIT {PAGE_LIMIT}"""
+    return _kg_sql(body)
+
+
+def q_kg_communities_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 for communities (nodes.py:467-502): keyset pagination over the
+    LPA community table."""
+    from .operators.communities import build_communities
+
+    t = _graph(spark, sf_dir)
+    communities, _ = build_communities(t.nodes, t.edges)
+    return (
+        communities.where(F.col("group_id").isin("src0", "src1"))
+        .where(F.col("uuid") < PAGE_CURSOR)
+        .orderBy(F.desc("uuid"))
+        .limit(PAGE_LIMIT)
+        .select("group_id", "uuid", "name",
+                F.col("n_members").cast("long").alias("n_members"))
+    )
+
+
+def _sql_kg_communities_page() -> str:
+    body = (
+        communities_ctes()
+        + f"""
+SELECT group_id, uuid, name, CAST(n_members AS BIGINT) AS n_members
+FROM comm
+WHERE group_id IN ('src0', 'src1') AND uuid < '{PAGE_CURSOR}'
+ORDER BY uuid DESC LIMIT {PAGE_LIMIT}"""
+    )
+    return _kg_sql(body, with_eds=True)
+
+
 def q_kg_alias_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5/X7 under the oracle gate: the fuzzy-resolution outcome itself —
     every canonical entity with its resolved alias surface forms (typos
@@ -547,6 +619,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_nodes_page": q_kg_nodes_page,
     "kg_edges_page": q_kg_edges_page,
     "kg_episodes_page": q_kg_episodes_page,
+    "kg_mentions_page": q_kg_mentions_page,
+    "kg_communities_page": q_kg_communities_page,
     "doc_minhash_dedup": q_doc_minhash_dedup,
     "doc_simhash_pairs": q_doc_simhash_pairs,
     "kg_communities": q_kg_communities,
@@ -857,6 +931,8 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_nodes_page": _sql_kg_nodes_page,
     "kg_edges_page": _sql_kg_edges_page,
     "kg_episodes_page": _sql_kg_episodes_page,
+    "kg_mentions_page": _sql_kg_mentions_page,
+    "kg_communities_page": _sql_kg_communities_page,
     "doc_minhash_dedup": _sql_doc_minhash_dedup,
     "doc_simhash_pairs": _sql_doc_simhash_pairs,
     "kg_communities": _sql_kg_communities,

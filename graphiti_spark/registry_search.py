@@ -743,6 +743,206 @@ WHERE CAST(list_inner_product(a.emb, b.emb) AS BIGINT) >= {SIM_DUP_MIN_Q}"""
     return _kg_sql(body)
 
 
+CENTER_KEY = "src0|Alice Johnson"
+UNREACHABLE = 2**31  # operators/search.py node_distance_rerank sentinel
+
+
+def q_kg_node_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 under the exact gate: BM25 node results reranked by BFS
+    distance to a center node (search_utils.py:758-795) — center-adjacent
+    hits first, unreachable last. Keys are (group|canon_name), matching
+    the BFS queries."""
+    from .plans.pipeline import triples_view
+
+    t = _graph(spark, sf_dir)
+    tv = triples_view(t)
+    edges = tv.select(
+        F.concat_ws("|", "group_id", "subj").alias("source_node_uuid"),
+        F.concat_ws("|", "group_id", "obj").alias("target_node_uuid"),
+    )
+    nodes = t.nodes.select(
+        F.concat_ws("|", "group_id", "name").alias("uuid"), "name"
+    )
+    qs = search.make_queries_df(spark, NAME_QUERIES)
+    top = search.bm25_topk(nodes, qs, "uuid", "name", k=10).select(
+        "query_id", "uuid"
+    )
+    ranked = search.node_distance_rerank(top, edges, CENTER_KEY)
+    w = Window.partitionBy("query_id").orderBy("distance", "uuid")
+    return ranked.withColumn("rank", F.row_number().over(w)).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("uuid").alias("node_key"),
+        F.col("distance").cast("long").alias("distance"),
+    )
+
+
+def _sql_kg_node_distance() -> str:
+    from .registry import _kg_sql
+
+    body = (
+        f"""
+, ncorp AS (SELECT DISTINCT group_id || '|' || canon_name AS doc,
+                   canon_name AS text FROM canon),
+"""
+        + bm25_ctes("SELECT doc, text FROM ncorp", NAME_QUERIES).lstrip()
+        + f""",
+pairs AS (
+  SELECT DISTINCT group_id || '|' || subj AS src, group_id || '|' || obj AS dst
+  FROM eds
+),
+bidir AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+h0 AS (SELECT '{CENTER_KEY}' AS uuid, 0 AS depth),
+h1 AS (SELECT b.dst AS uuid, 1 AS depth FROM h0 JOIN bidir b ON b.src = h0.uuid),
+h2 AS (SELECT b.dst AS uuid, 2 AS depth FROM h1 JOIN bidir b ON b.src = h1.uuid),
+h3 AS (SELECT b.dst AS uuid, 3 AS depth FROM h2 JOIN bidir b ON b.src = h2.uuid),
+dist AS (
+  SELECT uuid, min(depth) AS distance
+  FROM (SELECT * FROM h0 UNION ALL SELECT * FROM h1
+        UNION ALL SELECT * FROM h2 UNION ALL SELECT * FROM h3)
+  GROUP BY 1
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY coalesce(d.distance, {UNREACHABLE}), r.doc) AS BIGINT) AS rank,
+       r.doc AS node_key,
+       CAST(coalesce(d.distance, {UNREACHABLE}) AS BIGINT) AS distance
+FROM ranked r LEFT JOIN dist d ON d.uuid = r.doc
+WHERE r.rank <= 10"""
+    )
+    return _kg_sql(body, with_eds=True)
+
+
+def q_kg_mentions_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 under the exact gate: BM25 node results reranked by MENTIONS
+    provenance count (search_utils.py:798-822 + A2), most-mentioned
+    first."""
+    t = _graph(spark, sf_dir)
+    qs = search.make_queries_df(spark, NAME_QUERIES)
+    top = search.bm25_topk(
+        t.nodes.select("uuid", "name"), qs, "uuid", "name", k=10
+    ).select("query_id", "uuid")
+    ranked = search.episode_mentions_rerank(top, t.mention_edges)
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_mentions"), "uuid")
+    return ranked.withColumn("rank", F.row_number().over(w)).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "uuid",
+        F.col("n_mentions").cast("long").alias("n_mentions"),
+    )
+
+
+def _sql_kg_mentions_rerank() -> str:
+    from .registry import _kg_sql
+
+    body = (
+        """
+, canonu AS (
+  SELECT e.group_id, c.canon_name AS name,
+         min(md5('node|' || e.group_id || '|' || e.name)) AS uuid
+  FROM ents e JOIN canon c ON c.group_id = e.group_id AND c.base = e.base
+  GROUP BY 1, 2
+),
+"""
+        + bm25_ctes("SELECT uuid AS doc, name AS text FROM canonu", NAME_QUERIES).lstrip()
+        + """,
+ment_counts AS (
+  SELECT cu.uuid, count(DISTINCT m.url || '#' || m.para_idx) AS n_mentions
+  FROM mentions_g m
+  JOIN canon c ON c.group_id = m.group_id AND c.base = m.base
+  JOIN canonu cu ON cu.group_id = m.group_id AND cu.name = c.canon_name
+  GROUP BY 1
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY coalesce(mc.n_mentions, 0) DESC, r.doc) AS BIGINT) AS rank,
+       r.doc AS uuid,
+       CAST(coalesce(mc.n_mentions, 0) AS BIGINT) AS n_mentions
+FROM ranked r LEFT JOIN ment_counts mc ON mc.uuid = r.doc
+WHERE r.rank <= 10"""
+    )
+    return _kg_sql(body)
+
+
+def comm_emb_paths(sf_dir: str) -> tuple[str, str]:
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return (
+        f"{ORACLE_SCRATCH}/{tag}/community_embeddings.parquet",
+        f"{ORACLE_SCRATCH}/{tag}/community_queries.parquet",
+    )
+
+
+def q_kg_community_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 under the exact gate: cosine similarity over community-name
+    embeddings (search_utils.py:549-579) — the quantized shared-parquet
+    pattern of kg_node_similarity applied to the LPA community table."""
+    from .functions.embed import embed_texts, with_embedding
+    from .operators.communities import build_communities
+
+    t = _graph(spark, sf_dir)
+    comm, _ = build_communities(t.nodes, t.edges)
+    cpath, qpath = comm_emb_paths(sf_dir)
+    emb = (
+        with_embedding(comm.select("uuid", "name"), "name", "name_embedding")
+        .withColumn(
+            "emb",
+            F.expr("transform(name_embedding, x -> cast(floor(x * 1000) as bigint))"),
+        )
+        .select("uuid", "emb")
+    )
+    emb.write.mode("overwrite").parquet(cpath)
+    emb = spark.read.parquet(cpath)
+    qv = _quantize(embed_texts(COMM_QUERIES))
+    qdf = spark.createDataFrame(
+        [(i, qv[i]) for i in range(len(COMM_QUERIES))],
+        "query_id long, qvec array<bigint>",
+    )
+    qdf.coalesce(1).write.mode("overwrite").parquet(qpath)
+    qdf = spark.read.parquet(qpath)
+    scored = (
+        emb.crossJoin(F.broadcast(qdf))
+        .withColumn("score_q", F.expr(_DOT))
+        .where(F.col("score_q") >= SIM_MIN_SCORE_Q)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_q"), F.asc("uuid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "uuid",
+                F.col("score_q").cast("long").alias("score_q"))
+    )
+
+
+def _sql_kg_community_similarity() -> str:
+    from .registry import _kg_sql, communities_ctes
+
+    cpath, qpath = comm_emb_paths(_oracle_sf_dir())
+    body = (
+        communities_ctes()
+        + f""",
+cemb AS (
+  SELECT c.uuid, e.emb
+  FROM comm c JOIN read_parquet('{cpath}/*.parquet') e ON e.uuid = c.uuid
+),
+cqv AS (SELECT query_id, qvec FROM read_parquet('{qpath}/*.parquet')),
+cscored AS (
+  SELECT q.query_id, n.uuid,
+         CAST(list_inner_product(n.emb, q.qvec) AS BIGINT) AS score_q
+  FROM cemb n CROSS JOIN cqv q
+),
+cranked AS (
+  SELECT query_id, uuid, score_q,
+         row_number() OVER (PARTITION BY query_id ORDER BY score_q DESC, uuid) AS rank
+  FROM cscored WHERE score_q >= {SIM_MIN_SCORE_Q}
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, uuid, score_q
+FROM cranked WHERE rank <= 5"""
+    )
+    return _kg_sql(body, with_eds=True)
+
+
 COMM_QUERIES = ["alice johnson community", "acme corp", "paris community of"]
 
 
@@ -791,6 +991,9 @@ def _sql_kg_mmr_env() -> str:
 SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_filtered_search": q_kg_filtered_search,
     "kg_edge_dedup_similar": q_kg_edge_dedup_similar,
+    "kg_node_distance": q_kg_node_distance,
+    "kg_mentions_rerank": q_kg_mentions_rerank,
+    "kg_community_similarity": q_kg_community_similarity,
     "search_cross_encoder": q_search_cross_encoder,
     "kg_community_search": q_kg_community_search,
     "kg_bfs_edges": q_kg_bfs_edges,
@@ -807,6 +1010,9 @@ SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 SEARCH_ORACLES: dict[str, Callable[[], str]] = {
     "kg_filtered_search": _sql_kg_filtered_search,
     "kg_edge_dedup_similar": _sql_kg_edge_dedup_similar,
+    "kg_node_distance": _sql_kg_node_distance,
+    "kg_mentions_rerank": _sql_kg_mentions_rerank,
+    "kg_community_similarity": _sql_kg_community_similarity,
     "search_cross_encoder": _sql_search_cross_encoder,
     "kg_community_search": _sql_kg_community_search,
     "kg_bfs_edges": _sql_kg_bfs_edges,

@@ -23,6 +23,11 @@ _THRESHOLDS = (
 
 @pytest.fixture()
 def no_broadcast(spark):
+    # drop DataFrame-cache entries from earlier tests: a reused
+    # InMemoryRelation embeds the physical plan compiled under the OLD
+    # conf (broadcast enabled), which would leak BroadcastHashJoin nodes
+    # into the plan string this test inspects
+    spark.catalog.clearCache()
     old = {k: spark.conf.get(k, None) for k in _THRESHOLDS}
     for k in _THRESHOLDS:
         spark.conf.set(k, "-1")
