@@ -190,6 +190,42 @@ def ivf_topk_trained(
     )
 
 
+def embcos_dedup_pairs(
+    vectors: DataFrame, n_cells: int = 8, min_score_q: int = 900_000
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection, the ANN-blocked dedup
+    family of the training-data pipeline (alongside MinHash/SimHash/
+    n-gram Jaccard): vectors are clustered by the deterministic integer
+    k-means (train_centroids), and only SAME-CELL pairs are verified by
+    exact integer dot product >= min_score_q — never an all-pairs join.
+    At 100 TB the cell id is the partition key: each verification
+    self-join is partition-local after one shuffle on cell_id, and cell
+    population is bounded by the trainer's balance (cap cells or sub-split
+    hot cells exactly like the LSH bucket caps in operators/dedup.py).
+
+    vectors: (id long, emb array<bigint>) milli-quantized.
+    Returns (id_a, id_b, score_q), id_a < id_b."""
+    cand = vectors.select(F.col("id").alias("c_id"), "emb")
+    cents = train_centroids(cand, n_cells=n_cells)
+    assigned = assign_cells(cand, cents)
+    a = assigned.select(
+        "cell_id", F.col("c_id").alias("id_a"), F.col("emb").alias("emb_a")
+    )
+    b = assigned.select(
+        "cell_id", F.col("c_id").alias("id_b"), F.col("emb").alias("emb_b")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    )
+    return (
+        a.join(b, "cell_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("score_q", dot)
+        .where(F.col("score_q") >= min_score_q)
+        .select("id_a", "id_b", "score_q")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -192,38 +192,43 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ann_ivf_topk() -> str:
+def _duck_cos(a: str, b: str) -> str:
     emb_d = "list_transform({v}, x -> CAST(x AS DOUBLE))"
+    ad, bd = emb_d.format(v=a), emb_d.format(v=b)
+    return (
+        f"(list_inner_product({ad}, {bd})"
+        f" / (sqrt(list_inner_product({ad}, {ad}))"
+        f" * sqrt(list_inner_product({bd}, {bd}))))"
+    )
 
-    def cos(a: str, b: str) -> str:
-        ad, bd = emb_d.format(v=a), emb_d.format(v=b)
-        return (
-            f"(list_inner_product({ad}, {bd})"
-            f" / (sqrt(list_inner_product({ad}, {ad}))"
-            f" * sqrt(list_inner_product({bd}, {bd}))))"
-        )
 
-    qz = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+_DUCK_QZ = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
+
+
+def _kmeans_sql_parts(n_cells: int, iters: int) -> tuple[list[str], str, str]:
+    """SQL mirror of operators/ann.train_centroids + assign_cells over an
+    in-scope CTE `cand(c_id, emb)`: strided seeds, `iters` exact
+    integer-sum Lloyd rounds, final assignment. Returns (cte_parts,
+    last_assignment_cte, last_centroid_cte) — shared by the ann_ivf_topk
+    and doc_embcos_dedup oracles."""
     parts = [f"""
-cand AS (SELECT vec_id AS c_id, {qz} AS emb FROM embeddings WHERE vec_id >= 8),
-qs AS (SELECT vec_id AS q_id, {qz} AS emb FROM embeddings WHERE vec_id < 8),
-prm AS (SELECT greatest(count(*) // {IVF_CELLS}, 1) AS s FROM cand),
+prm AS (SELECT greatest(count(*) // {n_cells}, 1) AS s FROM cand),
 cent0 AS (
   SELECT CAST((rn - 1) // s AS INT) AS cell_id, emb AS centroid
   FROM (SELECT emb, row_number() OVER (ORDER BY c_id) AS rn FROM cand) r, prm
-  WHERE (rn - 1) % s = 0 AND rn <= 1 + {IVF_CELLS - 1} * s
+  WHERE (rn - 1) % s = 0 AND rn <= 1 + {n_cells - 1} * s
 )"""]
-    for i in range(1, IVF_ITERS + 2):
+    for i in range(1, iters + 2):
         parts.append(f"""
 asg{i} AS (
   SELECT c_id, emb, cell_id FROM (
     SELECT c.c_id, c.emb, ct.cell_id,
            row_number() OVER (PARTITION BY c.c_id
-                              ORDER BY {cos("c.emb", "ct.centroid")} DESC, ct.cell_id) AS rn
+                              ORDER BY {_duck_cos("c.emb", "ct.centroid")} DESC, ct.cell_id) AS rn
     FROM cand c CROSS JOIN cent{i - 1} ct
   ) WHERE rn = 1
 )""")
-        if i <= IVF_ITERS:
+        if i <= iters:
             parts.append(f"""
 cent{i} AS (
   SELECT cell_id, list(CAST(sv AS BIGINT) ORDER BY pos) AS centroid FROM (
@@ -233,7 +238,16 @@ cent{i} AS (
     GROUP BY 1, 2
   ) GROUP BY 1
 )""")
-    last_asg, last_cent = f"asg{IVF_ITERS + 1}", f"cent{IVF_ITERS}"
+    return parts, f"asg{iters + 1}", f"cent{iters}"
+
+
+def _sql_ann_ivf_topk() -> str:
+    cos = _duck_cos
+    parts = [f"""
+cand AS (SELECT vec_id AS c_id, {_DUCK_QZ} AS emb FROM embeddings WHERE vec_id >= 8),
+qs AS (SELECT vec_id AS q_id, {_DUCK_QZ} AS emb FROM embeddings WHERE vec_id < 8)"""]
+    km_parts, last_asg, last_cent = _kmeans_sql_parts(IVF_CELLS, IVF_ITERS)
+    parts += km_parts
     parts.append(f"""
 probe AS (
   SELECT q_id, emb AS qemb, cell_id FROM (
@@ -255,6 +269,62 @@ SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, score_q FROM (
          row_number() OVER (PARTITION BY q_id ORDER BY score_q DESC, c_id) AS rank
   FROM scored
 ) WHERE rank <= {IVF_K}"""
+    )
+
+
+EMBCOS_MIN_Q = 900_000  # 0.9 cosine at milli-quantization (~1e6 scale)
+
+
+def q_doc_embcos_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup under the exact gate: the embeddings
+    table ∪ deterministic perturbed twins (vec_id + 1_000_000, two
+    coordinates nudged ±50 milli-units — the embedding analogue of
+    _docs_with_near_dups), IVF-cell blocked, exact-integer verified.
+    The base corpus has NO pair above 0.48 cosine, so every emitted pair
+    is a planted twin caught by the blocking+verify path."""
+    emb = ann.read_embeddings(spark, sf_dir)
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("id"), F.expr(_QZ).alias("emb")
+    )
+    pert = base.select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.expr(
+            "transform(emb, (x, i) -> x + CASE"
+            " WHEN i = cast(id % 64 as int) THEN 50L"
+            " WHEN i = cast((id * 7 + 3) % 64 as int) THEN -50L"
+            " ELSE 0L END)"
+        ).alias("emb"),
+    )
+    pairs = ann.embcos_dedup_pairs(
+        base.unionByName(pert), n_cells=IVF_CELLS, min_score_q=EMBCOS_MIN_Q
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("score_q").cast("long").alias("score_q")
+    )
+
+
+def _sql_doc_embcos_dedup() -> str:
+    parts = [f"""
+base AS (SELECT CAST(vec_id AS BIGINT) AS id, {_DUCK_QZ} AS emb FROM embeddings),
+pert AS (
+  SELECT id + 1000000 AS id,
+         list(CASE WHEN pos - 1 = id % 64 THEN v + 50
+                   WHEN pos - 1 = (id * 7 + 3) % 64 THEN v - 50
+                   ELSE v END ORDER BY pos) AS emb
+  FROM (SELECT id, unnest(emb) AS v, generate_subscripts(emb, 1) AS pos FROM base)
+  GROUP BY id
+),
+cand AS (SELECT id AS c_id, emb FROM base UNION ALL SELECT id AS c_id, emb FROM pert)"""]
+    km_parts, last_asg, _ = _kmeans_sql_parts(IVF_CELLS, IVF_ITERS)
+    parts += km_parts
+    return (
+        "WITH " + ",".join(p.strip() for p in parts)
+        + f"""
+SELECT a.c_id AS id_a, b.c_id AS id_b,
+       CAST(list_inner_product(a.emb, b.emb) AS BIGINT) AS score_q
+FROM {last_asg} a JOIN {last_asg} b
+  ON a.cell_id = b.cell_id AND a.c_id < b.c_id
+WHERE CAST(list_inner_product(a.emb, b.emb) AS BIGINT) >= {EMBCOS_MIN_Q}"""
     )
 
 
@@ -637,6 +707,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_ngram_pairs": q_doc_ngram_pairs,
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "doc_embcos_dedup": q_doc_embcos_dedup,
 }
 
 
@@ -949,6 +1020,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "doc_ngram_pairs": _sql_doc_ngram_pairs,
     "ann_topk": _sql_ann_topk,
     "ann_ivf_topk": _sql_ann_ivf_topk,
+    "doc_embcos_dedup": _sql_doc_embcos_dedup,
 }
 
 
