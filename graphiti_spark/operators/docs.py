@@ -142,20 +142,27 @@ def _shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, top: int = 20, max_df: int = 10000
+    docs: DataFrame, n: int = 3, top: int = 20, max_df_frac: float = 0.02
 ) -> DataFrame:
     """Top near-duplicate pairs by word n-gram Jaccard similarity.
 
-    Plan: shingle -> (drop shingles with document frequency > max_df: the
-    skew guard — boilerplate shingles would otherwise quadratically blow up
-    the self-join at crawl scale) -> self-join on shingle -> count shared
-    -> jaccard in integer micro-units -> global top-k.
+    Plan: shingle -> (drop shingles seen in more than max_df_frac of the
+    corpus: the skew guard — a shingle with document frequency k
+    contributes k(k-1)/2 rows to the self-join, so boilerplate shingles
+    blow it up quadratically at ANY scale; a RELATIVE cap keeps the join
+    linear in corpus size where a fixed absolute cap silently degrades to
+    a no-op as the corpus grows) -> self-join on shingle -> count shared
+    -> jaccard in integer micro-units -> global top-k. True near-dup
+    pairs keep their low-df content shingles, which is what ranks them.
     """
     sh = _shingles(docs, n)
+    nd = docs.select(F.countDistinct("doc_id").alias("nd"))
+    thr = F.expr(f"greatest(2L, cast(floor(nd * {max_df_frac}) as bigint))")
     df_ok = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= max_df)
+        .crossJoin(F.broadcast(nd))
+        .where(F.col("df") <= thr)
         .select("shingle")
     )
     sh = sh.join(df_ok, "shingle")

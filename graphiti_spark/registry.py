@@ -950,7 +950,9 @@ sh AS (
            i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
   FROM tok
 ),
-ok AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10000),
+ok AS (SELECT shingle FROM sh GROUP BY shingle
+       HAVING count(*) <= (SELECT greatest(2, CAST(floor(count(DISTINCT doc_id) * 0.02) AS BIGINT))
+                           FROM documents)),
 sh2 AS (SELECT sh.* FROM sh JOIN ok USING (shingle)),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY 1),
 shared AS (
