@@ -29,6 +29,15 @@ PUNCT = r"[^A-Za-z0-9\s]"
 EN_STOP = r"\b(the|and|of|is|in|to|a|for|on|with)\b"
 DE_STOP = r"\b(der|die|das|und|ist|nicht|ein|zu)\b"
 FR_STOP = r"\b(le|la|les|et|est|une|dans|pour)\b"
+ES_STOP = r"\b(el|los|las|de|que|y|en|un|para)\b"
+CJK = r"[\x{4e00}-\x{9fff}]"
+
+# the Gopher "must contain >= 2 of" stopword set (Rae et al. 2021 §A1.1)
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# alphanumeric token that contains at least one letter (greedy, so each
+# [a-z0-9]+ run is counted at most once — same count in Java and RE2)
+WORD_ALPHA = "[0-9]*[a-z][a-z0-9]*"
+SYMBOL = r"#|\.\.\.|…"
 
 
 def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,7 +94,13 @@ def quality_scores(docs: DataFrame) -> DataFrame:
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
-    """Stopword-hit n-gram-heuristic language ID (en/de/fr/und)."""
+    """Stopword-hit language ID over the corpus's declared language set
+    (en/de/fr/es + CJK char-class detection for zh, else 'und').
+
+    zh is scored on character hits (no whitespace tokenization in CJK),
+    the others on distinctive-stopword hits; priority order breaks ties
+    deterministically. All legs are single regexp_counts in one narrow
+    projection — whole-stage-codegen'd, no shuffle."""
     low = F.lower("text")
     h = docs.select(
         "doc_id",
@@ -93,14 +108,128 @@ def lang_id(docs: DataFrame) -> DataFrame:
         F.regexp_count(low, F.lit(EN_STOP)).alias("en_hits"),
         F.regexp_count(low, F.lit(DE_STOP)).alias("de_hits"),
         F.regexp_count(low, F.lit(FR_STOP)).alias("fr_hits"),
+        F.regexp_count(low, F.lit(ES_STOP)).alias("es_hits"),
+        F.regexp_count("text", F.lit(CJK)).alias("zh_hits"),
     )
     return h.withColumn(
         "lang_guess",
         F.expr(
-            "CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en' "
-            "WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de' "
-            "WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END"
+            "CASE WHEN zh_hits > greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'zh' "
+            "WHEN en_hits >= greatest(de_hits, fr_hits, es_hits) AND en_hits > 0 THEN 'en' "
+            "WHEN de_hits >= greatest(fr_hits, es_hits) AND de_hits > 0 THEN 'de' "
+            "WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr' "
+            "WHEN es_hits > 0 THEN 'es' ELSE 'und' END"
         ),
+    )
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher-style quality-filter signals and rule flags (Rae et al.
+    2021 §A1.1, the standard web-corpus pre-training filter): word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio, fraction of
+    words containing a letter, and the >=2-distinct-stopwords rule.
+    Flags are 0/1 bigints; ratios are exact integer micro-units. One
+    narrow projection — no shuffle, no UDF, survives any scale."""
+    low = F.lower("text")
+    stop_flags = [
+        F.expr(
+            f"CASE WHEN lower(text) RLIKE '\\\\b{w}\\\\b' THEN 1L ELSE 0L END"
+        ).alias(f"has_{w}")
+        for w in GOPHER_STOPS
+    ]
+    base = docs.select(
+        "doc_id",
+        F.regexp_count(low, F.lit(WORD)).alias("n_words"),
+        F.regexp_count(low, F.lit(WORD_CHAR)).alias("n_word_chars"),
+        F.regexp_count(low, F.lit(WORD_ALPHA)).alias("n_alpha_words"),
+        F.regexp_count("text", F.lit(SYMBOL)).alias("n_symbols"),
+        *stop_flags,
+    )
+    stops_sum = " + ".join(f"has_{w}" for w in GOPHER_STOPS)
+    sig = base.select(
+        "doc_id",
+        "n_words",
+        _udiv("n_word_chars", "n_words").alias("mean_word_len_u"),
+        _udiv("n_alpha_words", "n_words").alias("frac_alpha_words_u"),
+        _udiv("n_symbols", "n_words").alias("symbol_ratio_u"),
+        F.expr(f"({stops_sum})").alias("stop_distinct"),
+    )
+    return sig.select(
+        "*",
+        F.expr("CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1L ELSE 0L END").alias(
+            "r_word_count"
+        ),
+        F.expr(
+            "CASE WHEN mean_word_len_u BETWEEN 3000000 AND 10000000 THEN 1L ELSE 0L END"
+        ).alias("r_mean_word_len"),
+        F.expr("CASE WHEN symbol_ratio_u <= 100000 THEN 1L ELSE 0L END").alias(
+            "r_symbol"
+        ),
+        F.expr("CASE WHEN frac_alpha_words_u >= 800000 THEN 1L ELSE 0L END").alias(
+            "r_alpha"
+        ),
+        F.expr("CASE WHEN stop_distinct >= 2 THEN 1L ELSE 0L END").alias("r_stop"),
+    ).withColumn(
+        "keep",
+        F.expr(
+            "r_word_count * r_mean_word_len * r_symbol * r_alpha * r_stop"
+        ),
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Repetition signals (Gopher §A1.1 / C4): duplicate-word fraction
+    (narrow array arithmetic, no shuffle) and most-frequent-word-bigram
+    fraction (explode -> two-level partial-aggregated groupBy; the only
+    shuffle, keyed by (doc_id, gram) so it is perfectly spreadable —
+    per-doc bigram counts, not corpus-global ones).
+
+    Ties on the top bigram break to the lexicographically smallest gram
+    so the result is deterministic on both engines."""
+    toks = F.expr(f"regexp_extract_all(lower(text), '{WORD}', 0)")
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("toks").alias("n_words"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_words"),
+        F.expr(
+            "CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1),"
+            " i -> concat_ws(' ', slice(toks, i, 2))) "
+            "ELSE cast(array() AS array<string>) END"
+        ).alias("grams"),
+    )
+    counts = (
+        base.select("doc_id", F.explode("grams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = (
+        counts.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("n"), "gram")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("gram").alias("top_bigram"), F.col("n").alias("top_bigram_n"))
+    )
+    return (
+        base.drop("grams")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct_words",
+            _udiv("(n_words - n_distinct_words)", "n_words").alias("dup_word_frac_u"),
+            F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+            F.coalesce("top_bigram_n", F.lit(0)).cast("long").alias("top_bigram_n"),
+            _udiv(
+                "coalesce(top_bigram_n, 0)",
+                "greatest(n_words - 1, 0)",
+            ).alias("top_bigram_frac_u"),
+        )
     )
 
 

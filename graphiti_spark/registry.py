@@ -118,13 +118,36 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = docs.lang_id(docs.read_documents(spark, sf_dir))
+    hit_cols = ["en_hits", "de_hits", "fr_hits", "es_hits", "zh_hits"]
     return out.select(
         "doc_id",
         "lang_declared",
-        F.col("en_hits").cast("long").alias("en_hits"),
-        F.col("de_hits").cast("long").alias("de_hits"),
-        F.col("fr_hits").cast("long").alias("fr_hits"),
+        *[F.col(c).cast("long").alias(c) for c in hit_cols],
         "lang_guess",
+    )
+
+
+def q_doc_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = docs.gopher_rules(docs.read_documents(spark, sf_dir))
+    return out.select(
+        "doc_id", *[F.col(c).cast("long").alias(c) for c in out.columns[1:]]
+    )
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = docs.repetition_stats(docs.read_documents(spark, sf_dir))
+    longs = [
+        "n_words",
+        "n_distinct_words",
+        "dup_word_frac_u",
+        "top_bigram_n",
+        "top_bigram_frac_u",
+    ]
+    return out.select(
+        "doc_id",
+        *[F.col(c).cast("long").alias(c) for c in longs[:3]],
+        "top_bigram",
+        *[F.col(c).cast("long").alias(c) for c in longs[3:]],
     )
 
 
@@ -702,6 +725,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_tokens": q_doc_tokens,
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
+    "doc_gopher": q_doc_gopher,
+    "doc_repetition": q_doc_repetition,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_dedup_exact": q_doc_dedup_exact,
     "doc_ngram_pairs": q_doc_ngram_pairs,
@@ -871,6 +896,8 @@ _BPE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 _EN_SQL = r"\b(the|and|of|is|in|to|a|for|on|with)\b"
 _DE_SQL = r"\b(der|die|das|und|ist|nicht|ein|zu)\b"
 _FR_SQL = r"\b(le|la|les|et|est|une|dans|pour)\b"
+_ES_SQL = r"\b(el|los|las|de|que|y|en|un|para)\b"
+_CJK_SQL = r"[\x{4e00}-\x{9fff}]"
 
 
 def _sql_doc_tokens() -> str:
@@ -913,14 +940,87 @@ WITH h AS (
   SELECT doc_id, lang AS lang_declared,
          len(regexp_extract_all(lower(text), '{_EN_SQL}')) AS en_hits,
          len(regexp_extract_all(lower(text), '{_DE_SQL}')) AS de_hits,
-         len(regexp_extract_all(lower(text), '{_FR_SQL}')) AS fr_hits
+         len(regexp_extract_all(lower(text), '{_FR_SQL}')) AS fr_hits,
+         len(regexp_extract_all(lower(text), '{_ES_SQL}')) AS es_hits,
+         len(regexp_extract_all(text, '{_CJK_SQL}')) AS zh_hits
   FROM documents
 )
 SELECT *,
-       CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
-            WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
-            WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END AS lang_guess
+       CASE WHEN zh_hits > greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'zh'
+            WHEN en_hits >= greatest(de_hits, fr_hits, es_hits) AND en_hits > 0 THEN 'en'
+            WHEN de_hits >= greatest(fr_hits, es_hits) AND de_hits > 0 THEN 'de'
+            WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
+            WHEN es_hits > 0 THEN 'es' ELSE 'und' END AS lang_guess
 FROM h"""
+
+
+_GOPHER_STOPS_SQL = " + ".join(
+    rf"(CASE WHEN regexp_matches(lower(text), '\b{w}\b') THEN 1 ELSE 0 END)"
+    for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+
+
+def _sql_doc_gopher() -> str:
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_words,
+         len(regexp_extract_all(lower(text), '[a-z0-9]')) AS n_word_chars,
+         len(regexp_extract_all(lower(text), '[0-9]*[a-z][a-z0-9]*')) AS n_alpha_words,
+         len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_symbols,
+         {_GOPHER_STOPS_SQL} AS stop_distinct
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, n_words,
+         (n_word_chars * 1000000) // greatest(n_words, 1) AS mean_word_len_u,
+         (n_alpha_words * 1000000) // greatest(n_words, 1) AS frac_alpha_words_u,
+         (n_symbols * 1000000) // greatest(n_words, 1) AS symbol_ratio_u,
+         stop_distinct
+  FROM base
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_word_count,
+         CASE WHEN mean_word_len_u BETWEEN 3000000 AND 10000000 THEN 1 ELSE 0 END AS r_mean_word_len,
+         CASE WHEN symbol_ratio_u <= 100000 THEN 1 ELSE 0 END AS r_symbol,
+         CASE WHEN frac_alpha_words_u >= 800000 THEN 1 ELSE 0 END AS r_alpha,
+         CASE WHEN stop_distinct >= 2 THEN 1 ELSE 0 END AS r_stop
+  FROM sig
+)
+SELECT *, r_word_count * r_mean_word_len * r_symbol * r_alpha * r_stop AS keep
+FROM flagged"""
+
+
+def _sql_doc_repetition() -> str:
+    return """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+),
+base AS (
+  SELECT doc_id, len(toks) AS n_words, len(list_distinct(toks)) AS n_distinct_words, toks
+  FROM tok
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
+  FROM base
+),
+counts AS (SELECT doc_id, gram, count(*) AS n FROM grams GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, gram AS top_bigram, n AS top_bigram_n FROM (
+    SELECT doc_id, gram, n,
+           row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, gram) AS rn
+    FROM counts
+  ) WHERE rn = 1
+)
+SELECT b.doc_id, b.n_words, b.n_distinct_words,
+       ((b.n_words - b.n_distinct_words) * 1000000) // greatest(b.n_words, 1) AS dup_word_frac_u,
+       coalesce(t.top_bigram, '') AS top_bigram,
+       coalesce(t.top_bigram_n, 0) AS top_bigram_n,
+       (coalesce(t.top_bigram_n, 0) * 1000000) // greatest(b.n_words - 1, 1) AS top_bigram_frac_u
+FROM base b LEFT JOIN top t USING (doc_id)"""
 
 
 _NORM_SQL = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
@@ -1017,6 +1117,8 @@ ORACLES: dict[str, Callable[[], str]] = {
     "doc_tokens": _sql_doc_tokens,
     "doc_quality": _sql_doc_quality,
     "doc_langid": _sql_doc_langid,
+    "doc_gopher": _sql_doc_gopher,
+    "doc_repetition": _sql_doc_repetition,
     "doc_fingerprint": _sql_doc_fingerprint,
     "doc_dedup_exact": _sql_doc_dedup_exact,
     "doc_ngram_pairs": _sql_doc_ngram_pairs,

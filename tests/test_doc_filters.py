@@ -1,0 +1,61 @@
+"""Semantics of the Gopher-rule and repetition operators on hand-built
+documents (the oracle gate pins them corpus-wide; this pins the rule
+boundaries and tie-breaks on crafted rows)."""
+
+from __future__ import annotations
+
+from graphiti_spark.operators.docs import gopher_rules, lang_id, repetition_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(rows)], "doc_id long, text string, lang string"
+    )
+
+
+def test_gopher_rules_boundaries(spark):
+    good = "the quick brown fox jumps over a lazy dog and that is fine " * 5
+    short = "too short to pass"
+    symbolic = ("the and of " + "# " * 40) * 3
+    df = gopher_rules(_docs(spark, [good, short, symbolic]))
+    rows = {r["doc_id"]: r.asDict() for r in df.collect()}
+
+    assert rows[0]["keep"] == 1
+    assert rows[0]["stop_distinct"] >= 2
+    # 17 words < 50 -> word-count rule rejects, others may pass
+    assert rows[1]["r_word_count"] == 0 and rows[1]["keep"] == 0
+    # symbol ratio 40/43 words per repeat >> 0.1 -> symbol rule rejects
+    assert rows[2]["r_symbol"] == 0 and rows[2]["keep"] == 0
+    # '#' is not a word, so frac_alpha stays 1.0 for all-letter words
+    assert rows[2]["frac_alpha_words_u"] == 1_000_000
+
+
+def test_repetition_stats_counts(spark):
+    # "a b a b a" -> bigrams: (a b, b a, a b, b a) -> top "a b" x2 (tie
+    # with "b a" x2 broken lexicographically), 5 words / 2 distinct
+    df = repetition_stats(_docs(spark, ["a b a b a", "solo", ""]))
+    rows = {r["doc_id"]: r.asDict() for r in df.collect()}
+
+    r = rows[0]
+    assert (r["n_words"], r["n_distinct_words"]) == (5, 2)
+    assert r["dup_word_frac_u"] == (3 * 1_000_000) // 5
+    assert (r["top_bigram"], r["top_bigram_n"]) == ("a b", 2)
+    assert r["top_bigram_frac_u"] == (2 * 1_000_000) // 4
+    # single-word and empty docs: no bigram, zero fractions
+    for d in (1, 2):
+        assert rows[d]["top_bigram"] == "" and rows[d]["top_bigram_n"] == 0
+        assert rows[d]["top_bigram_frac_u"] == 0
+
+
+def test_lang_id_legs(spark):
+    rows = [
+        "the cat is on the mat and it is fine",
+        "der hund ist nicht zu klein und das ist gut",
+        "le chat est dans la maison pour une nuit",
+        "el perro que corre en un parque para los gatos",
+        "中文文本测试内容",
+        "zzz qqq xxx",
+    ]
+    df = lang_id(_docs(spark, rows))
+    got = {r["doc_id"]: r["lang_guess"] for r in df.collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "zh", 5: "und"}
