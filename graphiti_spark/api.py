@@ -369,23 +369,24 @@ class GraphitiSpark:
     def remove_episodes(self, episode_uuids: list[str]) -> None:
         """graphiti.py:758-787: drop the episodes, their MENTIONS rows, and
         edges whose only provenance was those episodes; entity nodes
-        mentioned nowhere else are removed."""
+        mentioned nowhere else are removed.
+
+        Set-wise (operators/maintenance.py): the list is lifted into a
+        DataFrame so the 1-episode call and a domain-takedown bulk purge
+        take the same distributed plan."""
+        from .operators.maintenance import remove_episodes_tables
+
         t = self._t()
-        uuids = [F.lit(u) for u in episode_uuids]
-        t.episodes = t.episodes.where(~F.col("uuid").isin(episode_uuids))
-        t.edges = (
-            t.edges.withColumn(
-                "episodes",
-                F.array_except(F.col("episodes"), F.array(*uuids)),
-            ).where(F.size("episodes") > 0)
+        removed = self.spark.createDataFrame(
+            [(u,) for u in episode_uuids], "uuid string"
         )
-        t.mention_edges = t.mention_edges.where(
-            ~F.col("episode_uuid").isin(episode_uuids)
+        eps, edges, mentions, nodes = remove_episodes_tables(
+            t.episodes, t.edges, t.mention_edges, t.nodes, removed
         )
-        still = t.mention_edges.select(
-            F.col("entity_uuid").alias("uuid")
-        ).distinct()
-        t.nodes = t.nodes.join(still, "uuid", "left_semi")
+        t.episodes = eps
+        t.edges = edges
+        t.mention_edges = mentions
+        t.nodes = nodes
 
     def build_indices_and_constraints(self) -> None:
         """No-op: parquet/Iceberg column stats + partition pruning replace

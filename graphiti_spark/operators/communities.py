@@ -151,11 +151,16 @@ def build_communities(
 
 
 def determine_entity_community(
-    entity_uuid: str, labels: DataFrame, edges: DataFrame
+    entity_uuid: str | None, labels: DataFrame, edges: DataFrame
 ) -> DataFrame:
     """X17 (community_operations.py:261-298): the plurality community among
-    an existing node's neighbors — the incremental attach rule."""
-    proj = neighbor_projection(edges).where(F.col("uuid") == entity_uuid)
+    an existing node's neighbors — the incremental attach rule. With
+    entity_uuid=None the rule is applied to EVERY node at once (the bulk
+    re-attach after a backfill): same plan minus the key filter, one vote
+    round over the converged labels."""
+    proj = neighbor_projection(edges)
+    if entity_uuid is not None:
+        proj = proj.where(F.col("uuid") == entity_uuid)
     nbr_lab = proj.join(
         labels.select(
             "group_id", F.col("uuid").alias("nbr"), F.col("community").alias("nbr_comm")

@@ -315,3 +315,84 @@ def ngram_jaccard_pairs(
         .limit(top)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate (paragraph) dedup and PII scrubbing.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b555-[0-9]{3}-[0-9]{4}\b"
+PII_IP = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def boilerplate_dedup(
+    paras: DataFrame,
+    url_col: str = "url",
+    pos_col: str = "chunk_idx",
+    text_col: str = "content",
+    min_urls: int = 2,
+) -> DataFrame:
+    """C4-style cross-document boilerplate removal (Raffel et al. 2020
+    §2.2: spans occurring more than once in the corpus are dropped;
+    CCNet applies the same rule per paragraph). Input is a paragraph
+    table (url, position, text); a paragraph whose exact text appears on
+    >= `min_urls` distinct urls is removed from EVERY document.
+
+    Plan (the shape that holds at crawl scale): hash each paragraph to a
+    32-hex digest FIRST, so the corpus-wide frequency shuffle and the
+    membership join back ship fixed-width keys, never paragraph bodies;
+    one partial-agg groupBy + one left-anti-style join, no self-join.
+    Returns per url: n_paras, n_kept, md5 of the retained text (the
+    deterministic stand-in for rewriting the document)."""
+    p = paras.select(
+        F.col(url_col).alias("url"),
+        F.col(pos_col).alias("pos"),
+        F.col(text_col).alias("para"),
+    ).withColumn("ph", F.md5("para"))
+    freq = p.groupBy("ph").agg(F.count_distinct("url").alias("n_urls"))
+    boiler = freq.where(F.col("n_urls") >= min_urls).select(
+        "ph", F.lit(1).alias("is_boiler")
+    )
+    flagged = p.join(boiler, "ph", "left")  # boiler is tiny vs corpus; AQE broadcasts
+    kept_struct = F.when(F.col("is_boiler").isNull(), F.struct("pos", "para"))
+    return (
+        flagged.groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.when(F.col("is_boiler").isNull(), 1).otherwise(0)).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s["para"],
+                    ),
+                    "\n\n",
+                )
+            ).alias("kept_md5"),
+        )
+    )
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction (the CCNet/Dolma-style scrub pass every
+    web-text pipeline runs before training): emails, NANP-style phone
+    numbers and IPv4 literals are counted and replaced by typed
+    placeholder tokens. One narrow whole-stage-codegen projection — the
+    regexes live in the JVM, the 100 TB plan is a pure map with no
+    shuffle. Patterns are written in the Java/RE2 common subset so the
+    DuckDB oracle runs them verbatim. Returns (doc_id, n_emails,
+    n_phones, n_ips, redacted_md5)."""
+    t = F.col(text_col)
+    red = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    red = F.regexp_replace(red, PII_PHONE, "<PHONE>")
+    red = F.regexp_replace(red, PII_IP, "<IP>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_PHONE)).alias("n_phones"),
+        F.regexp_count(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"), F.lit(PII_IP)
+        ).alias("n_ips"),
+        F.md5(red).alias("redacted_md5"),
+    )

@@ -1,0 +1,60 @@
+"""Provenance-aware episode removal (S11).
+
+The reference's remove_episode (graphiti.py:758-787) deletes an episode,
+then deletes edges whose ONLY provenance was that episode and entity
+nodes mentioned nowhere else. The Spark re-expression is set-wise — the
+removal set is a DataFrame, so the 1-episode API call and a
+million-episode GDPR purge are the same plan:
+
+  * episodes: anti-join on uuid,
+  * edges: explode the provenance array, anti-join the removed set,
+    regroup — an edge with no surviving provenance disappears; the
+    regrouped array is sorted, matching the builder's
+    array_sort(collect_set(...)) representation,
+  * mentions: anti-join on episode_uuid,
+  * nodes: semi-join against entities that still have a mention.
+
+Every step is a key join on a skinny projection (uuid / episode_uuid
+only); nothing is collected, nothing is broadcast by hint — at crawl
+scale the removed set may itself be huge (a whole domain takedown) and
+AQE picks the join strategy from measured sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def remove_episodes_tables(
+    episodes: DataFrame,
+    edges: DataFrame,
+    mention_edges: DataFrame,
+    nodes: DataFrame,
+    removed: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """`removed`: a 1-column DataFrame of episode uuids to delete.
+    Returns (episodes', edges', mention_edges', nodes')."""
+    removed = removed.select(F.col(removed.columns[0]).alias("uuid")).distinct()
+
+    episodes_out = episodes.join(removed, "uuid", "left_anti")
+
+    # edge provenance: drop removed episodes from each array; edges left
+    # with no provenance are deleted (graphiti.py:772-781)
+    prov = edges.select("uuid", F.explode("episodes").alias("ep"))
+    surviving = (
+        prov.join(removed.select(F.col("uuid").alias("ep")), "ep", "left_anti")
+        .groupBy("uuid")
+        .agg(F.array_sort(F.collect_set("ep")).alias("episodes"))
+    )
+    edges_out = edges.drop("episodes").join(surviving, "uuid")
+
+    mentions_out = mention_edges.join(
+        removed.select(F.col("uuid").alias("episode_uuid")), "episode_uuid", "left_anti"
+    )
+
+    still_mentioned = mentions_out.select(
+        F.col("entity_uuid").alias("uuid")
+    ).distinct()
+    nodes_out = nodes.join(still_mentioned, "uuid", "left_semi")
+
+    return episodes_out, edges_out, mentions_out, nodes_out

@@ -48,11 +48,13 @@ def add_triplets(
 
     def attach(side: str) -> DataFrame:
         nonlocal t
-        m = existing.select(
-            "group_id",
-            F.col("node_norm").alias(f"{side}_norm"),
-            F.col("node_uuid").alias(f"{side}_uuid_existing"),
-        ).dropDuplicates(["group_id", f"{side}_norm"])
+        # deterministic pick when two canonical nodes share a normalized
+        # name (min uuid), instead of dropDuplicates' arbitrary row
+        m = (
+            existing.groupBy(
+                "group_id", F.col("node_norm").alias(f"{side}_norm")
+            ).agg(F.min("node_uuid").alias(f"{side}_uuid_existing"))
+        )
         t2 = t.join(m, ["group_id", f"{side}_norm"], "left")  # entity-scaled: AQE decides
         return t2.withColumn(
             f"{side}_uuid",

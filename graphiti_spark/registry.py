@@ -97,6 +97,160 @@ def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_node_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-derived node summaries (X15): identity sentence + the
+    node's K earliest facts, the deterministic analogue of the
+    reference's <=500-word LLM summary (prompts/summarize_nodes.py:48-125,
+    node_operations.py:357-376). Built once at materialization time
+    (operators/summaries.py); this query just reads the column."""
+    t = _graph(spark, sf_dir)
+    return t.nodes.select("group_id", "name", "summary")
+
+
+def q_kg_episode_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nodes_and_edges_by_episode (Q16/S8 provenance expansion,
+    reference graphiti.py:789-812) as a set query: for every episode in a
+    deterministic selection (uuid md5 starting 'a'), the number of
+    mentioned canonical entities and of fact edges carrying the episode
+    in their provenance array. Mention leg is a key join on the skinny
+    mention table; edge leg explodes the provenance array — both
+    partial-agg before the join back."""
+    t = _graph(spark, sf_dir)
+    eps = t.episodes.where(F.col("uuid").startswith("a")).select(
+        F.col("uuid").alias("episode_uuid")
+    )
+    nn = (
+        t.mention_edges.join(eps, "episode_uuid")
+        .groupBy("episode_uuid")
+        .agg(F.count_distinct("entity_uuid").alias("n_nodes"))
+    )
+    ee = (
+        t.edges.select(F.explode("episodes").alias("episode_uuid"), "uuid")
+        .join(eps, "episode_uuid")
+        .groupBy("episode_uuid")
+        .agg(F.count_distinct("uuid").alias("n_edges"))
+    )
+    return (
+        eps.join(nn, "episode_uuid", "left")
+        .join(ee, "episode_uuid", "left")
+        .select(
+            "episode_uuid",
+            F.coalesce("n_nodes", F.lit(0)).cast("long").alias("n_nodes"),
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+        )
+    )
+
+
+def q_kg_remove_episode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-aware episode removal (S11, graphiti.py:758-787): drop a
+    deterministic ~25% of episodes (uuid md5 starting 0-3), then emit the
+    surviving canonical edges with their remaining provenance counts.
+    Functional over the cached graph (operators/maintenance.py) — the
+    memoized tables are not mutated."""
+    from .operators.maintenance import remove_episodes_tables
+
+    t = _graph(spark, sf_dir)
+    removed = t.episodes.where(
+        F.substring("uuid", 1, 1).isin("0", "1", "2", "3")
+    ).select("uuid")
+    _eps, edges2, _men, _nodes = remove_episodes_tables(
+        t.episodes, t.edges, t.mention_edges, t.nodes, removed
+    )
+    subj = t.nodes.select(
+        F.col("uuid").alias("source_node_uuid"), F.col("name").alias("subj")
+    )
+    obj = t.nodes.select(
+        F.col("uuid").alias("target_node_uuid"), F.col("name").alias("obj")
+    )
+    return (
+        edges2.join(subj, "source_node_uuid")
+        .join(obj, "target_node_uuid")
+        .select(
+            "group_id",
+            "subj",
+            F.col("name").alias("pred"),
+            "obj",
+            F.size("episodes").cast("long").alias("n_episodes_left"),
+        )
+    )
+
+
+def q_kg_community_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental community attach (X17, reference
+    community_operations.py:261-298): the plurality community among a
+    node's neighbors, weighted by edge count, ties toward the larger
+    community id — applied to every node with at least one neighbor (the
+    bulk form of determine_entity_community)."""
+    from .operators.communities import (
+        determine_entity_community,
+        label_propagation,
+    )
+
+    t = _graph(spark, sf_dir)
+    labels = label_propagation(t.nodes, t.edges)
+    att = determine_entity_community(None, labels, t.edges)
+    return att.join(
+        t.nodes.select("uuid", "name"), "uuid"
+    ).select("group_id", "name", F.col("community").cast("long").alias("community"))
+
+
+# add_triplet fixture (X18): two duplicate inserts (provenance merge), one
+# contradiction pair (invalidation re-run), one endpoint ("Dublin") that
+# resolves against the existing graph when present at the given sf
+_ADD_TRIPLETS = [
+    ("src0", "Test Alpha Labs", "BASED_IN", "Dublin",
+     "Test Alpha Labs is based in Dublin.", "2024-03-01 00:00:00", "ep-t1"),
+    ("src0", "Test Alpha Labs", "BASED_IN", "Dublin",
+     "Test Alpha Labs is based in Dublin.", "2024-03-01 00:00:00", "ep-t2"),
+    ("src0", "Test Person", "WORKS_AT", "Test Alpha Labs",
+     "Test Person works at Test Alpha Labs.", "2024-01-15 00:00:00", "ep-t3"),
+    ("src0", "Test Person", "NO_LONGER_WORKS_AT", "Test Alpha Labs",
+     "Test Person left Test Alpha Labs.", "2024-07-01 00:00:00", "ep-t4"),
+]
+
+
+def q_kg_add_triplet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_triplet (X18, reference graphiti.py:723-756): insert literal
+    triplets through the full path — endpoint resolution against the
+    canonical graph by normalized name, deterministic new-node minting,
+    (pair, pred) edge merge with provenance union, and a fresh
+    contradiction-invalidation pass — then emit the edges of the inserted
+    subjects. Functional: the memoized graph is not mutated."""
+    from .operators.triplet import add_triplets
+
+    t = _graph(spark, sf_dir)
+    trip = spark.createDataFrame(
+        _ADD_TRIPLETS,
+        "group_id string, subj_name string, pred string, obj_name string, "
+        "fact string, valid_at string, episode_uuid string",
+    ).withColumn("valid_at", F.to_timestamp("valid_at"))
+    nodes2, edges2 = add_triplets(t.nodes, t.edges, trip)
+    subj = nodes2.select(
+        F.col("uuid").alias("source_node_uuid"), F.col("name").alias("subj")
+    )
+    obj = nodes2.select(
+        F.col("uuid").alias("target_node_uuid"), F.col("name").alias("obj")
+    )
+    return (
+        edges2.join(subj, "source_node_uuid")
+        .join(obj, "target_node_uuid")
+        .where(
+            (F.col("group_id") == "src0")
+            & F.col("subj").isin("Test Alpha Labs", "Test Person")
+        )
+        .select(
+            "group_id",
+            "subj",
+            F.col("name").alias("pred"),
+            "obj",
+            "fact",
+            "valid_at",
+            "invalid_at",
+            F.size("episodes").cast("long").alias("n_episodes"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Document-pipeline queries (training-data ops over `documents`).
 # ---------------------------------------------------------------------------
@@ -172,6 +326,70 @@ def q_doc_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         F.col("shared").cast("long").alias("shared"),
         "jaccard_u",
+    )
+
+
+def q_doc_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document boilerplate removal over the cleaned
+    paragraph table (= the episodes stage: one row per non-empty
+    paragraph with its position)."""
+    t = _graph(spark, sf_dir)
+    out = docs_mod.boilerplate_dedup(
+        t.episodes.select("url", "chunk_idx", "content")
+    )
+    return out.select(
+        "url",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "kept_md5",
+    )
+
+
+def q_doc_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over `documents`. The synthetic corpus carries no PII,
+    so the query plants deterministic doc_id-derived emails / phone
+    numbers / IPv4 literals first (both sides construct the identical
+    augmented text), then counts + redacts them — the machinery under
+    test is the detection/redaction projection, not the seeding."""
+    d = docs.read_documents(spark, sf_dir)
+    did = F.col("doc_id")
+    aug = d.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com today"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((did % 1000).cast("string"), 3, "0"),
+                    F.lit("-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit("."),
+                    (did % 254 + 1).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = docs_mod.pii_scrub(aug)
+    return out.select(
+        "doc_id",
+        *[F.col(c).cast("long").alias(c) for c in ("n_emails", "n_phones", "n_ips")],
+        "redacted_md5",
     )
 
 
@@ -699,6 +917,23 @@ comm AS (
     return body
 
 
+def _sql_kg_community_attach() -> str:
+    n = LPA_ORACLE_ROUNDS
+    body = communities_ctes() + f"""
+, att AS (
+  SELECT group_id, uuid, nbr_comm AS community FROM (
+    SELECT p.group_id, p.uuid, l.community AS nbr_comm,
+           row_number() OVER (PARTITION BY p.group_id, p.uuid
+                              ORDER BY sum(p.edge_count) DESC, l.community DESC) AS rn
+    FROM proj p JOIN l{n} l ON l.group_id = p.group_id AND l.uuid = p.nbr
+    GROUP BY p.group_id, p.uuid, l.community
+  ) WHERE rn = 1
+)
+SELECT a.group_id, n.canon_name AS name, a.community
+FROM att a JOIN canonu n ON n.group_id = a.group_id AND n.uuid = a.uuid"""
+    return _kg_sql(body, with_eds=True)
+
+
 def _sql_kg_communities() -> str:
     return _kg_sql(
         communities_ctes() + "\nSELECT uuid, name, group_id, n_members FROM comm",
@@ -722,6 +957,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_episodes": q_kg_episodes,
     "kg_nodes": q_kg_nodes,
     "kg_mentions": q_kg_mentions,
+    "kg_node_summaries": q_kg_node_summaries,
+    "kg_episode_entities": q_kg_episode_entities,
+    "kg_remove_episode": q_kg_remove_episode,
+    "kg_add_triplet": q_kg_add_triplet,
+    "kg_community_attach": q_kg_community_attach,
+    "doc_para_dedup": q_doc_para_dedup,
+    "doc_pii": q_doc_pii,
     "doc_tokens": q_doc_tokens,
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
@@ -889,6 +1131,249 @@ FROM mentions_g m
 JOIN canon c ON c.group_id = m.group_id AND c.base = m.base
 GROUP BY 1, 2"""
     return _kg_sql(body)
+
+
+# label CTEs shared by the kg_nodes / kg_node_summaries oracles: per-display
+# role vote from triples_g, aggregated over the alias cluster
+_LABELS_CTES = """
+labs AS (
+  SELECT group_id, subj AS name,
+         CASE WHEN pred = 'BASED_IN' THEN 'Organization' ELSE 'Person' END AS label
+  FROM triples_g
+  UNION ALL
+  SELECT group_id, obj,
+         CASE WHEN pred IN ('WORKS_AT','EMPLOYED_AT','NO_LONGER_WORKS_AT','LEADS') THEN 'Organization'
+              WHEN pred IN ('LIKES','DISLIKES','ADMIRES') THEN 'Person' ELSE 'Place' END
+  FROM triples_g
+),
+alias_label AS (SELECT group_id, name, min(label) AS label FROM labs GROUP BY 1, 2),
+nlab AS (
+  SELECT e.group_id, c.canon_name AS name,
+         string_agg(DISTINCT coalesce(al.label, 'Entity'), '/' ORDER BY coalesce(al.label, 'Entity')) AS labels_str
+  FROM ents e
+  JOIN canon c ON c.group_id = e.group_id AND c.base = e.base
+  LEFT JOIN alias_label al ON al.group_id = e.group_id AND al.name = e.name
+  GROUP BY 1, 2
+)"""
+
+
+def _sql_kg_node_summaries() -> str:
+    # mirrors operators/summaries.with_summaries: identity sentence
+    # ("NAME is a L1/L2") + the node's 3 earliest touching facts ordered
+    # by (valid_at, fact), ": "-joined, capped at 500 ws tokens
+    body = f"""
+, {_LABELS_CTES.lstrip()},
+touching AS (
+  SELECT group_id, subj AS name, fact, valid_at FROM eds
+  UNION ALL
+  SELECT group_id, obj, fact, valid_at FROM eds
+),
+topf AS (
+  SELECT *, row_number() OVER (PARTITION BY group_id, name ORDER BY valid_at, fact) AS rn
+  FROM touching
+),
+fsum AS (
+  SELECT group_id, name, string_agg(fact, ' ' ORDER BY rn) AS fact_summary
+  FROM topf WHERE rn <= 3 GROUP BY 1, 2
+)
+SELECT n.group_id, n.name,
+       array_to_string(list_slice(string_split(
+         CASE WHEN f.fact_summary IS NULL THEN n.name || ' is a ' || n.labels_str
+              ELSE n.name || ' is a ' || n.labels_str || ': ' || f.fact_summary END,
+         ' '), 1, 500), ' ') AS summary
+FROM nlab n
+LEFT JOIN fsum f ON f.group_id = n.group_id AND f.name = n.name"""
+    return _kg_sql(body, with_eds=True)
+
+
+def _sql_kg_episode_entities() -> str:
+    body = """
+, eps AS (
+  SELECT md5(url || '|' || (i - 1)) AS episode_uuid
+  FROM (SELECT url,
+               unnest(string_split(clean_text, chr(10) || chr(10))) AS content,
+               generate_subscripts(string_split(clean_text, chr(10) || chr(10)), 1) AS i
+        FROM pages_g)
+  WHERE length(content) > 0
+),
+sel AS (SELECT episode_uuid FROM eps WHERE substr(episode_uuid, 1, 1) = 'a'),
+men AS (
+  SELECT md5(m.url || '|' || m.para_idx) AS episode_uuid,
+         count(DISTINCT m.group_id || '|' || m.base) AS n_nodes
+  FROM mentions_g m GROUP BY 1
+),
+edg AS (
+  SELECT episode_uuid, count(*) AS n_edges FROM (
+    SELECT DISTINCT episode_uuid, group_id, subj,
+           (CASE pred WHEN 'EMPLOYED_AT' THEN 'WORKS_AT' ELSE pred END) AS predclass, obj
+    FROM raw
+  ) GROUP BY 1
+)
+SELECT s.episode_uuid,
+       coalesce(men.n_nodes, 0) AS n_nodes,
+       coalesce(edg.n_edges, 0) AS n_edges
+FROM sel s
+LEFT JOIN men USING (episode_uuid)
+LEFT JOIN edg USING (episode_uuid)"""
+    return _kg_sql(body, with_eds=True)
+
+
+def _sql_kg_remove_episode() -> str:
+    body = """
+, survive AS (
+  SELECT group_id, subj,
+         (CASE pred WHEN 'EMPLOYED_AT' THEN 'WORKS_AT' ELSE pred END) AS predclass, obj,
+         count(DISTINCT episode_uuid)
+           FILTER (WHERE substr(episode_uuid, 1, 1) NOT IN ('0', '1', '2', '3')) AS n_left
+  FROM raw GROUP BY 1, 2, 3, 4
+)
+SELECT e.group_id, e.subj, e.pred, e.obj, s.n_left AS n_episodes_left
+FROM eds e
+JOIN survive s ON s.group_id = e.group_id AND s.subj = e.subj AND s.obj = e.obj
+ AND s.predclass = (CASE e.pred WHEN 'EMPLOYED_AT' THEN 'WORKS_AT' ELSE e.pred END)
+WHERE s.n_left > 0"""
+    return _kg_sql(body, with_eds=True)
+
+
+def _norm_name_sql(col: str) -> str:
+    """SQL mirror of operators/triplet._norm_udf_col (honorific/suffix
+    strip) in the Java/RE2 common subset."""
+    return (
+        f"regexp_replace(regexp_replace(trim(lower({col})), "
+        f"'^(professor |dr\\. |dr |mr\\. |ms\\. |mrs\\. )', ''), "
+        f"' (inc|llc|ltd)$', '')"
+    )
+
+
+_CONTRA_CLASS_SQL = (
+    "CASE {x} WHEN 'WORKS_AT' THEN 'WORKS_AT' WHEN 'EMPLOYED_AT' THEN 'WORKS_AT' "
+    "WHEN 'NO_LONGER_WORKS_AT' THEN 'WORKS_AT' "
+    "WHEN 'LIKES' THEN 'LIKES' WHEN 'DISLIKES' THEN 'LIKES' END"
+)
+_CONTRA_POL_SQL = (
+    "CASE {x} WHEN 'NO_LONGER_WORKS_AT' THEN -1 WHEN 'DISLIKES' THEN -1 ELSE 1 END"
+)
+
+
+def _sql_kg_add_triplet() -> str:
+    vals = ",\n         ".join(
+        f"('{g}', '{s}', '{p}', '{o}', '{f_}', TIMESTAMP '{ts}', '{ep}')"
+        for (g, s, p, o, f_, ts, ep) in _ADD_TRIPLETS
+    )
+    ca = _CONTRA_CLASS_SQL.format(x="a.pred")
+    cb = _CONTRA_CLASS_SQL.format(x="b.pred")
+    pa = _CONTRA_POL_SQL.format(x="a.pred")
+    pb = _CONTRA_POL_SQL.format(x="b.pred")
+    body = f"""
+, canonu AS (
+  SELECT e.group_id, c.canon_name AS name,
+         min(md5('node|' || e.group_id || '|' || e.name)) AS uuid
+  FROM ents e JOIN canon c ON c.group_id = e.group_id AND c.base = e.base
+  GROUP BY 1, 2
+),
+normmap AS (
+  SELECT group_id, {_norm_name_sql('name')} AS norm,
+         min(uuid) AS uuid, arg_min(name, uuid) AS name
+  FROM canonu GROUP BY 1, 2
+),
+new_rows(group_id, subj_in, pred, obj_in, fact, valid_at, episode_uuid) AS (
+  VALUES {vals}
+),
+resolved AS (
+  SELECT n.group_id,
+         coalesce(ms.uuid, md5('node|' || n.group_id || '|' || n.subj_in)) AS src_uuid,
+         coalesce(ms.name, n.subj_in) AS subj,
+         n.pred,
+         coalesce(mo.uuid, md5('node|' || n.group_id || '|' || n.obj_in)) AS dst_uuid,
+         coalesce(mo.name, n.obj_in) AS obj,
+         n.fact, n.valid_at, n.episode_uuid
+  FROM new_rows n
+  LEFT JOIN normmap ms ON ms.group_id = n.group_id AND ms.norm = {_norm_name_sql('n.subj_in')}
+  LEFT JOIN normmap mo ON mo.group_id = n.group_id AND mo.norm = {_norm_name_sql('n.obj_in')}
+),
+merged AS (
+  SELECT group_id, src_uuid, dst_uuid, pred,
+         min(subj) AS subj, min(obj) AS obj, min(fact) AS fact,
+         min(valid_at) AS valid_at,
+         count(DISTINCT episode_uuid) AS n_episodes
+  FROM resolved GROUP BY 1, 2, 3, 4
+),
+inval AS (
+  SELECT a.group_id, a.src_uuid, a.dst_uuid, a.pred, min(b.valid_at) AS contra_valid_at
+  FROM merged a JOIN merged b
+    ON a.group_id = b.group_id AND a.src_uuid = b.src_uuid AND a.dst_uuid = b.dst_uuid
+   AND ({ca}) IS NOT NULL AND ({ca}) = ({cb})
+   AND ({pa}) <> ({pb}) AND b.valid_at > a.valid_at
+  GROUP BY 1, 2, 3, 4
+)
+SELECT m.group_id, m.subj, m.pred, m.obj, m.fact, m.valid_at,
+       i.contra_valid_at AS invalid_at, m.n_episodes
+FROM merged m
+LEFT JOIN inval i ON i.group_id = m.group_id AND i.src_uuid = m.src_uuid
+                 AND i.dst_uuid = m.dst_uuid AND i.pred = m.pred
+WHERE m.group_id = 'src0' AND m.subj IN ('Test Alpha Labs', 'Test Person')"""
+    return _kg_sql(body)
+
+
+def _sql_doc_para_dedup() -> str:
+    ctes = corpus.sql_pages_cte()
+    return (
+        "WITH "
+        + ctes.lstrip()
+        + """,
+paras AS (
+  SELECT url,
+         unnest(string_split(clean_text, chr(10) || chr(10))) AS para,
+         generate_subscripts(string_split(clean_text, chr(10) || chr(10)), 1) AS pos
+  FROM pages_g
+),
+pe AS (SELECT url, pos, para, md5(para) AS ph FROM paras WHERE length(para) > 0),
+boiler AS (SELECT ph FROM pe GROUP BY ph HAVING count(DISTINCT url) >= 2),
+flagged AS (
+  SELECT pe.*, (b.ph IS NOT NULL) AS is_boiler
+  FROM pe LEFT JOIN boiler b USING (ph)
+)
+SELECT url, count(*) AS n_paras,
+       CAST(sum(CASE WHEN is_boiler THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                      FILTER (WHERE NOT is_boiler), '')) AS kept_md5
+FROM flagged GROUP BY url"""
+    )
+
+
+_PII_EMAIL_SQL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE_SQL = r"\b555-[0-9]{3}-[0-9]{4}\b"
+_PII_IP_SQL = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def _sql_doc_pii() -> str:
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com today'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                      || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST(doc_id % 254 + 1 AS VARCHAR)
+                 ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_PII_EMAIL_SQL}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PII_PHONE_SQL}')) AS n_phones,
+       len(regexp_extract_all(regexp_replace(text, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+                              '{_PII_IP_SQL}')) AS n_ips,
+       md5(regexp_replace(regexp_replace(regexp_replace(
+             text, '{_PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE_SQL}', '<PHONE>', 'g'),
+             '{_PII_IP_SQL}', '<IP>', 'g')) AS redacted_md5
+FROM aug"""
 
 
 _BPE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -1114,6 +1599,13 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_episodes": _sql_kg_episodes,
     "kg_nodes": _sql_kg_nodes,
     "kg_mentions": _sql_kg_mentions,
+    "kg_node_summaries": _sql_kg_node_summaries,
+    "kg_episode_entities": _sql_kg_episode_entities,
+    "kg_remove_episode": _sql_kg_remove_episode,
+    "kg_add_triplet": _sql_kg_add_triplet,
+    "kg_community_attach": _sql_kg_community_attach,
+    "doc_para_dedup": _sql_doc_para_dedup,
+    "doc_pii": _sql_doc_pii,
     "doc_tokens": _sql_doc_tokens,
     "doc_quality": _sql_doc_quality,
     "doc_langid": _sql_doc_langid,
