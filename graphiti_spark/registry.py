@@ -822,6 +822,61 @@ def _sql_doc_minhash_dedup() -> str:
     return sql_minhash_pairs(_NEAR_DUP_SQL, threshold=0.5)
 
 
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION: verified MinHash near-dup pairs are closed
+    transitively (connected components, min-label = canonical survivor)
+    and every affected doc gets a (canonical_doc_id, keep) assignment —
+    the step that turns pairwise similarity into the actual drop list a
+    training-data pipeline executes. Reuses the engine's
+    connected_components (F16) over the pair list; at crawl scale the
+    pair graph is tiny relative to the corpus (only near-dups appear)."""
+    from .operators.dedup import minhash_dedup_pairs
+    from .operators.resolve import connected_components
+
+    pairs = minhash_dedup_pairs(_docs_with_near_dups(spark, sf_dir), threshold=0.5)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(edges, verts)
+    return comp.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("canonical_doc_id"),
+        F.when(F.col("id") == F.col("component"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("keep"),
+    )
+
+
+def _sql_doc_dup_clusters() -> str:
+    from .operators.dedup import sql_minhash_pairs
+
+    base = sql_minhash_pairs(_NEAR_DUP_SQL, threshold=0.5)
+    rounds = []
+    for k in range(1, 7):  # 6 min-propagation rounds >= pair-graph diameter
+        prev = f"c{k - 1}"
+        rounds.append(f"""
+c{k} AS MATERIALIZED (
+  SELECT l.id, least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
+  FROM {prev} l
+  LEFT JOIN e2 ON e2.a = l.id
+  LEFT JOIN {prev} n ON n.id = e2.b
+  GROUP BY l.id, l.comp
+)""")
+    return f"""
+WITH pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({base}) q),
+e2 AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       UNION ALL SELECT doc_b, doc_a FROM pairs),
+v AS (SELECT DISTINCT a AS id FROM e2),
+c0 AS (SELECT id, id AS comp FROM v),{",".join(rounds)}
+SELECT id AS doc_id, comp AS canonical_doc_id,
+       CAST(CASE WHEN id = comp THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM c6"""
+
+
 def q_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via 16-bit chunk blocking (pigeonhole) +
     full Hamming verify — oracle-gated like the MinHash path."""
@@ -950,6 +1005,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_mentions_page": q_kg_mentions_page,
     "kg_communities_page": q_kg_communities_page,
     "doc_minhash_dedup": q_doc_minhash_dedup,
+    "doc_dup_clusters": q_doc_dup_clusters,
     "doc_simhash_pairs": q_doc_simhash_pairs,
     "kg_communities": q_kg_communities,
     "kg_triples": q_kg_triples,
@@ -1592,6 +1648,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_mentions_page": _sql_kg_mentions_page,
     "kg_communities_page": _sql_kg_communities_page,
     "doc_minhash_dedup": _sql_doc_minhash_dedup,
+    "doc_dup_clusters": _sql_doc_dup_clusters,
     "doc_simhash_pairs": _sql_doc_simhash_pairs,
     "kg_communities": _sql_kg_communities,
     "kg_triples": _sql_kg_triples,
