@@ -972,6 +972,31 @@ comm AS (
     return body
 
 
+def q_kg_community_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 (communities by nodes, community_operations.py:36-50): the full
+    community membership table — every canonical entity with its
+    community uuid."""
+    from .operators.communities import build_communities
+
+    t = _graph(spark, sf_dir)
+    _, members = build_communities(t.nodes, t.edges)
+    return members.join(
+        t.nodes.select(F.col("uuid").alias("entity_uuid"), "name"), "entity_uuid"
+    ).select("group_id", "community_uuid", "name")
+
+
+def _sql_kg_community_members() -> str:
+    n = LPA_ORACLE_ROUNDS
+    body = communities_ctes() + f"""
+SELECT l.group_id,
+       md5('community|' || l.group_id || '|' || a.anchor_uuid) AS community_uuid,
+       n.canon_name AS name
+FROM l{n} l
+JOIN agg a ON a.group_id = l.group_id AND a.community = l.community
+JOIN canonu n ON n.group_id = l.group_id AND n.uuid = l.uuid"""
+    return _kg_sql(body, with_eds=True)
+
+
 def _sql_kg_community_attach() -> str:
     n = LPA_ORACLE_ROUNDS
     body = communities_ctes() + f"""
@@ -1018,6 +1043,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_remove_episode": q_kg_remove_episode,
     "kg_add_triplet": q_kg_add_triplet,
     "kg_community_attach": q_kg_community_attach,
+    "kg_community_members": q_kg_community_members,
     "doc_para_dedup": q_doc_para_dedup,
     "doc_pii": q_doc_pii,
     "doc_tokens": q_doc_tokens,
@@ -1661,6 +1687,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_remove_episode": _sql_kg_remove_episode,
     "kg_add_triplet": _sql_kg_add_triplet,
     "kg_community_attach": _sql_kg_community_attach,
+    "kg_community_members": _sql_kg_community_members,
     "doc_para_dedup": _sql_doc_para_dedup,
     "doc_pii": _sql_doc_pii,
     "doc_tokens": _sql_doc_tokens,
