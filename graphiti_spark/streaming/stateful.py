@@ -1,0 +1,110 @@
+"""Stateful streaming operators (§2.12 beyond foreachBatch ingest).
+
+Two incremental counterparts of batch aggregations the engine runs over
+mention rows, for deployments that keep a live graph instead of running
+periodic compaction:
+
+* `windowed_mention_counts` — per-entity mention counts in event-time
+  windows over `valid_at` (= warc_ts), with a watermark bounding state
+  for late-arriving crawl segments. Pure built-in streaming aggregation:
+  state lives in the HDFS/RocksDB state store, partial aggregation is
+  map-side, and the watermark evicts closed windows — the standard
+  late-data design from the Structured Streaming model.
+
+* `entity_mention_state` — a custom stateful operator via
+  `applyInPandasWithState`: per (group_id, name) it maintains
+  (n_mentions, first_seen, last_seen) across micro-batches and emits the
+  updated totals each batch (the live analogue of the batch
+  `kg_mentions` rollup + the first/last-seen attributes). State is keyed
+  and Arrow-batched; timestamps are held as epoch micros in the state
+  row (state schemas keep to primitive types).
+
+The reference has no streaming surface (its ingest queue serializes
+per-group episodes, server/graph_service/routers/ingest.py:13-48); these
+operators are the capability a crawl-scale deployment needs on top.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+MENTION_STATE_OUTPUT = StructType(
+    [
+        StructField("group_id", StringType()),
+        StructField("name", StringType()),
+        StructField("n_mentions", LongType()),
+        StructField("first_seen", TimestampType()),
+        StructField("last_seen", TimestampType()),
+    ]
+)
+
+_MENTION_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("first_us", LongType()),
+        StructField("last_us", LongType()),
+    ]
+)
+
+
+def windowed_mention_counts(
+    mentions: DataFrame, window: str = "1 day", watermark: str = "2 days"
+) -> DataFrame:
+    """Event-time windowed mention counts with bounded late-data state.
+    `mentions`: streaming (group_id, name, valid_at)."""
+    return (
+        mentions.withWatermark("valid_at", watermark)
+        .groupBy(F.window("valid_at", window), "group_id", "name")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
+
+
+def _update_entity_state(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    group_id, name = key
+    if state.exists:
+        n, first_us, last_us = state.get
+    else:
+        n, first_us, last_us = 0, None, None
+    for pdf in pdfs:
+        ts = pd.to_datetime(pdf["valid_at"])
+        n += len(pdf)
+        lo = int(ts.min().value // 1_000)
+        hi = int(ts.max().value // 1_000)
+        first_us = lo if first_us is None else min(first_us, lo)
+        last_us = hi if last_us is None else max(last_us, hi)
+    state.update((n, first_us, last_us))
+    yield pd.DataFrame(
+        {
+            "group_id": [group_id],
+            "name": [name],
+            "n_mentions": [n],
+            "first_seen": [pd.Timestamp(first_us * 1_000)],
+            "last_seen": [pd.Timestamp(last_us * 1_000)],
+        }
+    )
+
+
+def entity_mention_state(mentions: DataFrame) -> DataFrame:
+    """Incremental per-entity rollup across micro-batches. `mentions`:
+    streaming (group_id, name, valid_at). Emits one updated row per
+    touched entity per batch (outputMode 'update')."""
+    return mentions.groupBy("group_id", "name").applyInPandasWithState(
+        _update_entity_state,
+        outputStructType=MENTION_STATE_OUTPUT,
+        stateStructType=_MENTION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
