@@ -1,17 +1,22 @@
 """Multimodal columns: image/audio/video as opaque BINARY columns with
 typed metadata, processed via Arrow-batched mapInPandas.
 
-The image path is REAL end-to-end: payloads are PNG bytes, decoded by the
-pure-Python/numpy codec in functions/png.py (8-bit RGB/RGBA, all filter
-types), features/resize operate on actual pixels, and the resize stage
-re-encodes real PNGs. Swapping the codec for PIL/libjpeg-turbo in
-production only changes the inside of the batch function — every Spark
-plan stays identical.
+ALL THREE modalities are REAL end-to-end, on pure-numpy codecs for
+public formats (no imaging/codec libraries exist in this sandbox):
 
-Audio decode and video CONTAINER demuxing remain stubbed (no codec
-libraries exist in this sandbox): `sample_frames` synthesizes
-deterministic frames (clearly marked) while keeping the UDTF-like
-explode shape a real pyav/ffmpeg sampler needs.
+- image: PNG via functions/png.py (8-bit RGB/RGBA, all filter types) —
+  features/resize operate on actual pixels, resize re-encodes real PNGs;
+- audio: WAV (RIFF/PCM 8/16-bit) via functions/wav.py — features (RMS,
+  zero-crossings, duration) computed on actual decoded samples;
+- video: YUV4MPEG2 container via functions/y4m.py — REAL demux of the
+  frame stream, fps-aware sampling, sampled frames re-encoded as PNGs.
+  Payloads in compressed containers this sandbox can't decode (mp4 etc.)
+  fall back to a clearly-marked deterministic synthesized frame so the
+  explode shape survives mixed corpora.
+
+Swapping these codecs for PIL / soundfile / pyav in production only
+changes the inside of the batch function — every Spark plan stays
+identical (bytes in, arrays out).
 
 At 100 TB: media tables are partitioned by (modality, bucket(content_id));
 decode stages are the rare CPU-heavy Python stages where
@@ -30,6 +35,8 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 from ..functions.png import png_decode, png_encode
+from ..functions.wav import wav_decode, wav_encode
+from ..functions.y4m import y4m_decode, y4m_encode
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -67,32 +74,53 @@ def _synth_pixels(i: int, w: int, h: int) -> np.ndarray:
     return np.clip(base + noise, 0, 255).astype(np.uint8)
 
 
+def _synth_audio(i: int, rate: int = 8000) -> tuple[bytes, int]:
+    """Deterministic stereo PCM clip: two detuned sines + seeded noise.
+    Returns (wav_bytes, duration_ms)."""
+    rng = np.random.RandomState(i)
+    n = rate * (1 + i % 3) // 2  # 0.5-1.5 s
+    t = np.arange(n) / rate
+    f0 = 110.0 * (1 + i % 8)
+    left = 0.6 * np.sin(2 * np.pi * f0 * t) + 0.05 * rng.randn(n)
+    right = 0.6 * np.sin(2 * np.pi * (f0 * 1.5) * t) + 0.05 * rng.randn(n)
+    sig = np.clip(np.stack([left, right], axis=1), -1, 1)
+    return wav_encode(sig, rate), int(round(1000.0 * n / rate))
+
+
+def _synth_video(i: int, w: int, h: int, fps: int = 10) -> tuple[bytes, int]:
+    """Deterministic Y4M clip: 3-8 gradient frames with a moving phase.
+    Returns (y4m_bytes, duration_ms)."""
+    n_frames = 3 + i % 6
+    frames = [_synth_pixels(i * 100 + k, w, h) for k in range(n_frames)]
+    return y4m_encode(frames, fps=(fps, 1)), int(round(1000.0 * n_frames / fps))
+
+
 def synth_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic media table for tests: image payloads are REAL PNGs
-    (encoded by functions/png.py); audio/video payloads are opaque seeded
-    bytes (their decoders are the stubbed modalities)."""
+    """Deterministic media table for tests — ALL payloads are real,
+    decodable containers: PNG images, RIFF/PCM WAV audio, YUV4MPEG2
+    video. Every 9th video row is an opaque (mp4-like) payload to pin
+    the mixed-corpus fallback path of sample_frames."""
     rows = []
     for i in range(n):
         rng = np.random.RandomState(i)
         modality = ["image", "audio", "video"][i % 3]
-        w = 64 + i % 16 if modality != "audio" else None
-        h = 48 + i % 16 if modality != "audio" else None
+        # even dimensions — Y4M C420 requires them
+        w = 64 + 2 * (i % 8) if modality != "audio" else None
+        h = 48 + 2 * (i % 8) if modality != "audio" else None
+        duration_ms = None
         if modality == "image":
-            payload = png_encode(_synth_pixels(i, w, h))
+            payload, mime = png_encode(_synth_pixels(i, w, h)), "image/png"
+        elif modality == "audio":
+            payload, duration_ms = _synth_audio(i)
+            mime = "audio/wav"
+        elif i % 9 == 5:  # opaque compressed container (no codec here)
+            payload, mime = rng.bytes(256 + (i % 5) * 64), "video/mp4"
+            duration_ms = 1000 + 37 * i
         else:
-            payload = rng.bytes(256 + (i % 5) * 64)
+            payload, duration_ms = _synth_video(i, w, h)
+            mime = "video/x-yuv4mpeg"
         rows.append(
-            (
-                f"m{i:04d}",
-                modality,
-                bytearray(payload),
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[
-                    modality
-                ],
-                w,
-                h,
-                (1000 + 37 * i) if modality != "image" else None,
-            )
+            (f"m{i:04d}", modality, bytearray(payload), mime, w, h, duration_ms)
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -176,12 +204,69 @@ def resize_images(media: DataFrame, w: int, h: int) -> DataFrame:
     )
 
 
+AUDIO_FEATURES_SCHEMA = (
+    "content_id string, n_bytes long, sample_rate int, n_channels int,"
+    " n_samples long, duration_ms long, rms double, peak double,"
+    " zero_crossings long"
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode (RIFF/PCM via functions/wav.py) -> clip-level
+    features on actual samples: RMS energy, peak amplitude, zero-crossing
+    count of the channel mean — the shape a loudness/VAD/quality filter
+    stage takes at crawl scale. Undecodable payloads yield a row with
+    null sample fields (counted, never dropped silently)."""
+    auds = media.where(F.col("modality") == "audio").select("content_id", "payload")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for cid, p in zip(pdf["content_id"], pdf["payload"]):
+                raw = bytes(p)
+                try:
+                    samples, rate = wav_decode(raw)
+                except ValueError:
+                    rows.append((cid, len(raw), None, None, None, None,
+                                 None, None, None))
+                    continue
+                mono = samples.mean(axis=1)
+                rows.append(
+                    (
+                        cid,
+                        len(raw),
+                        rate,
+                        samples.shape[1],
+                        samples.shape[0],
+                        int(round(1000.0 * samples.shape[0] / rate)),
+                        float(np.sqrt(np.mean(mono**2))),
+                        float(np.abs(samples).max()),
+                        int(np.count_nonzero(np.diff(np.signbit(mono)))),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "content_id", "n_bytes", "sample_rate", "n_channels",
+                    "n_samples", "duration_ms", "rms", "peak", "zero_crossings",
+                ],
+            )
+
+    return auds.mapInPandas(gen, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
-    """Video frame sampling — CONTAINER DEMUX STUBBED (no pyav/ffmpeg in
-    this sandbox): one deterministic synthesized frame (a real PNG) per
-    every_ms of declared duration, seeded from the payload. Output
-    explodes one row per sampled frame — the UDTF-like batch shape a real
-    sampler needs; swapping in pyav only changes the frame source."""
+    """Video frame sampling with REAL container demux: Y4M payloads are
+    demuxed (functions/y4m.py), frames are selected at every_ms intervals
+    using the container's own fps, and each sampled frame is re-encoded
+    as a real PNG. Output explodes one row per sampled frame — the
+    UDTF-like batch shape; swapping in pyav/ffmpeg for compressed
+    containers only changes the frame source. Payloads that are NOT a
+    container this sandbox can decode (e.g. mp4) take the documented
+    fallback: one deterministic synthesized placeholder frame per
+    every_ms of declared duration, seeded from the payload bytes."""
     vids = media.where(F.col("modality") == "video").select(
         "content_id", "payload", "duration_ms"
     )
@@ -196,9 +281,23 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
             for cid, p, dur in zip(
                 pdf["content_id"], pdf["payload"], pdf["duration_ms"]
             ):
+                raw = bytes(p)
+                try:
+                    decoded, (fn, fd) = y4m_decode(raw)
+                except ValueError:
+                    decoded = None
+                if decoded is not None:
+                    # real path: frame k is at t = k * fd/fn seconds
+                    step = max(1, int(round(every_ms * fn / (1000.0 * fd))))
+                    for out_idx, k in enumerate(range(0, len(decoded), step)):
+                        ids.append(cid)
+                        idxs.append(out_idx)
+                        frames.append(png_encode(decoded[k]))
+                    continue
+                # fallback (compressed container, no codec in sandbox)
                 n = max(1, int(dur or 0) // every_ms)
                 for k in range(n):
-                    seed = zlib.crc32(bytes(p) + k.to_bytes(4, "little")) & 0x7FFFFFFF
+                    seed = zlib.crc32(raw + k.to_bytes(4, "little")) & 0x7FFFFFFF
                     ids.append(cid)
                     idxs.append(k)
                     frames.append(png_encode(_synth_pixels(seed % 10_000, 8, 8)))

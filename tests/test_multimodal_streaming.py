@@ -57,15 +57,93 @@ def test_resize_emits_decodable_pngs(spark):
 
 
 def test_frame_sampling_counts(spark):
-    media = synth_media(spark, 18)
+    """Real Y4M rows sample on the container's own frame grid (fps 10,
+    every 500ms -> every 5th stored frame); opaque mp4 rows take the
+    declared-duration fallback."""
+    from graphiti_spark.functions.y4m import y4m_decode
+
+    media = synth_media(spark, 36)
     frames = sample_frames(media, every_ms=500).toPandas()
-    durs = {
-        r["content_id"]: r["duration_ms"]
-        for r in media.where("modality = 'video'").collect()
-    }
     got = frames.groupby("content_id")["frame_idx"].count().to_dict()
-    for cid, dur in durs.items():
-        assert got[cid] == max(1, dur // 500)
+    for r in media.where("modality = 'video'").collect():
+        if r["mime"] == "video/x-yuv4mpeg":
+            n_stored = len(y4m_decode(bytes(r["payload"]))[0])
+            assert got[r["content_id"]] == len(range(0, n_stored, 5))
+        else:
+            assert got[r["content_id"]] == max(1, r["duration_ms"] // 500)
+
+
+def test_frame_sampling_demuxes_real_pixels(spark):
+    """A sampled frame from a Y4M payload must BE the container's frame:
+    PNG-decode the sample and compare to the demuxed source (exact — both
+    sides of the comparison went through the same YUV420 roundtrip)."""
+    from graphiti_spark.functions.png import png_decode
+    from graphiti_spark.functions.y4m import y4m_decode
+
+    media = synth_media(spark, 12)
+    row = (
+        media.where("mime = 'video/x-yuv4mpeg'")
+        .orderBy("content_id")
+        .limit(1)
+        .collect()[0]
+    )
+    src_frames, _ = y4m_decode(bytes(row["payload"]))
+    out = (
+        sample_frames(media.where(F.col("content_id") == row["content_id"]),
+                      every_ms=500)
+        .orderBy("frame_idx")
+        .collect()
+    )
+    first = png_decode(bytes(out[0]["frame_payload"]))
+    assert (first == src_frames[0]).all()
+
+
+def test_audio_features_real_decode(spark):
+    """audio_features decodes actual PCM: check rate/channels/duration
+    against the synthesizer's parameters and RMS against a driver-side
+    decode of the same payload."""
+    from graphiti_spark.functions.wav import wav_decode
+    from graphiti_spark.operators.multimodal import audio_features
+
+    media = synth_media(spark, 24)
+    feats = audio_features(media).toPandas().set_index("content_id")
+    rows = media.where("modality = 'audio'").collect()
+    assert len(feats) == len(rows)
+    for r in rows:
+        samples, rate = wav_decode(bytes(r["payload"]))
+        f = feats.loc[r["content_id"]]
+        assert f["sample_rate"] == rate == 8000
+        assert f["n_channels"] == 2
+        assert f["n_samples"] == samples.shape[0]
+        mono = samples.mean(axis=1)
+        assert abs(f["rms"] - float(np.sqrt(np.mean(mono**2)))) < 1e-9
+        assert 0.3 < f["rms"] < 0.7  # a 0.6-amplitude sine has RMS ~0.42
+
+
+def test_wav_codec_roundtrip():
+    from graphiti_spark.functions.wav import wav_decode, wav_encode
+
+    t = np.arange(800) / 8000.0
+    sig = np.stack([np.sin(2 * np.pi * 440 * t), np.cos(2 * np.pi * 220 * t)], axis=1)
+    out, rate = wav_decode(wav_encode(sig, 8000))
+    assert rate == 8000 and out.shape == (800, 2)
+    assert np.abs(out - sig).max() < 1e-3
+    with pytest.raises(ValueError):
+        wav_decode(b"RIFFxxxxJUNK")
+
+
+def test_y4m_codec_roundtrip():
+    from graphiti_spark.functions.y4m import y4m_decode, y4m_encode
+
+    g = np.zeros((48, 64, 3), np.uint8)
+    g[:, :, 0] = np.linspace(0, 255, 64, dtype=np.uint8)[None, :]
+    g[:, :, 1] = np.linspace(0, 255, 48, dtype=np.uint8)[:, None]
+    frames, fps = y4m_decode(y4m_encode([g, g], fps=(30, 1)))
+    assert fps == (30, 1) and len(frames) == 2
+    # smooth content survives the 4:2:0 chroma roundtrip tightly
+    assert float(np.abs(frames[0].astype(int) - g.astype(int)).mean()) < 2.0
+    with pytest.raises(ValueError):
+        y4m_decode(b"MPEG4...")
 
 
 def test_streaming_ingest_roundtrip(spark, sf_dir, tmp_path):
