@@ -396,3 +396,147 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("n_ips"),
         F.md5(red).alias("redacted_md5"),
     )
+
+
+def _doc_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok) exploded word stream — shared front of the corpus-LM
+    operators below."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{WORD}', 0)")
+        ).alias("tok"),
+    )
+
+
+def unigram_lm_scores(docs: DataFrame) -> DataFrame:
+    """Corpus-unigram-LM document scoring — the deterministic stand-in
+    for perplexity filtering (CCNet/Gopher run a KenLM; the plan shape is
+    identical: build the LM from the corpus itself, score each doc
+    against it).
+
+    Two aggregations: per-(doc, token) term frequency (map-side partial),
+    then the token->corpus-frequency table joined back on the token key.
+    The LM table is vocab-sized — orders of magnitude smaller than the
+    corpus — and hot tokens ('the') are exactly the well-spread join keys,
+    so AQE's broadcast/skew handling covers both ends at 100 TB.
+
+    Scores are exact integers so the oracle matches bit-for-bit:
+    avg_cf_u = mean corpus frequency of the doc's tokens (micro-units);
+    lm_score_n = that, normalized by total corpus tokens (nano-units) —
+    a rational-arithmetic avg token probability. (At crawl scale the
+    score would move to log-space floats; the two-step integer floor is
+    the oracle-exact formulation.) n_rare counts tokens with corpus
+    frequency <= 2 — the hapax/OOV leg a quality filter thresholds on.
+    """
+    dt = _doc_tokens(docs).groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    lm = dt.groupBy("tok").agg(F.sum("tf").alias("cf"))
+    total = lm.agg(F.sum("cf").alias("total"))
+    return (
+        dt.join(lm, "tok")
+        .crossJoin(F.broadcast(total))  # one-row scalar
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.when(F.col("cf") <= 2, F.col("tf")).otherwise(0)).alias(
+                "n_rare"
+            ),
+            F.expr(
+                "(sum(tf * cf) * 1000000L) div greatest(sum(tf), 1)"
+            ).alias("avg_cf_u"),
+            F.expr(
+                "((sum(tf * cf) * 1000000L) div greatest(sum(tf), 1))"
+                " * 1000L div greatest(max(total), 1)"
+            ).alias("lm_score_n"),
+        )
+    )
+
+
+def tfidf_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF keywords per document (the keyword-extraction /
+    topic-tagging stage). Integer-exact weights:
+    idf_u = N_docs * 1e6 div df;  weight_u = tf * idf_u div n_doc_tokens.
+    Ties break on the term string, so top-k is fully deterministic.
+
+    Plan: per-(doc, token) tf (one shuffle), document frequency over the
+    same table (vocab-sized), count(docs) as a broadcast scalar, window
+    top-k per doc. No raw text crosses a shuffle."""
+    dt = _doc_tokens(docs).groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_tab = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    doc_len = dt.groupBy("doc_id").agg(F.sum("tf").alias("n_doc_tokens"))
+    scored = (
+        dt.join(df_tab, "tok")
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("idf_u", F.expr("(n_docs * 1000000L) div df"))
+        .withColumn("weight_u", F.expr("(tf * idf_u) div n_doc_tokens"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("weight_u"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", F.col("tok").alias("term"), "tf", "df",
+                "weight_u", "rank")
+    )
+
+
+def substring_dup_stats(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Exact-substring duplication per document at word-k-gram granularity
+    (the fixed-window form of Lee et al. 2022's suffix-array exact
+    substring dedup — the standard LM-training-data pass).
+
+    Per doc: distinct word k-grams, how many of them also occur in some
+    OTHER document, and the duplicated fraction (micro-units). Plan: the
+    k-grams are md5-hashed BEFORE the corpus-wide frequency shuffle (the
+    same fixed-width-key discipline as boilerplate_dedup), one groupBy on
+    the hash + membership join back; short docs (< k words) keep a row
+    with zero grams via the left join from the documents base."""
+    # NB: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — short
+    # docs must take the empty-array branch explicitly
+    grams = (
+        docs.select(
+            "doc_id",
+            F.expr(f"regexp_extract_all(lower(text), '{WORD}', 0)").alias("ws"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"CASE WHEN size(ws) < {k} THEN array()"
+                f" ELSE transform(sequence(1, size(ws) - {k - 1}),"
+                f" i -> md5(array_join(slice(ws, i, {k}), ' '))) END"
+            ).alias("ghs"),
+        )
+        .select("doc_id", F.explode("ghs").alias("gh"))
+        .distinct()
+    )
+    freq = grams.groupBy("gh").agg(F.count_distinct("doc_id").alias("n_docs"))
+    flagged = grams.join(
+        freq.where(F.col("n_docs") >= 2).select("gh", F.lit(1).alias("dup")),
+        "gh",
+        "left",
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce("dup", F.lit(0))).alias("n_dup_grams"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.expr(
+                "coalesce(n_dup_grams, 0L) * 1000000L"
+                " div greatest(coalesce(n_grams, 0L), 1)"
+            ).alias("dup_frac_u"),
+        )
+    )

@@ -1,0 +1,81 @@
+"""Event-stream batch operators over the `events` table: gap-based
+sessionization and tumbling-window aggregation.
+
+These are the batch twins of the engine's Structured Streaming operators
+(streaming/stateful.py): the reference models time as episodes with
+valid_at (graphiti_core/nodes.py:134-136); an event-stream consumer of
+this engine needs the classic session/window primitives over the same
+event-time semantics. Both operators are pure DataFrame window/groupBy
+plans — whole-stage-codegen'd, one shuffle each on the natural key.
+
+Scale notes (100 TB): sessionization shuffles once on user_id (the
+window partition key) — per-user event counts are bounded in practice
+and AQE skew-join handles hot users; tumbling windows shuffle on
+(window_start, event_type) with map-side partial aggregation, so the
+shuffle carries one row per (hour, type) per task, not per event.
+
+Monetary/value sums are emitted in exact integer cents
+(cast(round(value*100))) so the DuckDB oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the gap to
+    the previous event exceeds `gap_us`. Session boundaries via
+    lag + running sum — the standard two-window plan (one shuffle on
+    user_id, both windows share the partitioning)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamps are NTZ; the session TZ is UTC, so the cast is a
+    # pure reinterpretation and unix_micros gives exact integer event time
+    ts_us = F.expr("unix_micros(cast(ts as timestamp))")
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.expr("cast(round(value * 100) as long)").alias("value_c"),
+        F.when(ts_us - F.lag(ts_us).over(w) > gap_us, 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    # lag is null on the first event -> when() yields 0; running sum gives
+    # 0-based session index per user
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum("value_c").alias("sum_value_c"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+def tumbling_windows(events: DataFrame, unit: str = "hour") -> DataFrame:
+    """Tumbling event-time windows per event_type — the batch form of the
+    streaming windowed-count operator (streaming/stateful.py): counts,
+    value sum (cents), distinct users per (window, type). date_trunc is
+    the epoch-aligned tumbling bucket — identical semantics in the DuckDB
+    oracle, and it stays a plain groupBy key (partial-agg friendly)."""
+    return events.groupBy(
+        F.date_trunc(unit, "ts").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.expr("cast(round(value * 100) as long)")).alias("sum_value_c"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

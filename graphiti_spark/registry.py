@@ -1021,6 +1021,67 @@ def _sql_kg_communities() -> str:
     )
 
 
+def q_doc_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM scoring (deterministic perplexity-filter
+    stand-in): rare-token counts + integer-exact average token
+    probability vs the corpus LM."""
+    out = docs_mod.unigram_lm_scores(docs.read_documents(spark, sf_dir))
+    return out.select(
+        "doc_id", *[F.col(c).cast("long").alias(c) for c in out.columns[1:]]
+    )
+
+
+def q_doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document, integer weights, term-string
+    tiebreak."""
+    out = docs_mod.tfidf_terms(docs.read_documents(spark, sf_dir), k=3)
+    longs = ["tf", "df", "weight_u", "rank"]
+    return out.select(
+        "doc_id", "term", *[F.col(c).cast("long").alias(c) for c in longs]
+    )
+
+
+def q_doc_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-10-gram exact-substring duplication per document (Lee et al.
+    2022 fixed-window form)."""
+    out = docs_mod.substring_dup_stats(docs.read_documents(spark, sf_dir), k=10)
+    return out.select(
+        "doc_id", *[F.col(c).cast("long").alias(c) for c in out.columns[1:]]
+    )
+
+
+def q_evt_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events table (30-min inactivity
+    gap) — the batch twin of the streaming stateful rollup."""
+    from .operators import events as ev
+
+    out = ev.sessionize(ev.read_events(spark, sf_dir))
+    return out.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        F.col("n_events").cast("long").alias("n_events"),
+        "session_start",
+        "session_end",
+        F.col("sum_value_c").cast("long").alias("sum_value_c"),
+        F.col("n_types").cast("long").alias("n_types"),
+    )
+
+
+def q_evt_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type — the batch form
+    of the watermarked streaming window aggregation."""
+    from .operators import events as ev
+
+    out = ev.tumbling_windows(ev.read_events(spark, sf_dir), unit="hour")
+    return out.select(
+        "window_start",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value_c").cast("long").alias("sum_value_c"),
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_alias_resolution": q_kg_alias_resolution,
     "kg_node_attributes": q_kg_node_attributes,
@@ -1057,6 +1118,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "doc_embcos_dedup": q_doc_embcos_dedup,
+    "doc_unigram_lm": q_doc_unigram_lm,
+    "doc_tfidf_terms": q_doc_tfidf_terms,
+    "doc_substring_dup": q_doc_substring_dup,
+    "evt_sessions": q_evt_sessions,
+    "evt_windows": q_evt_windows,
 }
 
 
@@ -1665,6 +1731,110 @@ ORDER BY uuid DESC LIMIT {PAGE_LIMIT}"""
     return _kg_sql(body)
 
 
+def _sql_doc_unigram_lm() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+dt AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+lm AS (SELECT tok, sum(tf) AS cf FROM dt GROUP BY 1),
+tot AS (SELECT sum(cf) AS total FROM lm)
+SELECT d.doc_id,
+       CAST(sum(d.tf) AS BIGINT) AS n_tokens,
+       count(*) AS n_distinct,
+       CAST(sum(CASE WHEN l.cf <= 2 THEN d.tf ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST((sum(d.tf * l.cf) * 1000000) // greatest(sum(d.tf), 1) AS BIGINT) AS avg_cf_u,
+       CAST(((sum(d.tf * l.cf) * 1000000) // greatest(sum(d.tf), 1)) * 1000
+         // greatest(max(t.total), 1) AS BIGINT) AS lm_score_n
+FROM dt d JOIN lm l USING (tok) CROSS JOIN tot t
+GROUP BY 1"""
+
+
+def _sql_doc_tfidf_terms() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+dt AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+dftab AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+dlen AS (SELECT doc_id, sum(tf) AS n_doc_tokens FROM dt GROUP BY 1),
+scored AS (
+  SELECT d.doc_id, d.tok, d.tf, f.df,
+         (n.n_docs * 1000000) // f.df AS idf_u,
+         (d.tf * ((n.n_docs * 1000000) // f.df)) // l.n_doc_tokens AS weight_u
+  FROM dt d JOIN dftab f USING (tok) JOIN dlen l USING (doc_id) CROSS JOIN nd n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY weight_u DESC, tok
+  ) AS rank FROM scored
+)
+SELECT doc_id, tok AS term, tf, df, CAST(weight_u AS BIGINT) AS weight_u, rank
+FROM ranked WHERE rank <= 3"""
+
+
+def _sql_doc_substring_dup() -> str:
+    return """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(list_slice(ws, i, i + 9), ' ')) AS gh
+  FROM toks, unnest(range(1, greatest(len(ws) - 9, 0) + 1)) AS t(i)
+),
+freq AS (SELECT gh, count(DISTINCT doc_id) AS n_docs FROM grams GROUP BY 1),
+per_doc AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams
+  FROM grams g JOIN freq f USING (gh) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(p.n_dup_grams, 0) AS n_dup_grams,
+       CAST(coalesce(p.n_dup_grams, 0) * 1000000
+         // greatest(coalesce(p.n_grams, 0), 1) AS BIGINT) AS dup_frac_u
+FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+
+
+def _sql_evt_sessions() -> str:
+    return """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(round(value * 100) AS BIGINT) AS value_c,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(new_sess) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       CAST(sum(value_c) AS BIGINT) AS sum_value_c,
+       count(DISTINCT event_type) AS n_types
+FROM sess GROUP BY 1, 2"""
+
+
+def _sql_evt_windows() -> str:
+    return """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2"""
+
+
 ORACLES: dict[str, Callable[[], str]] = {
     "kg_alias_resolution": _sql_kg_alias_resolution,
     "kg_node_attributes": _sql_kg_node_attributes,
@@ -1701,6 +1871,11 @@ ORACLES: dict[str, Callable[[], str]] = {
     "ann_topk": _sql_ann_topk,
     "ann_ivf_topk": _sql_ann_ivf_topk,
     "doc_embcos_dedup": _sql_doc_embcos_dedup,
+    "doc_unigram_lm": _sql_doc_unigram_lm,
+    "doc_tfidf_terms": _sql_doc_tfidf_terms,
+    "doc_substring_dup": _sql_doc_substring_dup,
+    "evt_sessions": _sql_evt_sessions,
+    "evt_windows": _sql_evt_windows,
 }
 
 

@@ -1,0 +1,106 @@
+"""Semantics pins for the event-stream batch operators and the new
+corpus-LM document operators (the oracle gate pins exactness at sf0.01;
+these pin the *rules* on hand-built inputs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators.docs import (
+    substring_dup_stats,
+    tfidf_terms,
+    unigram_lm_scores,
+)
+from graphiti_spark.operators.events import sessionize, tumbling_windows
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, ts, uid, et, val, "{}") for i, (ts, uid, et, val) in enumerate(rows)],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_sessionize_gap_boundary(spark):
+    """Events exactly 30min apart stay in one session; 30min + 1us starts
+    a new one."""
+    rows = [
+        (T0, 1, "view", 1.0),
+        (T0 + dt.timedelta(minutes=30), 1, "click", 1.0),  # == gap: same
+        (T0 + dt.timedelta(minutes=60, microseconds=1), 1, "view", 1.0),  # > gap
+        (T0, 2, "view", 2.5),
+    ]
+    out = {
+        (r["user_id"], r["session_idx"]): r
+        for r in sessionize(_events(spark, rows)).collect()
+    }
+    assert out[(1, 0)]["n_events"] == 2
+    assert out[(1, 1)]["n_events"] == 1
+    assert out[(2, 0)]["n_events"] == 1
+    assert out[(2, 0)]["sum_value_c"] == 250
+
+
+def test_tumbling_windows_hour_buckets(spark):
+    rows = [
+        (T0 + dt.timedelta(minutes=m), 1, "view", 1.0) for m in (0, 59, 60, 61)
+    ]
+    out = tumbling_windows(_events(spark, rows)).orderBy("window_start").collect()
+    assert [r["n_events"] for r in out] == [2, 2]
+    assert out[0]["window_start"] == T0
+    assert out[1]["window_start"] == T0 + dt.timedelta(hours=1)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_unigram_lm_rare_and_score(spark):
+    docs = _docs(spark, ["common common rareword", "common common"])
+    out = {r["doc_id"]: r for r in unigram_lm_scores(docs).collect()}
+    # corpus: common cf=4, rareword cf=1, total=5
+    assert out[0]["n_rare"] == 1 and out[1]["n_rare"] == 0
+    # doc1: avg cf = 4 -> 4e6 exactly; score = 4e6 * 1000 // 5
+    assert out[1]["avg_cf_u"] == 4_000_000
+    assert out[1]["lm_score_n"] == 800_000_000
+    # doc0: (2*4 + 1*1) * 1e6 // 3
+    assert out[0]["avg_cf_u"] == 3_000_000
+
+
+def test_tfidf_ranks_distinctive_terms_first(spark):
+    docs = _docs(
+        spark,
+        ["shared shared unique alpha", "shared shared unique beta", "shared gamma"],
+    )
+    top = {
+        r["doc_id"]: r["term"]
+        for r in tfidf_terms(docs, k=1).collect()
+    }
+    # 'alpha'/'beta'/'gamma' are df=1 -> highest idf within each doc
+    assert top == {0: "alpha", 1: "beta", 2: "gamma"}
+
+
+def test_substring_dup_detects_shared_10gram(spark):
+    shared = "one two three four five six seven eight nine ten"
+    docs = _docs(
+        spark,
+        [
+            shared + " eleven",  # grams: 2, one shared
+            "zero " + shared,  # grams: 2, one shared
+            "totally different words " + " ".join(f"w{i}" for i in range(10)),
+            "short doc",  # < 10 words -> zero grams, still a row
+        ],
+    )
+    out = {r["doc_id"]: r for r in substring_dup_stats(docs, k=10).collect()}
+    assert out[0]["n_grams"] == 2 and out[0]["n_dup_grams"] == 1
+    assert out[1]["n_grams"] == 2 and out[1]["n_dup_grams"] == 1
+    assert out[0]["dup_frac_u"] == 500_000
+    assert out[2]["n_dup_grams"] == 0
+    assert out[3]["n_grams"] == 0 and out[3]["dup_frac_u"] == 0
