@@ -125,8 +125,14 @@ class GraphTables:
         return split_extracted(self.extracted)[0]
 
     def _build_mentions_raw(self) -> DataFrame:
+        # committed: consumed by BOTH entity resolution and the MENTIONS
+        # edge build — without a commit each consumer re-runs the
+        # attach_labels projection over the 2x-exploded extraction
+        # (measured ~3.5s per extra run at sf0.1 x20)
         triples_raw, spans = split_extracted(self.extracted)
-        return attach_labels(spans, triples_raw, self.ontology)
+        return self._commit(
+            attach_labels(spans, triples_raw, self.ontology), "mentions_raw"
+        )
 
     def _resolve(self) -> tuple[DataFrame, DataFrame]:
         """Entity resolution — runs once; caches BOTH outputs."""
@@ -144,10 +150,15 @@ class GraphTables:
         return self._base_nodes
 
     def _build_edges(self) -> DataFrame:
+        # two-step commit: invalidate_edges references its input THREE
+        # times (the contradiction self-join plus the final left join) and
+        # physical-plan exchange reuse does NOT dedup the aggregation
+        # under the differing filter/alias subtrees — uncommitted, the
+        # 425k-row materialize groupBy executed ~3x (measured 7.2s -> 3.7s
+        # at sf0.1 x20 with the intermediate commit)
         resolved = resolve_edge_pointers(self.triples_raw, self.uuid_map)
-        return self._commit(
-            invalidate_edges(materialize_edges(resolved, self.ontology)), "edges"
-        )
+        mat = self._commit(materialize_edges(resolved, self.ontology), "edges_raw")
+        return self._commit(invalidate_edges(mat), "edges")
 
     def _build_nodes(self) -> DataFrame:
         # final node table: content-derived summary (X15 — identity
