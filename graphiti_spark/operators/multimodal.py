@@ -59,19 +59,18 @@ FRAME_SCHEMA = "content_id string, frame_idx long, frame_payload binary"
 
 
 def _synth_pixels(i: int, w: int, h: int) -> np.ndarray:
-    """Deterministic RGB test image: a seeded gradient + noise pattern."""
+    """Deterministic RGB test image: seeded coarse 8x8 block structure
+    (so perceptual hashes are DISTINCTIVE per seed — a plain gradient
+    hashes near-identically for every seed) + mild gradient + noise."""
     rng = np.random.RandomState(i)
-    yy, xx = np.mgrid[0:h, 0:w]
-    base = np.stack(
-        [
-            (xx * 255 // max(w - 1, 1)),
-            (yy * 255 // max(h - 1, 1)),
-            ((xx + yy) * 255 // max(w + h - 2, 1)),
-        ],
-        axis=2,
+    blocks = rng.randint(0, 224, size=(8, 8, 3))
+    base = (
+        blocks.repeat(h // 8 + 1, axis=0)[:h].repeat(w // 8 + 1, axis=1)[:, :w]
     )
-    noise = rng.randint(0, 32, size=(h, w, 3))
-    return np.clip(base + noise, 0, 255).astype(np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w]
+    grad = (xx * 24 // max(w - 1, 1) + yy * 24 // max(h - 1, 1))[:, :, None]
+    noise = rng.randint(0, 8, size=(h, w, 3))
+    return np.clip(base + grad + noise, 0, 255).astype(np.uint8)
 
 
 def _synth_audio(i: int, rate: int = 8000) -> tuple[bytes, int]:
@@ -109,7 +108,20 @@ def synth_media(spark, n: int = 64) -> DataFrame:
         h = 48 + 2 * (i % 8) if modality != "audio" else None
         duration_ms = None
         if modality == "image":
-            payload, mime = png_encode(_synth_pixels(i, w, h)), "image/png"
+            if i % 9 == 6 and i >= 3:
+                # near-duplicate of image row i-3 (an image row, and one
+                # that is never itself perturbed since (i-3) % 9 == 3):
+                # the EXACT same pixels — rendered at row i-3's dims —
+                # except one inverted corner block, i.e. a handful of
+                # phash bits at most, so the near-dup pair detector has
+                # deterministic positives to find
+                w = 64 + 2 * ((i - 3) % 8)
+                h = 48 + 2 * ((i - 3) % 8)
+                px = _synth_pixels(i - 3, w, h).copy()
+                px[:2, :2, :] = 255 - px[:2, :2, :]
+                payload, mime = png_encode(px), "image/png"
+            else:
+                payload, mime = png_encode(_synth_pixels(i, w, h)), "image/png"
         elif modality == "audio":
             payload, duration_ms = _synth_audio(i)
             mime = "audio/wav"
@@ -307,3 +319,44 @@ def sample_frames(media: DataFrame, every_ms: int = 500) -> DataFrame:
             )
 
     return vids.mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
+def phash_near_pairs(feats: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash Hamming distance —
+    the multimodal leg of the dedup stack (same pigeonhole blocking as
+    operators/dedup.simhash_near_pairs: any pair within Hamming distance
+    3 of a 64-bit hash agrees on at least one of its four 16-bit chunks,
+    so the join is blocked on (chunk_idx, chunk_value) and NEVER
+    all-pairs; the full distance is verified JVM-side with bit_count).
+
+    feats: (content_id, phash long) — the decode-dependent half comes
+    from image_features; this half is pure JVM and scale-safe.
+    """
+    chunk = lambda c: f"shiftright(phash, {16 * c}) & 65535"  # noqa: E731
+    chunk_structs = ", ".join(
+        f"struct({c} as chunk, ({chunk(c)}) as val)" for c in range(4)
+    )
+    chunks = feats.select(
+        "content_id",
+        "phash",
+        F.explode(F.expr(f"array({chunk_structs})")).alias("x"),
+    ).select(
+        "content_id", "phash",
+        F.col("x.chunk").alias("chunk"), F.col("x.val").alias("val"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.val") == F.col("r.val"))
+            & (F.col("l.content_id") < F.col("r.content_id")),
+        )
+        .select(
+            F.col("l.content_id").alias("content_a"),
+            F.col("r.content_id").alias("content_b"),
+            F.expr("bit_count(l.phash ^ r.phash)").cast("long").alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

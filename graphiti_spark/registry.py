@@ -1082,6 +1082,49 @@ def q_evt_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MEDIA_N = 120
+
+
+def media_phash_path(sf_dir: str) -> str:
+    import os
+
+    from .registry_search import ORACLE_SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return f"{ORACLE_SCRATCH}/{tag}/media_phash.parquet"
+
+
+def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs over the deterministic media corpus:
+    REAL PNG decode -> perceptual hash (operators/multimodal) -> blocked
+    Hamming pair join. The decode-dependent phash table is materialized
+    to the oracle scratch (the persisted-feature-table pattern of the
+    similarity queries — DuckDB cannot decode PNG, so the oracle verifies
+    the pair logic over the same hashes while pytest pins the decode)."""
+    from .operators.multimodal import image_features, phash_near_pairs, synth_media
+
+    path = media_phash_path(sf_dir)
+    feats = image_features(synth_media(spark, MEDIA_N)).select("content_id", "phash")
+    feats.write.mode("overwrite").parquet(path)
+    return phash_near_pairs(spark.read.parquet(path), max_hamming=3).select(
+        "content_a", "content_b", "hamming"
+    )
+
+
+def _sql_media_phash_pairs() -> str:
+    # all-pairs over the 40-image scratch table — the pigeonhole blocking
+    # in the Spark plan is recall-lossless at hamming <= 3, so the oracle
+    # can afford the brute-force formulation
+    from .registry_search import _oracle_sf_dir
+
+    return f"""
+WITH f AS (SELECT * FROM read_parquet('{media_phash_path(_oracle_sf_dir())}/*.parquet'))
+SELECT a.content_id AS content_a, b.content_id AS content_b,
+       bit_count(xor(a.phash, b.phash)) AS hamming
+FROM f a JOIN f b ON a.content_id < b.content_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_alias_resolution": q_kg_alias_resolution,
     "kg_node_attributes": q_kg_node_attributes,
@@ -1123,6 +1166,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_substring_dup": q_doc_substring_dup,
     "evt_sessions": q_evt_sessions,
     "evt_windows": q_evt_windows,
+    "media_phash_pairs": q_media_phash_pairs,
 }
 
 
@@ -1876,6 +1920,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "doc_substring_dup": _sql_doc_substring_dup,
     "evt_sessions": _sql_evt_sessions,
     "evt_windows": _sql_evt_windows,
+    "media_phash_pairs": _sql_media_phash_pairs,
 }
 
 

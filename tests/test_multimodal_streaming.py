@@ -120,6 +120,35 @@ def test_audio_features_real_decode(spark):
         assert 0.3 < f["rms"] < 0.7  # a 0.6-amplitude sine has RMS ~0.42
 
 
+def test_phash_near_pairs_finds_planted_dups(spark):
+    """Rows i % 9 == 6 are corner-perturbed copies of image row i-3: the
+    blocked Hamming join must recover exactly those pairs (and the
+    perturbation must actually move >= 1 pixel block, so hamming can be
+    0..3 but pairs must exist and be the planted ones)."""
+    from graphiti_spark.operators.multimodal import (
+        image_features,
+        phash_near_pairs,
+        synth_media,
+    )
+
+    media = synth_media(spark, 63)
+    feats = image_features(media).select("content_id", "phash")
+    pairs = {
+        (r["content_a"], r["content_b"]): r["hamming"]
+        for r in phash_near_pairs(feats, max_hamming=3).collect()
+    }
+    planted = {
+        (f"m{i - 3:04d}", f"m{i:04d}")
+        for i in range(63)
+        if i % 3 == 0 and i % 9 == 6 and i >= 3
+    }
+    assert planted, "corpus must plant near-dups"
+    for p in planted:
+        assert p in pairs, (p, sorted(pairs))
+    # no cross-pattern false positives: every reported pair is planted
+    assert set(pairs) == planted
+
+
 def test_wav_codec_roundtrip():
     from graphiti_spark.functions.wav import wav_decode, wav_encode
 
