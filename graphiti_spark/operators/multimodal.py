@@ -73,17 +73,25 @@ def _synth_pixels(i: int, w: int, h: int) -> np.ndarray:
     return np.clip(base + grad + noise, 0, 255).astype(np.uint8)
 
 
-def _synth_audio(i: int, rate: int = 8000) -> tuple[bytes, int]:
-    """Deterministic stereo PCM clip: two detuned sines + seeded noise.
-    Returns (wav_bytes, duration_ms)."""
+def _synth_audio_samples(i: int, rate: int = 8000) -> np.ndarray:
+    """Deterministic 1s stereo PCM: two tones at integer-Hz bins (exact
+    rfft bins at 1s/8kHz, so peak positions are noise-robust) + seeded
+    noise. The tone pair (f0, f0+7) is distinct per seed modulo 41 —
+    coprime with the audio-row stride 3, so no two base clips in a
+    <=123-row corpus share a spectral identity."""
     rng = np.random.RandomState(i)
-    n = rate * (1 + i % 3) // 2  # 0.5-1.5 s
+    n = rate  # exactly 1 s -> 1 Hz rfft bins
     t = np.arange(n) / rate
-    f0 = 110.0 * (1 + i % 8)
+    f0 = 50.0 * (1 + i % 41)
     left = 0.6 * np.sin(2 * np.pi * f0 * t) + 0.05 * rng.randn(n)
-    right = 0.6 * np.sin(2 * np.pi * (f0 * 1.5) * t) + 0.05 * rng.randn(n)
-    sig = np.clip(np.stack([left, right], axis=1), -1, 1)
-    return wav_encode(sig, rate), int(round(1000.0 * n / rate))
+    right = 0.5 * np.sin(2 * np.pi * (f0 + 7) * t) + 0.05 * rng.randn(n)
+    return np.clip(np.stack([left, right], axis=1), -1, 1)
+
+
+def _synth_audio(i: int, rate: int = 8000) -> tuple[bytes, int]:
+    """Returns (wav_bytes, duration_ms) for the seeded clip."""
+    sig = _synth_audio_samples(i, rate)
+    return wav_encode(sig, rate), int(round(1000.0 * sig.shape[0] / rate))
 
 
 def _synth_video(i: int, w: int, h: int, fps: int = 10) -> tuple[bytes, int]:
@@ -123,7 +131,20 @@ def synth_media(spark, n: int = 64) -> DataFrame:
             else:
                 payload, mime = png_encode(_synth_pixels(i, w, h)), "image/png"
         elif modality == "audio":
-            payload, duration_ms = _synth_audio(i)
+            if i % 9 == 7 and i >= 3:
+                # near-duplicate of audio row i-3 ((i-3) % 9 == 4, never
+                # itself perturbed): the same samples re-encoded with a
+                # tiny seeded dither — inaudible, peak bins unchanged, so
+                # the fingerprint dedup has deterministic positives
+                sig = np.clip(
+                    _synth_audio_samples(i - 3)
+                    + 0.002 * np.random.RandomState(i).randn(8000, 2),
+                    -1,
+                    1,
+                )
+                payload, duration_ms = wav_encode(sig, 8000), 1000
+            else:
+                payload, duration_ms = _synth_audio(i)
             mime = "audio/wav"
         elif i % 9 == 5:  # opaque compressed container (no codec here)
             payload, mime = rng.bytes(256 + (i % 5) * 64), "video/mp4"
@@ -359,4 +380,55 @@ def phash_near_pairs(feats: DataFrame, max_hamming: int = 3) -> DataFrame:
         )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
+    )
+
+
+AUDIO_FP_SCHEMA = "content_id string, fingerprint long, peak_hz int, peak2_hz int"
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """Acoustic fingerprint per clip — the peak-pair hashing scheme
+    (Shazam-style constellation reduced to its two strongest spectral
+    peaks): REAL WAV decode -> mono -> rfft magnitude -> top-2 bins ->
+    fingerprint = p1 * 8192 + p2. Re-encoded / lightly-dithered copies
+    of the same recording keep their peak bins, so exact-match grouping
+    on the fingerprint is the audio leg of the dedup stack (the batch
+    shape: one narrow Python decode stage, then pure JVM groupBy).
+    Undecodable payloads yield a null fingerprint row."""
+    auds = media.where(F.col("modality") == "audio").select("content_id", "payload")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for cid, p in zip(pdf["content_id"], pdf["payload"]):
+                try:
+                    samples, rate = wav_decode(bytes(p))
+                except ValueError:
+                    rows.append((cid, None, None, None))
+                    continue
+                spec = np.abs(np.fft.rfft(samples.mean(axis=1)))
+                spec[0] = 0.0  # ignore DC
+                p1 = int(np.argmax(spec))
+                spec[p1] = 0.0
+                p2 = int(np.argmax(spec))
+                hz = rate / (2.0 * (len(spec) - 1))  # bin width
+                rows.append(
+                    (cid, p1 * 8192 + p2, int(round(p1 * hz)), int(round(p2 * hz)))
+                )
+            yield pd.DataFrame(
+                rows, columns=["content_id", "fingerprint", "peak_hz", "peak2_hz"]
+            )
+
+    return auds.mapInPandas(gen, schema=AUDIO_FP_SCHEMA)
+
+
+def audio_dup_groups(fps: DataFrame) -> DataFrame:
+    """Exact-match grouping over acoustic fingerprints: (fingerprint,
+    n_clips, canonical = min content_id) — the audio twin of
+    docs.exact_dup_groups, pure JVM over the skinny fingerprint table."""
+    return fps.where(F.col("fingerprint").isNotNull()).groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.min("content_id").alias("canonical_id"),
     )

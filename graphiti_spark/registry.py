@@ -1125,6 +1125,45 @@ FROM f a JOIN f b ON a.content_id < b.content_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 3"""
 
 
+def media_audio_fp_path(sf_dir: str) -> str:
+    import os
+
+    from .registry_search import ORACLE_SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return f"{ORACLE_SCRATCH}/{tag}/media_audio_fp.parquet"
+
+
+def q_media_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic-fingerprint exact dedup over the media corpus: REAL WAV
+    decode -> Shazam-style peak-pair fingerprint -> exact-match grouping
+    (operators/multimodal). Same persisted-feature-table oracle pattern
+    as media_phash_pairs: DuckDB verifies the grouping over the hashes
+    the Spark decode stage materialized."""
+    from .operators.multimodal import audio_dup_groups, audio_fingerprints, synth_media
+
+    path = media_audio_fp_path(sf_dir)
+    fps = audio_fingerprints(synth_media(spark, MEDIA_N)).select(
+        "content_id", "fingerprint"
+    )
+    fps.write.mode("overwrite").parquet(path)
+    return audio_dup_groups(spark.read.parquet(path)).select(
+        "fingerprint",
+        F.col("n_clips").cast("long").alias("n_clips"),
+        "canonical_id",
+    )
+
+
+def _sql_media_audio_dedup() -> str:
+    from .registry_search import _oracle_sf_dir
+
+    return f"""
+SELECT fingerprint, count(*) AS n_clips, min(content_id) AS canonical_id
+FROM read_parquet('{media_audio_fp_path(_oracle_sf_dir())}/*.parquet')
+WHERE fingerprint IS NOT NULL
+GROUP BY 1"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_alias_resolution": q_kg_alias_resolution,
     "kg_node_attributes": q_kg_node_attributes,
@@ -1167,6 +1206,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt_sessions": q_evt_sessions,
     "evt_windows": q_evt_windows,
     "media_phash_pairs": q_media_phash_pairs,
+    "media_audio_dedup": q_media_audio_dedup,
 }
 
 
@@ -1921,6 +1961,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "evt_sessions": _sql_evt_sessions,
     "evt_windows": _sql_evt_windows,
     "media_phash_pairs": _sql_media_phash_pairs,
+    "media_audio_dedup": _sql_media_audio_dedup,
 }
 
 

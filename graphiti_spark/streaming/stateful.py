@@ -108,3 +108,27 @@ def entity_mention_state(mentions: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_episodes_stream(
+    episodes: DataFrame, watermark: str = "2 days"
+) -> DataFrame:
+    """Streaming exact dedup of episode chunks by content fingerprint —
+    the incremental form of docs.exact_dup_groups for a live ingest: a
+    re-crawled or mirrored page whose cleaned chunk already streamed
+    through within the watermark horizon is dropped, so downstream
+    extraction state is never double-counted.
+
+    `episodes`: streaming (uuid, group_id, content, valid_at).
+    dropDuplicatesWithinWatermark keys the state store on the md5
+    fingerprint and evicts entries once the watermark passes them —
+    bounded state, unlike a plain dropDuplicates which would pin every
+    fingerprint forever (the standard crawl-scale design: exact dup
+    storms are bursty and near-in-time; cross-horizon dedup belongs to
+    the batch compaction pass).
+    """
+    return (
+        episodes.withColumn("fingerprint", F.md5(F.col("content")))
+        .withWatermark("valid_at", watermark)
+        .dropDuplicatesWithinWatermark(["group_id", "fingerprint"])
+    )

@@ -117,7 +117,9 @@ def test_audio_features_real_decode(spark):
         assert f["n_samples"] == samples.shape[0]
         mono = samples.mean(axis=1)
         assert abs(f["rms"] - float(np.sqrt(np.mean(mono**2)))) < 1e-9
-        assert 0.3 < f["rms"] < 0.7  # a 0.6-amplitude sine has RMS ~0.42
+        # mono mean of the two-tone stereo clip: ~0.3/0.25 amplitudes
+        # -> RMS ~= sqrt(0.3^2/2 + 0.25^2/2) ~= 0.28
+        assert 0.2 < f["rms"] < 0.5
 
 
 def test_phash_near_pairs_finds_planted_dups(spark):
@@ -204,3 +206,33 @@ def test_streaming_ingest_roundtrip(spark, sf_dir, tmp_path):
     q2.awaitTermination(120)
     _, edges2, _ = staged_to_graph(spark, out_dir)
     assert edges2.count() == edges.count()
+
+
+def test_audio_fingerprint_dedup_groups_planted_dups(spark):
+    """Audio rows i % 9 == 7 are dithered re-encodes of row i-3: the
+    peak-pair fingerprints must match exactly within a planted pair and
+    differ across distinct base clips."""
+    from graphiti_spark.operators.multimodal import (
+        audio_dup_groups,
+        audio_fingerprints,
+        synth_media,
+    )
+
+    media = synth_media(spark, 63)
+    fps = audio_fingerprints(media).toPandas().set_index("content_id")
+    planted = [
+        (f"m{i - 3:04d}", f"m{i:04d}")
+        for i in range(63)
+        if i % 3 == 1 and i % 9 == 7 and i >= 3
+    ]
+    assert planted
+    for a, b in planted:
+        assert fps.loc[a, "fingerprint"] == fps.loc[b, "fingerprint"], (a, b)
+    groups = audio_dup_groups(
+        audio_fingerprints(media).select("content_id", "fingerprint")
+    ).toPandas()
+    dup_groups = groups[groups.n_clips >= 2]
+    assert len(dup_groups) == len(planted)
+    assert set(dup_groups.canonical_id) == {a for a, _ in planted}
+    # all non-planted clips are singletons: base identities are distinct
+    assert (groups.n_clips <= 2).all()

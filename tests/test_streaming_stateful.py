@@ -91,3 +91,47 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
     assert rows[("g1", "Bob", 2)] == 1
     # the plan carries the event-time watermark (bounded state at scale)
     assert "valid_at" in agg._jdf.queryExecution().analyzed().toString()
+
+
+def test_dedup_episodes_stream_drops_recrawls(spark, tmp_path):
+    """The same (group, content) arriving again — within a batch or in a
+    later micro-batch inside the watermark horizon — is emitted once."""
+    from graphiti_spark.streaming.stateful import dedup_episodes_stream
+
+    d = str(tmp_path)
+    eschema = "uuid string, group_id string, content string, valid_at timestamp"
+    b1 = [
+        ("e1", "g1", "same page text", datetime(2024, 1, 1, 10)),
+        ("e2", "g1", "same page text", datetime(2024, 1, 1, 11)),  # intra-batch dup
+        ("e3", "g1", "other text", datetime(2024, 1, 1, 12)),
+    ]
+    b2 = [
+        ("e4", "g1", "same page text", datetime(2024, 1, 1, 13)),  # cross-batch dup
+        ("e5", "g2", "same page text", datetime(2024, 1, 1, 14)),  # other group: kept
+        ("e6", "g1", "fresh text", datetime(2024, 1, 1, 15)),
+    ]
+    spark.createDataFrame(b1, eschema).coalesce(1).write.parquet(f"{d}/in/b1")
+    spark.createDataFrame(b2, eschema).coalesce(1).write.parquet(f"{d}/in/b2")
+    stream = (
+        spark.readStream.schema(eschema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/in/*")
+    )
+    q = (
+        dedup_episodes_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_eps")
+        .option("checkpointLocation", f"{d}/ckpt3")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("dedup_eps").toPandas()
+    contents = sorted(zip(out.group_id, out.content))
+    assert contents == [
+        ("g1", "fresh text"),
+        ("g1", "other text"),
+        ("g1", "same page text"),
+        ("g2", "same page text"),
+    ]
