@@ -125,7 +125,7 @@ _H32 = "cast(conv(substr(md5({x}), 1, 8), 16, 10) as bigint) % 2147483647"
 
 
 def match_edges_lsh(
-    entities: DataFrame, threshold: float = 0.6, n_salt: int = 1
+    entities: DataFrame, threshold: float = 0.6, max_bucket: int = 1000
 ) -> DataFrame:
     """Fuzzy match edges, ALL-JVM: MinHash-LSH banding over char-3-gram
     shingles of the normalized name (higher-order-function min-hash per
@@ -135,7 +135,12 @@ def match_edges_lsh(
 
     At crawl scale the input is the DISTINCT name table — orders of
     magnitude smaller than the mention stream — and the band/bucket key
-    is the shuffle key; AQE skew-join splits hot buckets ('john smith')."""
+    is the shuffle key. Two skew guards: buckets larger than
+    `max_bucket` are dropped BEFORE the self-join (a bucket with k
+    members contributes k(k-1)/2 join rows — pathological buckets are
+    template/boilerplate name families, not alias clusters; same cap
+    discipline as operators/dedup.minhash_candidates), and AQE skew-join
+    splits the surviving hot buckets ('john smith')."""
     thr = float(threshold)
     sig = lambda i: (  # noqa: E731
         f"array_min(transform(_sh, s -> ({int(_A_NM[i])} * ({_H32.format(x='s')})"
@@ -160,6 +165,13 @@ def match_edges_lsh(
         .select("uuid", "group_id", "_sh", F.col("x.band").alias("band"),
                 F.col("x.bkey").alias("bkey"))
     )
+    ok = (
+        bands.groupBy("group_id", "band", "bkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") <= max_bucket)
+        .select("group_id", "band", "bkey")
+    )
+    bands = bands.join(ok, ["group_id", "band", "bkey"])
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
