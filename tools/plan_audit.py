@@ -1,0 +1,191 @@
+"""Physical-plan audit over the driver query registry.
+
+For every queries() entry, capture `explain(formatted)` and flag the
+anti-patterns that kill 100x scale-ups:
+
+- CartesianProduct / BroadcastNestedLoopJoin on non-trivial inputs
+- row-at-a-time Python UDFs (BatchEvalPython) — the engine's rule is
+  Arrow-batched pandas UDFs only (ArrowEvalPython / MapInPandas /
+  FlatMapGroupsInPandas are fine)
+- single-partition exchanges (Exchange SinglePartition) that are NOT the
+  final merge of a TakeOrderedAndProject/top-k or a one-row scalar agg
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+Writes PLANS.md (summary table + per-query flags) and prints the table.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _op(plan: str, name: str) -> int:
+    """Count operator instances via the formatted-details header lines
+    ('(N) OpName') — the tree section would double-count them."""
+    return len(re.findall(rf"^\(\d+\) {name}", plan, re.M))
+
+
+_BENIGN_NLJ_CHILDREN = (
+    # driver-local 3-5-row query/centroid tables
+    "Scan ExistingRDD",
+    "LocalTableScan",
+    # one-row scalar aggregates (corpus totals) crossJoined as constants
+    "HashAggregate",
+    "SortAggregate",
+)
+
+
+def _nlj_counts(plan: str) -> tuple[int, int]:
+    """(bad, benign) BroadcastNestedLoopJoin counts. A NLJ is benign when
+    its broadcast build side is a driver-local table, a one-row scalar
+    aggregate, or a tiny oracle-scratch query table — the INTENDED
+    'score K queries / one corpus constant against the corpus' plans.
+    Formatted explain numbers operators post-order, so the build child of
+    the BroadcastExchange at number m is the operator numbered m-1."""
+    ops = dict(re.findall(r"^\((\d+)\) (\S+(?: \S+)?)", plan, re.M))
+    bad = benign = 0
+    for num, name in ops.items():
+        if not name.startswith("BroadcastNestedLoopJoin"):
+            continue
+        be = str(int(num) - 1)
+        child = ops.get(str(int(num) - 2), "")
+        is_benign = ops.get(be, "").startswith("BroadcastExchange") and (
+            any(child.startswith(b) for b in _BENIGN_NLJ_CHILDREN)
+            or (
+                child.startswith("Scan parquet")
+                and "/dev/shm/graphiti_spark_oracle" in plan
+            )
+        )
+        benign += is_benign
+        bad += not is_benign
+    return bad, benign
+
+
+def audit_plan(plan: str) -> dict[str, int]:
+    nlj_bad, nlj_benign = _nlj_counts(plan)
+    flags = {
+        "cartesian": _op(plan, "CartesianProduct"),
+        "nested_loop": nlj_bad,
+        "nlj_local": nlj_benign,
+        "py_row_udf": _op(plan, "BatchEvalPython"),
+        "single_part_exchange": len(
+            re.findall(r"Exchange SinglePartition", plan)
+        ),
+        "broadcast_joins": _op(plan, "BroadcastHashJoin"),
+        "sortmerge_joins": _op(plan, "SortMergeJoin"),
+    }
+    return flags
+
+
+# Intentional exceptions, asserted here so a regression that adds a NEW
+# anti-pattern to these queries still flags (the allowance is one NLJ):
+ALLOWED_NLJ = {
+    # brute-force ANN is BY DEFINITION query-vectors x corpus (the
+    # baseline the IVF path is measured against); the build side is the
+    # 8-row vec_id < 8 slice of the embeddings table, pushed-filter
+    # pruned at the scan
+    "ann_topk": "brute-force baseline: 8-query slice x corpus is the op",
+    # the cosine leg of RRF crosses the same 8-row query slice; the bm25
+    # leg's query table is already recognized as driver-local
+    "search_rrf": "cosine leg crosses the 8-row query slice",
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from graphiti_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = []
+    details = []
+    for name, fn in sorted(e.queries().items()):
+        if only and name not in only:
+            continue
+        df = fn(spark, sf_dir)
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        f = audit_plan(plan)
+        # single-partition exchanges under a global top-k merge are fine;
+        # subtract one per TakeOrderedAndProject / global limit+sort
+        topk = len(re.findall(r"TakeOrderedAndProject|GlobalLimit", plan))
+        f["single_part_suspicious"] = max(
+            0, f.pop("single_part_exchange") - topk
+        )
+        bad = f["cartesian"] + f["nested_loop"] + f["py_row_udf"]
+        if bad and name in ALLOWED_NLJ and bad == f["nested_loop"] == 1:
+            f["nlj_local"] += 1
+            f["nested_loop"] = 0
+            bad = 0
+            verdict = f"ok (allowed: {ALLOWED_NLJ[name]})"
+        else:
+            verdict = "FLAG" if bad else "ok"
+        rows.append((name, f, verdict))
+        if bad:
+            details.append((name, plan))
+        print(
+            f"{name:>22}: {verdict:4}"
+            f" cart={f['cartesian']} nlj={f['nested_loop']}"
+            f" nlj_local={f['nlj_local']}"
+            f" pyrow={f['py_row_udf']} 1part?={f['single_part_suspicious']}"
+            f" bhj={f['broadcast_joins']} smj={f['sortmerge_joins']}"
+        )
+
+    lines = [
+        "# PLANS — physical-plan audit of every driver query",
+        "",
+        f"Input: `{sf_dir}`. Generated by `python tools/plan_audit.py`.",
+        "",
+        "Flags: `cart` CartesianProduct, `nlj` BroadcastNestedLoopJoin,",
+        "`nlj-local` nested-loop joins whose build side is a driver-local",
+        "3-5-row query/centroid table (the intended 'score K queries",
+        "against the corpus' plan — benign), `pyrow` row-at-a-time Python",
+        "UDF (BatchEvalPython — the engine's rule is Arrow-batched only),",
+        "`1part?` single-partition exchanges not explained by a global",
+        "top-k merge, `bhj`/`smj` join counts.",
+        "",
+        "| query | verdict | cart | nlj | nlj-local | pyrow | 1part? | bhj | smj |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for name, f, verdict in rows:
+        lines.append(
+            f"| {name} | {verdict} | {f['cartesian']} | {f['nested_loop']} |"
+            f" {f['nlj_local']} |"
+            f" {f['py_row_udf']} | {f['single_part_suspicious']} |"
+            f" {f['broadcast_joins']} | {f['sortmerge_joins']} |"
+        )
+    n_flag = sum(1 for _, _, v in rows if v == "FLAG")
+    n_allowed = sum(1 for _, _, v in rows if v.startswith("ok (allowed"))
+    lines += [
+        "",
+        f"**{len(rows)} queries audited, {n_flag} flagged,"
+        f" {n_allowed} allowed-by-design (see ALLOWED_NLJ in the tool).**",
+        "",
+    ]
+    if details:
+        lines.append("## Flagged plans")
+        for name, plan in details:
+            lines += [f"### {name}", "```", plan[:4000], "```", ""]
+    with open(os.path.join(REPO, "PLANS.md"), "w") as fh:
+        fh.write("\n".join(lines))
+    print(f"\n{len(rows)} audited, {n_flag} flagged -> PLANS.md")
+    return 1 if n_flag else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
