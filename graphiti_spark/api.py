@@ -126,21 +126,49 @@ class GraphitiSpark:
         return self.tables
 
     def add_pages(self, pages: DataFrame) -> GraphTables:
-        """Incremental ingest: the new pages are unioned with the already
-        ingested ones (an upsert keyed by url — re-ingesting a url replaces
-        it) and the graph is rebuilt over the combined input, so prior
-        builds are never silently discarded. The batch rebuild is the
-        Iceberg-table equivalent of the reference's per-episode upsert
-        (add_episode, graphiti.py:254-490); at production scale the same
-        DAG runs over `old_pages MERGE INTO new_pages` instead."""
-        if self.tables is not None:
-            cols = pages.columns
-            retained = self.tables.pages.select(*cols).join(
-                pages.select("url"), "url", "left_anti"
-            )
-            pages = retained.unionByName(pages.select(*cols))
-        self.tables = build_graph(self.spark, sf_dir="", pages=pages)
-        return self.tables
+        """Incremental ingest (the reference's add_episode upsert,
+        graphiti.py:254-490, re-expressed batch): an upsert keyed by url —
+        re-ingesting a url replaces it — where the EXPENSIVE stages
+        (clean+chunk, regex extraction over page text) run only on the
+        NEW pages; the committed episode/extraction stage tables of the
+        prior build are reused for every retained url (the Iceberg MERGE
+        pattern: append to the stage table, never re-derive it). The
+        skinny downstream — entity resolution over distinct names, edge
+        grouping, invalidation — re-runs over the combined extraction,
+        which is exactly what makes the result identical to a full
+        rebuild: a new alias can bridge two old clusters, and a new
+        contradicting fact can invalidate an old edge, so those stages
+        are global by design (pytest pins incremental == full rebuild).
+        """
+        have = pages.columns
+        if self.tables is None:
+            self.tables = build_graph(self.spark, sf_dir="", pages=pages)
+            return self.tables
+        old = self.tables
+        new_urls = pages.select("url").distinct()
+        retained_pages = old.pages.select(*have).join(new_urls, "url", "left_anti")
+        combined = retained_pages.unionByName(pages.select(*have))
+        t = build_graph(self.spark, sf_dir="", pages=combined)
+
+        # stage reuse: episodes + extraction of retained urls come from
+        # the prior build's committed tables; only new pages are cleaned,
+        # chunked and extracted
+        from .operators.episodes import build_episodes
+        from .operators.extract import extract_all
+
+        retained_eps = old.episodes.join(new_urls, "url", "left_anti")
+        new_eps = build_episodes(pages)
+        t.episodes = retained_eps.unionByName(new_eps)
+
+        drop_eps = old.episodes.join(new_urls, "url", "left_semi").select(
+            F.col("uuid").alias("episode_uuid")
+        )
+        retained_ex = old.extracted.join(drop_eps, "episode_uuid", "left_anti")
+        t.extracted = t._commit(
+            retained_ex.unionByName(extract_all(new_eps)), "extracted"
+        )
+        self.tables = t
+        return t
 
     def triples(self) -> DataFrame:
         return triples_view(self._t())
