@@ -497,20 +497,13 @@ def tfidf_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def substring_dup_stats(docs: DataFrame, k: int = 10) -> DataFrame:
-    """Exact-substring duplication per document at word-k-gram granularity
-    (the fixed-window form of Lee et al. 2022's suffix-array exact
-    substring dedup — the standard LM-training-data pass).
-
-    Per doc: distinct word k-grams, how many of them also occur in some
-    OTHER document, and the duplicated fraction (micro-units). Plan: the
-    k-grams are md5-hashed BEFORE the corpus-wide frequency shuffle (the
-    same fixed-width-key discipline as boilerplate_dedup), one groupBy on
-    the hash + membership join back; short docs (< k words) keep a row
-    with zero grams via the left join from the documents base."""
+def _word_kgram_hashes(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, gh) — distinct md5-hashed word-k-grams per document, one
+    codegen projection + explode. The md5 BEFORE any shuffle keeps every
+    downstream key fixed-width (the boilerplate_dedup discipline)."""
     # NB: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — short
     # docs must take the empty-array branch explicitly
-    grams = (
+    return (
         docs.select(
             "doc_id",
             F.expr(f"regexp_extract_all(lower(text), '{WORD}', 0)").alias("ws"),
@@ -526,6 +519,101 @@ def substring_dup_stats(docs: DataFrame, k: int = 10) -> DataFrame:
         .select("doc_id", F.explode("ghs").alias("gh"))
         .distinct()
     )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, k: int = 8) -> DataFrame:
+    """Benchmark decontamination — the standard pre-training pass that
+    drops training documents overlapping an evaluation set (the GPT-3
+    appendix-C / PaLM 13-/8-gram rule; here word-k-grams, k=8).
+
+    Per training doc (docs minus benchmark ids): distinct word k-grams,
+    how many also occur in the benchmark set, and the drop decision
+    (`contaminated` = any hit).
+
+    Scale (100 TB): the benchmark side is eval-suite-sized — thousands of
+    documents, millions of grams — BY DEFINITION, so its distinct gram-
+    hash set is broadcast (a bloom-filter pre-pass at the extreme). The
+    corpus side is then one narrow gram projection + broadcast hash join
+    + per-doc agg with map-side combine: no corpus-wide shuffle at all,
+    which is what makes this run as a cheap side-pass of any ingest job.
+    """
+    bench_ids = benchmark.select("doc_id").distinct()
+    train = docs.join(bench_ids, "doc_id", "left_anti")
+    bg = F.broadcast(
+        _word_kgram_hashes(benchmark, k).select("gh").distinct()
+    ).withColumn("hit", F.lit(1))
+    flagged = _word_kgram_hashes(train, k).join(bg, "gh", "left")
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit_grams"),
+    )
+    return (
+        train.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
+            F.expr(
+                "CASE WHEN coalesce(n_hit_grams, 0) > 0 THEN 1 ELSE 0 END"
+            )
+            .cast("long")
+            .alias("contaminated"),
+        )
+    )
+
+
+# hex->int idiom shared with dedup.py: reproducible in DuckDB as
+# ('0x' || substr(md5(x), 1, 8))::BIGINT
+_MIX_HASH = (
+    "cast(conv(substr(md5(concat('mix:', cast(doc_id as string))), 1, 8),"
+    " 16, 10) as bigint) % 1000000"
+)
+
+
+def mix_sample(
+    docs: DataFrame,
+    rates_u: dict[str, int],
+    default_rate_u: int = 100_000,
+) -> DataFrame:
+    """Stratified data-mixing sample — the deterministic per-stratum
+    downsampling step of a training-data mixing recipe (e.g. keep 100% of
+    English, 50% of the mid-resource languages, 25% of zh). The keep
+    decision is a pure function of doc_id (md5 -> uniform micro-unit in
+    [0, 1e6) compared to the stratum's rate), so the sample is stable
+    across runs, resumable, and needs NO shuffle: one codegen projection
+    over the corpus, rates applied via a literal CASE (the rate table is
+    config-sized). Emits the decision for every doc (keep in {0,1}) so
+    downstream both filters and audits achieved rates."""
+    branches = " ".join(
+        f"WHEN lang = '{s}' THEN {int(r)}L" for s, r in sorted(rates_u.items())
+    )
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("stratum"),
+        F.expr(_MIX_HASH).cast("long").alias("hash_u"),
+        F.expr(
+            f"CASE WHEN ({_MIX_HASH}) <"
+            f" (CASE {branches} ELSE {int(default_rate_u)}L END)"
+            " THEN 1 ELSE 0 END"
+        )
+        .cast("long")
+        .alias("keep"),
+    )
+
+
+def substring_dup_stats(docs: DataFrame, k: int = 10) -> DataFrame:
+    """Exact-substring duplication per document at word-k-gram granularity
+    (the fixed-window form of Lee et al. 2022's suffix-array exact
+    substring dedup — the standard LM-training-data pass).
+
+    Per doc: distinct word k-grams, how many of them also occur in some
+    OTHER document, and the duplicated fraction (micro-units). Plan: the
+    k-grams are md5-hashed BEFORE the corpus-wide frequency shuffle (the
+    same fixed-width-key discipline as boilerplate_dedup), one groupBy on
+    the hash + membership join back; short docs (< k words) keep a row
+    with zero grams via the left join from the documents base."""
+    grams = _word_kgram_hashes(docs, k)
     freq = grams.groupBy("gh").agg(F.count_distinct("doc_id").alias("n_docs"))
     flagged = grams.join(
         freq.where(F.col("n_docs") >= 2).select("gh", F.lit(1).alias("dup")),

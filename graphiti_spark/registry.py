@@ -1050,6 +1050,43 @@ def q_doc_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# data-mixing rates (micro-units) for the doc_mix_sample query: keep all
+# English, half of the mid-resource languages, a quarter of zh
+MIX_RATES_U = {"en": 1_000_000, "de": 500_000, "fr": 500_000, "es": 500_000,
+               "zh": 250_000}
+DECON_MOD = 7  # deterministic stand-in benchmark set: doc_id % 7 == 0
+DECON_K = 8
+
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C style word-8-gram
+    overlap vs an eval set). The benchmark here is a deterministic subset
+    of the corpus (doc_id % 7 == 0) standing in for a real eval suite;
+    in production it is the actual benchmark table, broadcast."""
+    d = docs.read_documents(spark, sf_dir)
+    return docs_mod.decontaminate(
+        d, d.where(F.col("doc_id") % DECON_MOD == 0), k=DECON_K
+    )
+
+
+def q_doc_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified data-mixing sample: deterministic md5-hash keep/drop per
+    language stratum (keep-all en, 50% de/fr/es, 25% zh) — one shuffle-free
+    codegen projection; emits the decision for every doc for auditing."""
+    return docs_mod.mix_sample(
+        docs.read_documents(spark, sf_dir), MIX_RATES_U, default_rate_u=100_000
+    )
+
+
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group integer PageRank + degrees over the canonical triple
+    graph — the batch entity-importance table (3 fixed iterations,
+    damping 0.85, exact integer micro-unit ranks)."""
+    from .operators.centrality import pagerank
+
+    return pagerank(q_kg_triples(spark, sf_dir), iters=3)
+
+
 def q_evt_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization over the events table (30-min inactivity
     gap) — the batch twin of the streaming stateful rollup."""
@@ -1203,6 +1240,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_unigram_lm": q_doc_unigram_lm,
     "doc_tfidf_terms": q_doc_tfidf_terms,
     "doc_substring_dup": q_doc_substring_dup,
+    "doc_decontaminate": q_doc_decontaminate,
+    "doc_mix_sample": q_doc_mix_sample,
+    "kg_pagerank": q_kg_pagerank,
     "evt_sessions": q_evt_sessions,
     "evt_windows": q_evt_windows,
     "media_phash_pairs": q_media_phash_pairs,
@@ -1885,6 +1925,93 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
 
 
+def _sql_doc_decontaminate() -> str:
+    k, mod = DECON_K, DECON_MOD
+    return f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(list_slice(ws, i, i + {k - 1}), ' ')) AS gh
+  FROM toks, unnest(range(1, greatest(len(ws) - {k - 1}, 0) + 1)) AS t(i)
+),
+bg AS (SELECT DISTINCT gh FROM grams WHERE doc_id % {mod} = 0),
+per_doc AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         CAST(sum(CASE WHEN b.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+  FROM grams g LEFT JOIN bg b USING (gh)
+  WHERE g.doc_id % {mod} <> 0
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(p.n_hit, 0) AS n_hit_grams,
+       CAST(CASE WHEN coalesce(p.n_hit, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {mod} <> 0) d
+LEFT JOIN per_doc p USING (doc_id)"""
+
+
+def _sql_doc_mix_sample() -> str:
+    branches = " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in sorted(MIX_RATES_U.items())
+    )
+    hash_u = (
+        "('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+        " % 1000000"
+    )
+    return f"""
+SELECT doc_id, lang AS stratum,
+       CAST({hash_u} AS BIGINT) AS hash_u,
+       CAST(CASE WHEN {hash_u} <
+         (CASE lang {branches} ELSE 100000 END)
+         THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM documents"""
+
+
+PAGERANK_ITERS = 3
+
+
+def _sql_kg_pagerank() -> str:
+    rounds = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        prev = f"r{i - 1}"
+        rounds.append(f"""
+c{i} AS (
+  SELECT e.group_id, e.dst AS name,
+         CAST(sum({prev}.rank_u // od.outdeg) AS BIGINT) AS s
+  FROM e
+  JOIN od ON od.group_id = e.group_id AND od.src = e.src
+  JOIN {prev} ON {prev}.group_id = e.group_id AND {prev}.name = e.src
+  GROUP BY 1, 2
+),
+r{i} AS MATERIALIZED (
+  SELECT v.group_id, v.name,
+         (150000 // ng.n_g) + (85 * coalesce(c{i}.s, 0)) // 100 AS rank_u
+  FROM v JOIN ng USING (group_id)
+  LEFT JOIN c{i} ON c{i}.group_id = v.group_id AND c{i}.name = v.name
+)""")
+    body = f"""
+, e AS (SELECT DISTINCT group_id, subj AS src, obj AS dst FROM eds),
+v AS (SELECT group_id, src AS name FROM e
+      UNION SELECT group_id, dst FROM e),
+ng AS (SELECT group_id, count(*) AS n_g FROM v GROUP BY 1),
+od AS (SELECT group_id, src, count(*) AS outdeg FROM e GROUP BY 1, 2),
+idg AS (SELECT group_id, dst, count(*) AS indeg FROM e GROUP BY 1, 2),
+r0 AS (SELECT v.group_id, v.name, 1000000 // ng.n_g AS rank_u
+       FROM v JOIN ng USING (group_id)),{",".join(rounds)}
+SELECT r.group_id, r.name,
+       CAST(coalesce(od.outdeg, 0) AS BIGINT) AS out_deg,
+       CAST(coalesce(idg.indeg, 0) AS BIGINT) AS in_deg,
+       CAST(r.rank_u AS BIGINT) AS rank_u
+FROM r{PAGERANK_ITERS} r
+LEFT JOIN od ON od.group_id = r.group_id AND od.src = r.name
+LEFT JOIN idg ON idg.group_id = r.group_id AND idg.dst = r.name"""
+    return _kg_sql(body, with_eds=True)
+
+
 def _sql_evt_sessions() -> str:
     return """
 WITH flagged AS (
@@ -1958,6 +2085,9 @@ ORACLES: dict[str, Callable[[], str]] = {
     "doc_unigram_lm": _sql_doc_unigram_lm,
     "doc_tfidf_terms": _sql_doc_tfidf_terms,
     "doc_substring_dup": _sql_doc_substring_dup,
+    "doc_decontaminate": _sql_doc_decontaminate,
+    "doc_mix_sample": _sql_doc_mix_sample,
+    "kg_pagerank": _sql_kg_pagerank,
     "evt_sessions": _sql_evt_sessions,
     "evt_windows": _sql_evt_windows,
     "media_phash_pairs": _sql_media_phash_pairs,

@@ -59,3 +59,45 @@ def test_lang_id_legs(spark):
     df = lang_id(_docs(spark, rows))
     got = {r["doc_id"]: r["lang_guess"] for r in df.collect()}
     assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "zh", 5: "und"}
+
+
+def test_decontaminate_semantics(spark):
+    """A train doc sharing a full word-8-gram with a benchmark doc is
+    flagged; a paraphrase that breaks every 8-gram is not; benchmark docs
+    never appear in the output; short docs keep a zero-gram row."""
+    from graphiti_spark.operators.docs import decontaminate
+
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    rows = [
+        bench_text,                              # 0: the benchmark doc
+        "intro words " + bench_text,             # 1: contains the 8-gram
+        "alpha bravo charlie delta echo foxtrot golf kilo india",  # 2: broken
+        "too short",                             # 3: < k words
+    ]
+    docs = _docs(spark, rows)
+    out = decontaminate(docs, docs.where("doc_id = 0"), k=8)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+
+    assert set(got) == {1, 2, 3}  # benchmark doc excluded
+    assert got[1]["contaminated"] == 1 and got[1]["n_hit_grams"] >= 1
+    assert got[2]["contaminated"] == 0 and got[2]["n_hit_grams"] == 0
+    assert got[3] == {"doc_id": 3, "n_grams": 0, "n_hit_grams": 0,
+                      "contaminated": 0}
+
+
+def test_mix_sample_deterministic_and_rate(spark):
+    """keep is a pure function of doc_id (stable across runs) and the
+    achieved per-stratum rate converges to the configured one."""
+    from graphiti_spark.operators.docs import mix_sample
+
+    docs = spark.range(0, 4000).selectExpr(
+        "id as doc_id", "'x' as text",
+        "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'zh' END as lang")
+    rates = {"en": 1_000_000, "zh": 250_000}
+    a = {r["doc_id"]: r["keep"] for r in mix_sample(docs, rates).collect()}
+    b = {r["doc_id"]: r["keep"] for r in mix_sample(docs, rates).collect()}
+    assert a == b
+    kept_en = sum(v for k, v in a.items() if k % 2 == 0)
+    kept_zh = sum(v for k, v in a.items() if k % 2 == 1)
+    assert kept_en == 2000            # rate 1.0 keeps everything
+    assert 380 <= kept_zh <= 620      # ~25% of 2000, md5-uniform
