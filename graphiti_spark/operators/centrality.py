@@ -41,9 +41,17 @@ def pagerank(
     recurrence stays a pure integer function of the graph, identical in
     Spark `div` and DuckDB `//`.
     """
-    e = triples.select(
-        "group_id", F.col("subj").alias("src"), F.col("obj").alias("dst")
-    ).distinct()
+    # the skinny edge list is read 2 + iters times (verts, degrees, every
+    # iteration's contribution join): commit it once so each iteration
+    # reads materialized rows instead of re-running the triple lineage —
+    # the same lineage-truncation discipline as connected_components
+    e = (
+        triples.select(
+            "group_id", F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     verts = (
         e.select("group_id", F.col("src").alias("name"))
         .unionByName(e.select("group_id", F.col("dst").alias("name")))
@@ -70,6 +78,9 @@ def pagerank(
             .groupBy("group_id", F.col("dst").alias("name"))
             .agg(F.sum(F.expr("rank_u div outdeg")).alias("s"))
         )
+        # per-iteration checkpoint: rank_i's plan would otherwise nest
+        # rank_{i-1}'s whole subtree (exponential plan growth is the
+        # classic iterative-DataFrame failure mode at scale)
         r = (
             vn.join(contrib, ["group_id", "name"], "left")
             .select(
@@ -80,6 +91,7 @@ def pagerank(
                     f" + ({damp_pct}L * coalesce(s, 0L)) div 100"
                 ).alias("rank_u"),
             )
+            .localCheckpoint(eager=True)
         )
     return (
         r.join(
