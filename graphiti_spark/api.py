@@ -38,6 +38,7 @@ class SearchConfig:
 
     scope: str = "edges"  # edges | nodes | combined
     reranker: str = "rrf"  # rrf | mmr | node_distance | episode_mentions
+    #                        | cross_encoder | pagerank
     limit: int = S.DEFAULT_SEARCH_LIMIT
 
 
@@ -81,11 +82,13 @@ EDGE_HYBRID_SEARCH_MMR = SearchConfig("edges", "mmr")
 EDGE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig("edges", "node_distance")
 EDGE_HYBRID_SEARCH_EPISODE_MENTIONS = SearchConfig("edges", "episode_mentions")
 EDGE_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig("edges", "cross_encoder")
+EDGE_HYBRID_SEARCH_PAGERANK = SearchConfig("edges", "pagerank")
 NODE_HYBRID_SEARCH_RRF = SearchConfig("nodes", "rrf")
 NODE_HYBRID_SEARCH_MMR = SearchConfig("nodes", "mmr")
 NODE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig("nodes", "node_distance")
 NODE_HYBRID_SEARCH_EPISODE_MENTIONS = SearchConfig("nodes", "episode_mentions")
 NODE_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig("nodes", "cross_encoder")
+NODE_HYBRID_SEARCH_PAGERANK = SearchConfig("nodes", "pagerank")
 COMBINED_HYBRID_SEARCH_RRF = SearchConfig("combined", "rrf")
 COMBINED_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig("combined", "cross_encoder")
 COMMUNITY_HYBRID_SEARCH_RRF = SearchConfig("communities", "rrf")
@@ -327,6 +330,41 @@ class GraphitiSpark:
                 )
             else:
                 out = S.episode_mentions_rerank(res, t.mention_edges)
+        elif config.reranker == "pagerank":
+            # beyond-reference reranker: global entity importance
+            # (integer PageRank over the canonical edge graph) instead of
+            # query-relative BFS distance — the batch centrality table a
+            # web-scale KG would precompute per build. Edge results rank
+            # by their SOURCE node's rank, like node_distance.
+            from .operators.centrality import pagerank
+
+            res = fused.where(F.col("rank") <= config.limit)
+            g = t.edges.select(
+                "group_id",
+                F.col("source_node_uuid").alias("subj"),
+                F.lit("E").alias("pred"),
+                F.col("target_node_uuid").alias("obj"),
+            )
+            pr = pagerank(g).select(F.col("name").alias("_n"), "rank_u")
+            if config.scope == "edges":
+                src = t.edges.select("uuid", "source_node_uuid")
+                out = (
+                    res.join(src, "uuid", "left")
+                    .join(
+                        pr.withColumnRenamed("_n", "source_node_uuid"),
+                        "source_node_uuid",
+                        "left",
+                    )
+                    .withColumn("rank_u", F.coalesce("rank_u", F.lit(0)))
+                    .drop("source_node_uuid")
+                    .orderBy(F.desc("rank_u"), "uuid")
+                )
+            else:
+                out = (
+                    res.join(pr.withColumnRenamed("_n", "uuid"), "uuid", "left")
+                    .withColumn("rank_u", F.coalesce("rank_u", F.lit(0)))
+                    .orderBy(F.desc("rank_u"), "uuid")
+                )
         elif config.reranker == "cross_encoder":
             # Q13/U5: deterministic cross-encoder rerank of the hybrid
             # candidate set (reference reranks only its candidates;

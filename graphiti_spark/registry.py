@@ -433,6 +433,42 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic clustering over the embedding corpus — deterministic k-means
+    (the exact-integer trainer of the IVF path) assigning every vector to
+    a cell, with cluster sizes. This is the cluster stage of
+    cluster-balanced curation / SemDeDup-style semantic dedup: downstream
+    samples per-cluster or prunes within clusters. Scale: training
+    touches the corpus n_iter+1 times but shuffles only n_cells sum
+    vectors; assignment is one broadcast of the centroid table."""
+    emb = ann.read_embeddings(spark, sf_dir)
+    cand = emb.select(F.col("vec_id").alias("c_id"), F.expr(_QZ).alias("emb"))
+    cents = ann.train_centroids(cand, n_cells=IVF_CELLS, n_iter=IVF_ITERS)
+    asg = ann.assign_cells(cand, cents)
+    sizes = asg.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
+    return asg.join(sizes, "cell_id").select(
+        F.col("c_id").cast("long").alias("vec_id"),
+        F.col("cell_id").cast("long").alias("cell_id"),
+        F.col("n").cast("long").alias("cluster_size"),
+    )
+
+
+def _sql_doc_clusters() -> str:
+    parts = [f"cand AS (SELECT vec_id AS c_id, {_DUCK_QZ} AS emb FROM embeddings)"]
+    km_parts, last_asg, _ = _kmeans_sql_parts(IVF_CELLS, IVF_ITERS)
+    parts += km_parts
+    parts.append(
+        f"sizes AS (SELECT cell_id, count(*) AS n FROM {last_asg} GROUP BY 1)"
+    )
+    return (
+        "WITH " + ",".join(p.strip() for p in parts)
+        + f"""
+SELECT a.c_id AS vec_id, CAST(a.cell_id AS BIGINT) AS cell_id,
+       CAST(s.n AS BIGINT) AS cluster_size
+FROM {last_asg} a JOIN sizes s USING (cell_id)"""
+    )
+
+
 def _duck_cos(a: str, b: str) -> str:
     emb_d = "list_transform({v}, x -> CAST(x AS DOUBLE))"
     ad, bd = emb_d.format(v=a), emb_d.format(v=b)
@@ -1241,6 +1277,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_tfidf_terms": q_doc_tfidf_terms,
     "doc_substring_dup": q_doc_substring_dup,
     "doc_decontaminate": q_doc_decontaminate,
+    "doc_clusters": q_doc_clusters,
     "doc_mix_sample": q_doc_mix_sample,
     "kg_pagerank": q_kg_pagerank,
     "evt_sessions": q_evt_sessions,
@@ -2086,6 +2123,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "doc_tfidf_terms": _sql_doc_tfidf_terms,
     "doc_substring_dup": _sql_doc_substring_dup,
     "doc_decontaminate": _sql_doc_decontaminate,
+    "doc_clusters": _sql_doc_clusters,
     "doc_mix_sample": _sql_doc_mix_sample,
     "kg_pagerank": _sql_kg_pagerank,
     "evt_sessions": _sql_evt_sessions,

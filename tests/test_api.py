@@ -229,3 +229,20 @@ def test_add_pages_upserts_by_url(spark, sf_dir):
     # exactly the replacement's chunks remain for that url
     assert eps.count() == 1
     assert t.episodes.count() < 10_000  # sanity: no duplication blow-up
+
+
+def test_pagerank_reranker(g):
+    """pagerank reranker orders results by global entity importance
+    (descending rank_u), node and edge scopes."""
+    from graphiti_spark.api import (
+        EDGE_HYBRID_SEARCH_PAGERANK,
+        NODE_HYBRID_SEARCH_PAGERANK,
+    )
+
+    nodes = g.search(["acme corp"], NODE_HYBRID_SEARCH_PAGERANK).toPandas()
+    assert len(nodes) > 0 and "rank_u" in nodes.columns
+    assert list(nodes["rank_u"]) == sorted(nodes["rank_u"], reverse=True)
+
+    edges = g.search(["alice johnson works"], EDGE_HYBRID_SEARCH_PAGERANK).toPandas()
+    assert len(edges) > 0 and "rank_u" in edges.columns
+    assert list(edges["rank_u"]) == sorted(edges["rank_u"], reverse=True)
