@@ -602,6 +602,59 @@ def mix_sample(
     )
 
 
+PACK_CHUNK = 65_536  # docs per prefix-sum chunk (see pack_blocks)
+
+
+def pack_blocks(docs: DataFrame, block_tokens: int = 2048) -> DataFrame:
+    """Training-example packing (GPT-style concat-then-chunk): documents
+    in doc_id order are concatenated into one token stream (each doc
+    contributes its BPE-ish token count + 1 EOS) and the stream is split
+    into fixed `block_tokens` blocks. Emits, per doc, its stream offset
+    and the first/last block it lands in — the exact mapping a shard
+    writer materializes.
+
+    Scale: the global running offset is a distributed two-level prefix
+    sum, NOT one giant single-partition window — docs prefix-sum within
+    doc_id chunks of {PACK_CHUNK} (partitioned window), chunk totals
+    prefix-sum in a second window over the ~corpus/{PACK_CHUNK}-row chunk
+    table (the only unpartitioned stage, reduced 65536x), then a join
+    back on the chunk key. At 1e12 docs the chunk table is ~1.5e7 rows —
+    window-able on one task — while the doc-level work stays fully
+    parallel."""
+    n = (
+        docs.select(
+            "doc_id",
+            (F.regexp_count("text", F.lit(BPE)) + F.lit(1))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .withColumn("chunk", F.expr(f"doc_id div {PACK_CHUNK}"))
+    )
+    w_intra = Window.partitionBy("chunk").orderBy("doc_id")
+    intra = n.withColumn(
+        "intra", F.sum("n_tokens").over(w_intra) - F.col("n_tokens")
+    )
+    totals = n.groupBy("chunk").agg(F.sum("n_tokens").alias("tot"))
+    w_chunk = Window.orderBy("chunk")
+    offs = totals.withColumn(
+        "chunk_off", F.sum("tot").over(w_chunk) - F.col("tot")
+    ).select("chunk", "chunk_off")
+    return (
+        intra.join(offs, "chunk")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("chunk_off") + F.col("intra")).alias("start_pos"),
+            F.expr(f"(chunk_off + intra) div {block_tokens}").alias(
+                "start_block"
+            ),
+            F.expr(
+                f"(chunk_off + intra + n_tokens - 1) div {block_tokens}"
+            ).alias("end_block"),
+        )
+    )
+
+
 def substring_dup_stats(docs: DataFrame, k: int = 10) -> DataFrame:
     """Exact-substring duplication per document at word-k-gram granularity
     (the fixed-window form of Lee et al. 2022's suffix-array exact

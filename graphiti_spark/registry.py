@@ -1114,6 +1114,14 @@ def q_doc_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concat docs (doc_id order, +1 EOS each)
+    into 2048-token blocks; per doc its stream offset and block span,
+    via a distributed two-level prefix sum (never one global window over
+    the corpus)."""
+    return docs_mod.pack_blocks(docs.read_documents(spark, sf_dir), 2048)
+
+
 def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group integer PageRank + degrees over the canonical triple
     graph — the batch entity-importance table (3 fixed iterations,
@@ -1278,6 +1286,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_substring_dup": q_doc_substring_dup,
     "doc_decontaminate": q_doc_decontaminate,
     "doc_clusters": q_doc_clusters,
+    "doc_pack": q_doc_pack,
     "doc_mix_sample": q_doc_mix_sample,
     "kg_pagerank": q_kg_pagerank,
     "evt_sessions": q_evt_sessions,
@@ -2008,6 +2017,28 @@ SELECT doc_id, lang AS stratum,
 FROM documents"""
 
 
+def _sql_doc_pack() -> str:
+    return rf"""
+WITH n AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) + 1 AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+           AS start_pos
+  FROM n
+)
+SELECT doc_id, n_tokens,
+       CAST(start_pos AS BIGINT) AS start_pos,
+       CAST(start_pos // 2048 AS BIGINT) AS start_block,
+       CAST((start_pos + n_tokens - 1) // 2048 AS BIGINT) AS end_block
+FROM c"""
+
+
 PAGERANK_ITERS = 3
 
 
@@ -2124,6 +2155,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "doc_substring_dup": _sql_doc_substring_dup,
     "doc_decontaminate": _sql_doc_decontaminate,
     "doc_clusters": _sql_doc_clusters,
+    "doc_pack": _sql_doc_pack,
     "doc_mix_sample": _sql_doc_mix_sample,
     "kg_pagerank": _sql_kg_pagerank,
     "evt_sessions": _sql_evt_sessions,

@@ -101,3 +101,23 @@ def test_mix_sample_deterministic_and_rate(spark):
     kept_zh = sum(v for k, v in a.items() if k % 2 == 1)
     assert kept_en == 2000            # rate 1.0 keeps everything
     assert 380 <= kept_zh <= 620      # ~25% of 2000, md5-uniform
+
+
+def test_pack_blocks_contiguous_stream(spark):
+    """Packing is a contiguous concat: each doc starts where the previous
+    ended, block indices derive exactly from offsets."""
+    from graphiti_spark.operators.docs import pack_blocks
+
+    rows = ["one two three", "a b", "x " * 3000, "tail doc"]
+    out = pack_blocks(_docs(spark, rows), block_tokens=16)
+    got = sorted((r.asDict() for r in out.collect()),
+                 key=lambda r: r["doc_id"])
+    pos = 0
+    for r in got:
+        assert r["start_pos"] == pos
+        assert r["start_block"] == pos // 16
+        assert r["end_block"] == (pos + r["n_tokens"] - 1) // 16
+        pos += r["n_tokens"]
+    # the 3000-token doc spans many blocks
+    big = got[2]
+    assert big["end_block"] - big["start_block"] >= 180
