@@ -64,6 +64,51 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def length_deciles(docs: DataFrame) -> DataFrame:
+    """Exact per-language whitespace-token-count deciles via the
+    histogram-CDF pattern: aggregate the corpus down to one row per
+    (lang, token_count) FIRST (map-side partial agg; the distinct-length
+    domain is bounded by max document size, not corpus size), then run
+    the running-sum window over that tiny histogram. Never a
+    corpus-wide per-row sort — the decile of a 10^12-doc corpus costs
+    one narrow shuffle plus a window over ~10^4 histogram rows per lang.
+
+    threshold_tokens for decile d = the smallest token count n whose
+    cumulative doc count reaches d/10 of the language's corpus (exact,
+    integer arithmetic: cum * 10 >= d * total).
+    """
+    toks = docs.select(
+        "lang", F.regexp_count("text", F.lit(WS_TOKEN)).alias("n")
+    )
+    hist = toks.groupBy("lang", "n").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy("n")
+    cdf = hist.select(
+        "lang",
+        "n",
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    totals = hist.groupBy("lang").agg(F.sum("cnt").alias("total"))
+    deciles = totals.select(
+        "lang",
+        "total",
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"),
+    )
+    return (
+        deciles.join(cdf, "lang")
+        .where(F.col("cum") * 10 >= F.col("decile") * F.col("total"))
+        .groupBy("lang", "decile", "total")
+        .agg(F.min("n").alias("threshold_tokens"))
+        .select(
+            "lang",
+            F.col("decile").cast("long").alias("decile"),
+            F.col("threshold_tokens").cast("long").alias("threshold_tokens"),
+            F.col("total").cast("long").alias("n_docs"),
+        )
+    )
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Deterministic quality heuristics in integer micro-units: stopword
     ratio, punctuation ratio, mean word length, and a composite score."""

@@ -65,6 +65,40 @@ def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
     )
 
 
+def funnel(events: DataFrame, steps: list[str]) -> DataFrame:
+    """Ordered-step funnel: for each user, t1 = earliest step-1 event,
+    t_k = earliest step-k event STRICTLY AFTER the user's t_{k-1}.
+    Returns one row per user who reached step 1, with each step's
+    timestamp (null once the funnel breaks) and steps_completed.
+
+    Scale: each stage is one inner join + min-agg co-partitioned on
+    user_id — the per-step filter prunes the fact side before the join,
+    the carried frontier is one skinny row per surviving user, and no
+    corpus-wide window or per-user sort ever materializes. K steps =
+    K-1 joins over monotonically shrinking frontiers.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    out = (
+        events.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.where(F.col("event_type") == step)
+            .join(out.select("user_id", f"t{i - 1}"), "user_id")
+            .where(F.col("ts") > F.col(f"t{i - 1}"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+        out = out.join(nxt, "user_id", "left")
+    completed = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        completed = completed + F.col(f"t{i}").isNotNull().cast("int")
+    return out.withColumn("steps_completed", completed.cast("long"))
+
+
 def tumbling_windows(events: DataFrame, unit: str = "hour") -> DataFrame:
     """Tumbling event-time windows per event_type — the batch form of the
     streaming windowed-count operator (streaming/stateful.py): counts,

@@ -409,3 +409,22 @@ def edge_date_filter(
             conj = pred if conj is None else (conj & pred)
         disj = conj if disj is None else (disj | conj)
     return edges.where(disj) if disj is not None else edges
+
+
+def asof_snapshot(edges: DataFrame, ts: str) -> DataFrame:
+    """Bi-temporal point-in-time view: the facts the graph held true AT
+    time `ts` — valid_at <= ts and not yet invalidated at ts (the
+    valid-time axis of the reference's EntityEdge valid_at/invalid_at
+    pair, edges.py:205-212; the special case of P2 the reference's
+    callers build by hand). Edges with unknown (null) valid_at are
+    excluded — their validity at ts is unknowable.
+
+    Pure codegen'd filter over the canonical edge table: at scale this
+    prunes at the parquet scan (valid_at is a min/max-indexed column),
+    so a snapshot query never touches post-ts row groups.
+    """
+    t = F.to_timestamp(F.lit(ts))
+    return edges.where(
+        (F.col("valid_at") <= t)
+        & (F.col("invalid_at").isNull() | (F.col("invalid_at") > t))
+    )

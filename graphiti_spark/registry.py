@@ -263,6 +263,13 @@ def q_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language token-count deciles (histogram-CDF plan — no
+    corpus-wide sort); the distribution profile curation thresholds are
+    read from."""
+    return docs.length_deciles(docs.read_documents(spark, sf_dir))
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = docs.quality_scores(docs.read_documents(spark, sf_dir))
     return out.select(
@@ -1163,6 +1170,19 @@ def q_evt_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_evt_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel view->click->purchase: per user the earliest
+    step-k event strictly after their step-(k-1) event, plus
+    steps_completed — K-1 co-partitioned join+min stages, no per-user
+    sort."""
+    from .operators import events as ev
+
+    return ev.funnel(ev.read_events(spark, sf_dir), FUNNEL_STEPS)
+
+
 MEDIA_N = 120
 
 
@@ -1271,6 +1291,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_para_dedup": q_doc_para_dedup,
     "doc_pii": q_doc_pii,
     "doc_tokens": q_doc_tokens,
+    "doc_length_deciles": q_doc_length_deciles,
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
     "doc_gopher": q_doc_gopher,
@@ -1291,6 +1312,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_pagerank": q_kg_pagerank,
     "evt_sessions": q_evt_sessions,
     "evt_windows": q_evt_windows,
+    "evt_funnel": q_evt_funnel,
     "media_phash_pairs": q_media_phash_pairs,
     "media_audio_dedup": q_media_audio_dedup,
 }
@@ -1713,6 +1735,29 @@ SELECT doc_id, length(text) AS n_chars,
 FROM documents"""
 
 
+def _sql_doc_length_deciles() -> str:
+    return r"""
+WITH toks AS (
+  SELECT lang, len(regexp_extract_all(text, '\S+')) AS n FROM documents
+),
+hist AS (SELECT lang, n, count(*) AS cnt FROM toks GROUP BY 1, 2),
+cdf AS (
+  SELECT lang, n,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY n
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+tot AS (SELECT lang, sum(cnt) AS total FROM hist GROUP BY 1),
+dec AS (
+  SELECT lang, total, unnest(generate_series(1, 10)) AS decile FROM tot
+)
+SELECT d.lang, CAST(d.decile AS BIGINT) AS decile,
+       CAST(min(c.n) AS BIGINT) AS threshold_tokens,
+       CAST(d.total AS BIGINT) AS n_docs
+FROM dec d JOIN cdf c ON c.lang = d.lang AND c.cum * 10 >= d.decile * d.total
+GROUP BY 1, 2, 4"""
+
+
 def _sql_doc_quality() -> str:
     return rf"""
 WITH base AS (
@@ -2114,6 +2159,31 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2"""
 
 
+def _sql_evt_funnel() -> str:
+    steps = FUNNEL_STEPS
+    return f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{steps[0]}' GROUP BY 1
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = '{steps[1]}' AND e.ts > s1.t1 GROUP BY 1
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = '{steps[2]}' AND e.ts > s2.t2 GROUP BY 1
+)
+SELECT s1.user_id, t1, t2, t3,
+       CAST(1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT)
+            AS BIGINT) AS steps_completed
+FROM s1
+LEFT JOIN s2 ON s2.user_id = s1.user_id
+LEFT JOIN s3 ON s3.user_id = s1.user_id"""
+
+
 ORACLES: dict[str, Callable[[], str]] = {
     "kg_alias_resolution": _sql_kg_alias_resolution,
     "kg_node_attributes": _sql_kg_node_attributes,
@@ -2140,6 +2210,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "doc_para_dedup": _sql_doc_para_dedup,
     "doc_pii": _sql_doc_pii,
     "doc_tokens": _sql_doc_tokens,
+    "doc_length_deciles": _sql_doc_length_deciles,
     "doc_quality": _sql_doc_quality,
     "doc_langid": _sql_doc_langid,
     "doc_gopher": _sql_doc_gopher,
@@ -2160,6 +2231,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_pagerank": _sql_kg_pagerank,
     "evt_sessions": _sql_evt_sessions,
     "evt_windows": _sql_evt_windows,
+    "evt_funnel": _sql_evt_funnel,
     "media_phash_pairs": _sql_media_phash_pairs,
     "media_audio_dedup": _sql_media_audio_dedup,
 }

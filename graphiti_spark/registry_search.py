@@ -340,6 +340,29 @@ SELECT origin_uuid, uuid AS node_key, CAST(min(depth) AS BIGINT) AS depth
 FROM allhops GROUP BY 1, 2"""
 
 
+ASOF_TS = "2024-01-01 12:00:00"
+
+
+def q_kg_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bi-temporal point-in-time view: the canonical triples the graph
+    held true at ASOF_TS (valid_at <= t, not yet invalidated at t)."""
+    from . import registry
+
+    tv = registry.q_kg_triples(spark, sf_dir)
+    return search.asof_snapshot(tv, ASOF_TS)
+
+
+def _sql_kg_asof_snapshot() -> str:
+    from .registry import _TRIPLES_SELECT, _kg_sql
+
+    body = f"""
+, final AS ({_TRIPLES_SELECT})
+SELECT * FROM final
+WHERE valid_at <= TIMESTAMP '{ASOF_TS}'
+  AND (invalid_at IS NULL OR invalid_at > TIMESTAMP '{ASOF_TS}')"""
+    return _kg_sql(body, with_eds=True)
+
+
 def _sql_kg_edge_date_filter() -> str:
     from .registry import _TRIPLES_SELECT, _kg_sql
 
@@ -1005,6 +1028,7 @@ SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_retrieve_episodes": q_kg_retrieve_episodes,
     "kg_bfs": q_kg_bfs,
     "kg_edge_date_filter": q_kg_edge_date_filter,
+    "kg_asof_snapshot": q_kg_asof_snapshot,
 }
 
 SEARCH_ORACLES: dict[str, Callable[[], str]] = {
@@ -1024,4 +1048,5 @@ SEARCH_ORACLES: dict[str, Callable[[], str]] = {
     "kg_retrieve_episodes": _sql_kg_retrieve_episodes,
     "kg_bfs": _sql_kg_bfs,
     "kg_edge_date_filter": _sql_kg_edge_date_filter,
+    "kg_asof_snapshot": _sql_kg_asof_snapshot,
 }

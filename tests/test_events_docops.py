@@ -104,3 +104,71 @@ def test_substring_dup_detects_shared_10gram(spark):
     assert out[0]["dup_frac_u"] == 500_000
     assert out[2]["n_dup_grams"] == 0
     assert out[3]["n_grams"] == 0 and out[3]["dup_frac_u"] == 0
+
+
+def test_funnel_strict_ordering(spark):
+    """Step k counts only events strictly after the user's step k-1 time;
+    a user who clicks before ever viewing never reaches step 2."""
+    from graphiti_spark.operators.events import funnel
+
+    rows = [
+        # user 1: full funnel in order
+        (T0, 1, "view", 1.0),
+        (T0 + dt.timedelta(minutes=1), 1, "click", 1.0),
+        (T0 + dt.timedelta(minutes=2), 1, "purchase", 1.0),
+        # user 2: click BEFORE first view -> funnel stops at step 1
+        (T0, 2, "click", 1.0),
+        (T0 + dt.timedelta(minutes=1), 2, "view", 1.0),
+        # user 3: never views -> absent from the output entirely
+        (T0, 3, "purchase", 1.0),
+        # user 4: view then purchase (no click) -> steps_completed = 1
+        (T0, 4, "view", 1.0),
+        (T0 + dt.timedelta(minutes=1), 4, "purchase", 1.0),
+    ]
+    out = {
+        r["user_id"]: r
+        for r in funnel(
+            _events(spark, rows), ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert set(out) == {1, 2, 4}
+    assert out[1]["steps_completed"] == 3
+    assert out[1]["t3"] == T0 + dt.timedelta(minutes=2)
+    assert out[2]["steps_completed"] == 1 and out[2]["t2"] is None
+    assert out[4]["steps_completed"] == 1
+
+
+def test_length_deciles_exact_thresholds(spark):
+    """10 docs of 1..10 tokens: decile d's threshold is exactly d tokens
+    (cum*10 >= d*total first reached at n = d)."""
+    from graphiti_spark.operators.docs import length_deciles
+
+    texts = [" ".join(["w"] * n) for n in range(1, 11)]
+    out = {
+        (r["lang"], r["decile"]): r for r in length_deciles(_docs(spark, texts)).collect()
+    }
+    assert len(out) == 10
+    for d in range(1, 11):
+        assert out[("en", d)]["threshold_tokens"] == d
+        assert out[("en", d)]["n_docs"] == 10
+
+
+def test_asof_snapshot_boundaries(spark):
+    """valid_at == ts is included; invalid_at == ts is excluded (the edge
+    was already invalidated at ts); null valid_at is excluded."""
+    from graphiti_spark.operators.search import asof_snapshot
+
+    ts = "2024-06-01 00:00:00"
+    t = dt.datetime(2024, 6, 1)
+    rows = [
+        ("a", t, None),                                  # valid exactly at ts
+        ("b", t - dt.timedelta(days=1), t),              # invalidated AT ts
+        ("c", t - dt.timedelta(days=1), t + dt.timedelta(days=1)),  # still valid
+        ("d", t + dt.timedelta(seconds=1), None),        # not yet valid
+        ("e", None, None),                               # unknown start
+    ]
+    df = spark.createDataFrame(
+        rows, "uuid string, valid_at timestamp_ntz, invalid_at timestamp_ntz"
+    )
+    kept = {r["uuid"] for r in asof_snapshot(df, ts).collect()}
+    assert kept == {"a", "c"}
