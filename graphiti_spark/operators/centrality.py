@@ -27,6 +27,165 @@ DAMP_PCT = 85  # damping 0.85 in integer percent
 R0_U = 1_000_000  # rank unit: micro-units summing (pre-damping) to ~1e6/group
 
 
+def clustering_coefficients(triples: DataFrame) -> DataFrame:
+    """Per-node triangle count and local clustering coefficient over the
+    undirected simple graph of the canonical triples — the standard
+    cohesion diagnostic for a KG built from web text (dense cliques =
+    tightly-covered entity neighborhoods; coefficient 0 = star-shaped
+    hub coverage).
+
+    Triangle enumeration uses DEGREE-ORDERED edge orientation
+    (compact-forward): every undirected edge is directed from its
+    lower-(degree, name) endpoint to the higher one, wedges are generated
+    only at each triangle's lowest-ranked vertex, and the closing edge is
+    probed in the same orientation. Each triangle is produced exactly
+    once, and the wedge count is bounded by sum(outdeg^2) with
+    outdeg <= O(sqrt(m)) under this ordering — the classic
+    O(m^1.5) bound that survives power-law hubs, where raw
+    name-ordering would square the hub degree. All joins are
+    co-partitioned equi-joins on (group_id, vertex); nothing is
+    broadcast, nothing is collected.
+
+    coeff_u = 2e6 * triangles div (degree * (degree - 1)) — exact integer
+    micro-units, bit-reproducible in Spark `div` and DuckDB `//`.
+    """
+    und = (
+        triples.select(
+            "group_id",
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select("group_id", F.col("a").alias("name"))
+        .unionByName(und.select("group_id", F.col("b").alias("name")))
+        .groupBy("group_id", "name")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=True)
+    )
+    da = deg.select(
+        "group_id", F.col("name").alias("a"), F.col("degree").alias("da")
+    )
+    db = deg.select(
+        "group_id", F.col("name").alias("b"), F.col("degree").alias("db")
+    )
+    e = und.join(da, ["group_id", "a"]).join(db, ["group_id", "b"])
+    lo_is_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    # oriented edge list, carrying the head's rank key so wedge pairs can
+    # be emitted already in closing-edge orientation
+    o = e.select(
+        "group_id",
+        F.when(lo_is_a, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_is_a, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(lo_is_a, F.col("db")).otherwise(F.col("da")).alias("dhi"),
+    ).localCheckpoint(eager=True)
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    rank_lt = (F.col("e1.dhi") < F.col("e2.dhi")) | (
+        (F.col("e1.dhi") == F.col("e2.dhi")) & (F.col("e1.hi") < F.col("e2.hi"))
+    )
+    wedges = (
+        e1.join(e2, ["group_id", "lo"])
+        .where(rank_lt)
+        .select(
+            "group_id",
+            F.col("lo").alias("v1"),
+            F.col("e1.hi").alias("lo2"),
+            F.col("e2.hi").alias("hi2"),
+        )
+    )
+    tri = wedges.join(
+        o.select("group_id", F.col("lo").alias("lo2"), F.col("hi").alias("hi2")),
+        ["group_id", "lo2", "hi2"],
+    ).select("group_id", "v1", F.col("lo2").alias("v2"), F.col("hi2").alias("v3"))
+    per_node = (
+        tri.select(
+            "group_id", F.explode(F.array("v1", "v2", "v3")).alias("name")
+        )
+        .groupBy("group_id", "name")
+        .agg(F.count(F.lit(1)).alias("tri"))
+    )
+    return (
+        deg.join(per_node, ["group_id", "name"], "left")
+        .select(
+            "group_id",
+            "name",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("tri", F.lit(0)).cast("long").alias("triangles"),
+            F.expr(
+                "CASE WHEN degree >= 2 THEN"
+                " (2000000L * coalesce(tri, 0L)) div (degree * (degree - 1))"
+                " ELSE 0L END"
+            )
+            .cast("long")
+            .alias("coeff_u"),
+        )
+    )
+
+
+def cooccurrence(mention_edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Entity co-mention statistics: for every canonical entity pair that
+    shares at least one episode, the co-mention episode count and an
+    integer-exact PMI lift — the relation-discovery signal a KG pipeline
+    mines for candidate edges the pattern extractors missed (pairs with
+    high lift but no fact edge are extraction gaps).
+
+    lift_u = 1e6 * P(a,b) / (P(a) P(b)) = (1e6 * c_ab * n_episodes)
+    div (c_a * c_b); > 1e6 means positive association. Pure integer
+    division — bit-identical in Spark and DuckDB.
+
+    Scale: the pair generation is a self-join of the skinny
+    (episode, entity) mention table co-partitioned on episode_uuid; the
+    per-episode fan-out is quadratic only in entities-per-episode, which
+    is bounded by the chunker (a paragraph mentions a handful of
+    entities), never by corpus size. Marginals and the episode count are
+    partial-agg'd before the final key join."""
+    m = mention_edges.join(
+        nodes.select(F.col("uuid").alias("entity_uuid"), "name"), "entity_uuid"
+    ).select("group_id", "episode_uuid", "name")
+    per = m.groupBy("group_id", "name").agg(F.count(F.lit(1)).alias("c"))
+    n_eps = m.groupBy("group_id").agg(
+        F.count_distinct("episode_uuid").alias("n_eps")
+    )
+    x, y = m.alias("x"), m.alias("y")
+    pairs = (
+        x.join(y, ["group_id", "episode_uuid"])
+        .where(F.col("x.name") < F.col("y.name"))
+        .groupBy(
+            "group_id",
+            F.col("x.name").alias("name_a"),
+            F.col("y.name").alias("name_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    return (
+        pairs.join(
+            per.select("group_id", F.col("name").alias("name_a"), F.col("c").alias("c_a")),
+            ["group_id", "name_a"],
+        )
+        .join(
+            per.select("group_id", F.col("name").alias("name_b"), F.col("c").alias("c_b")),
+            ["group_id", "name_b"],
+        )
+        .join(n_eps, "group_id")
+        .select(
+            "group_id",
+            "name_a",
+            "name_b",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.col("c_a").cast("long").alias("c_a"),
+            F.col("c_b").cast("long").alias("c_b"),
+            F.expr("(1000000L * c_ab * n_eps) div (c_a * c_b)")
+            .cast("long")
+            .alias("lift_u"),
+        )
+    )
+
+
 def pagerank(
     triples: DataFrame, iters: int = 3, damp_pct: int = DAMP_PCT
 ) -> DataFrame:

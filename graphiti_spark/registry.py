@@ -1138,6 +1138,27 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(q_kg_triples(spark, sf_dir), iters=3)
 
 
+def q_kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    undirected canonical graph (degree-ordered compact-forward
+    enumeration — each triangle produced once, wedge cost bounded
+    O(m^1.5) under power-law hubs)."""
+    from .operators.centrality import clustering_coefficients
+
+    return clustering_coefficients(q_kg_triples(spark, sf_dir))
+
+
+def q_kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-mention pairs with integer-exact PMI lift — the
+    relation-discovery signal (high lift + no fact edge = extraction
+    gap). Self-join of the skinny mention table co-partitioned on
+    episode_uuid; fan-out bounded by entities-per-paragraph."""
+    from .operators.centrality import cooccurrence
+
+    t = _graph(spark, sf_dir)
+    return cooccurrence(t.mention_edges, t.nodes)
+
+
 def q_evt_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization over the events table (30-min inactivity
     gap) — the batch twin of the streaming stateful rollup."""
@@ -1310,6 +1331,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pack": q_doc_pack,
     "doc_mix_sample": q_doc_mix_sample,
     "kg_pagerank": q_kg_pagerank,
+    "kg_clustering": q_kg_clustering,
+    "kg_cooccurrence": q_kg_cooccurrence,
     "evt_sessions": q_evt_sessions,
     "evt_windows": q_evt_windows,
     "evt_funnel": q_evt_funnel,
@@ -2125,6 +2148,70 @@ LEFT JOIN idg ON idg.group_id = r.group_id AND idg.dst = r.name"""
     return _kg_sql(body, with_eds=True)
 
 
+def _sql_kg_clustering() -> str:
+    body = """
+, und AS (
+  SELECT DISTINCT group_id, least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM eds WHERE subj <> obj
+),
+deg AS (
+  SELECT group_id, name, count(*) AS degree FROM (
+    SELECT group_id, a AS name FROM und
+    UNION ALL SELECT group_id, b FROM und
+  ) GROUP BY 1, 2
+),
+tri AS (
+  SELECT e1.group_id, e1.a AS v1, e1.b AS v2, e2.b AS v3
+  FROM und e1
+  JOIN und e2 ON e2.group_id = e1.group_id AND e2.a = e1.a AND e2.b > e1.b
+  JOIN und e3 ON e3.group_id = e1.group_id AND e3.a = e1.b AND e3.b = e2.b
+),
+pn AS (
+  SELECT group_id, v AS name, count(*) AS tri FROM (
+    SELECT group_id, v1 AS v FROM tri
+    UNION ALL SELECT group_id, v2 FROM tri
+    UNION ALL SELECT group_id, v3 FROM tri
+  ) GROUP BY 1, 2
+)
+SELECT d.group_id, d.name, CAST(d.degree AS BIGINT) AS degree,
+       CAST(coalesce(pn.tri, 0) AS BIGINT) AS triangles,
+       CAST(CASE WHEN d.degree >= 2
+            THEN (2000000 * coalesce(pn.tri, 0)) // (d.degree * (d.degree - 1))
+            ELSE 0 END AS BIGINT) AS coeff_u
+FROM deg d LEFT JOIN pn ON pn.group_id = d.group_id AND pn.name = d.name"""
+    return _kg_sql(body, with_eds=True)
+
+
+def _sql_kg_cooccurrence() -> str:
+    body = """
+SELECT pr.group_id, pr.name_a, pr.name_b,
+       CAST(pr.c_ab AS BIGINT) AS c_ab,
+       CAST(pa.c AS BIGINT) AS c_a,
+       CAST(pb.c AS BIGINT) AS c_b,
+       CAST((1000000 * pr.c_ab * n.n_eps) // (pa.c * pb.c) AS BIGINT) AS lift_u
+FROM pr
+JOIN per pa ON pa.group_id = pr.group_id AND pa.name = pr.name_a
+JOIN per pb ON pb.group_id = pr.group_id AND pb.name = pr.name_b
+JOIN neps n ON n.group_id = pr.group_id"""
+    ctes = """
+, men AS (
+  SELECT DISTINCT m.group_id,
+         m.url || '#' || CAST(m.para_idx AS VARCHAR) AS ep,
+         c.canon_name AS name
+  FROM mentions_g m
+  JOIN canon c ON c.group_id = m.group_id AND c.base = m.base
+),
+per AS (SELECT group_id, name, count(*) AS c FROM men GROUP BY 1, 2),
+neps AS (SELECT group_id, count(DISTINCT ep) AS n_eps FROM men GROUP BY 1),
+pr AS (
+  SELECT x.group_id, x.name AS name_a, y.name AS name_b, count(*) AS c_ab
+  FROM men x
+  JOIN men y ON y.group_id = x.group_id AND y.ep = x.ep AND y.name > x.name
+  GROUP BY 1, 2, 3
+)"""
+    return _kg_sql(ctes + body)
+
+
 def _sql_evt_sessions() -> str:
     return """
 WITH flagged AS (
@@ -2229,6 +2316,8 @@ ORACLES: dict[str, Callable[[], str]] = {
     "doc_pack": _sql_doc_pack,
     "doc_mix_sample": _sql_doc_mix_sample,
     "kg_pagerank": _sql_kg_pagerank,
+    "kg_clustering": _sql_kg_clustering,
+    "kg_cooccurrence": _sql_kg_cooccurrence,
     "evt_sessions": _sql_evt_sessions,
     "evt_windows": _sql_evt_windows,
     "evt_funnel": _sql_evt_funnel,

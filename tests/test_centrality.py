@@ -50,3 +50,62 @@ def test_pagerank_groups_are_independent(spark):
     # same node names, different topology per group -> different ranks
     assert rows[("g1", "a")] != rows[("g2", "a")]
     assert rows[("g2", "a")] == rows[("g2", "b")]  # symmetric 2-cycle
+
+
+def test_clustering_triangle_plus_pendant(spark):
+    """K3 with a pendant off 'a': b,c have coeff 1.0 (deg 2, 1 triangle);
+    a has deg 3, 1 triangle -> 2*1e6/(3*2) = 333333; pendant d coeff 0."""
+    from graphiti_spark.operators.centrality import clustering_coefficients
+
+    out = clustering_coefficients(
+        _triples(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")])
+    )
+    rows = {r["name"]: r.asDict() for r in out.collect()}
+    assert rows["b"]["degree"] == 2 and rows["b"]["triangles"] == 1
+    assert rows["b"]["coeff_u"] == 1_000_000
+    assert rows["a"]["degree"] == 3 and rows["a"]["triangles"] == 1
+    assert rows["a"]["coeff_u"] == 333_333
+    assert rows["d"]["degree"] == 1 and rows["d"]["triangles"] == 0
+    assert rows["d"]["coeff_u"] == 0
+
+
+def test_clustering_counts_each_triangle_once(spark):
+    """K4: every node has deg 3 and sits on C(3,2)=3 triangles -> coeff 1;
+    duplicate and reversed edges must not inflate counts."""
+    from graphiti_spark.operators.centrality import clustering_coefficients
+
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+             ("c", "d"), ("b", "a"), ("a", "b")]  # dups + reversal
+    rows = {
+        r["name"]: r.asDict()
+        for r in clustering_coefficients(_triples(spark, edges)).collect()
+    }
+    for n in "abcd":
+        assert rows[n]["degree"] == 3
+        assert rows[n]["triangles"] == 3
+        assert rows[n]["coeff_u"] == 1_000_000
+
+
+def test_cooccurrence_lift(spark):
+    """3 episodes: {a,b}, {a,b}, {a,c}. c_ab=2, c_a=3, c_b=2, N=3 ->
+    lift_ab = 1e6*2*3/(3*2) = 1e6 (independent); lift_ac = 1e6*1*3/(3*1)."""
+    from graphiti_spark.operators.centrality import cooccurrence
+
+    me = spark.createDataFrame(
+        [("g", "e1", "ua"), ("g", "e1", "ub"),
+         ("g", "e2", "ua"), ("g", "e2", "ub"),
+         ("g", "e3", "ua"), ("g", "e3", "uc")],
+        "group_id string, episode_uuid string, entity_uuid string",
+    )
+    nodes = spark.createDataFrame(
+        [("ua", "a"), ("ub", "b"), ("uc", "c")], "uuid string, name string"
+    )
+    rows = {
+        (r["name_a"], r["name_b"]): r.asDict()
+        for r in cooccurrence(me, nodes).collect()
+    }
+    assert set(rows) == {("a", "b"), ("a", "c")}
+    ab, ac = rows[("a", "b")], rows[("a", "c")]
+    assert ab["c_ab"] == 2 and ab["c_a"] == 3 and ab["c_b"] == 2
+    assert ab["lift_u"] == 1_000_000
+    assert ac["c_ab"] == 1 and ac["lift_u"] == 1_000_000
