@@ -411,6 +411,28 @@ def edge_date_filter(
     return edges.where(disj) if disj is not None else edges
 
 
+def shared_affiliation(triples: DataFrame, pred: str = "WORKS_AT") -> DataFrame:
+    """Motif query (GraphFrames-style): (a)-[pred]->(x)<-[pred]-(b),
+    a < b, over currently-valid edges only (invalid_at null — superseded
+    affiliations don't pair). One self-equi-join co-partitioned on
+    (group_id, x); hot-hub skew on x is the AQE skew-join case, never a
+    cartesian."""
+    aff = triples.where(
+        (F.col("pred") == pred) & F.col("invalid_at").isNull()
+    ).select("group_id", F.col("subj").alias("person"), F.col("obj").alias("org"))
+    a, b = aff.alias("a"), aff.alias("b")
+    return (
+        a.join(b, ["group_id", "org"])
+        .where(F.col("a.person") < F.col("b.person"))
+        .select(
+            "group_id",
+            "org",
+            F.col("a.person").alias("person_a"),
+            F.col("b.person").alias("person_b"),
+        )
+    )
+
+
 def asof_snapshot(edges: DataFrame, ts: str) -> DataFrame:
     """Bi-temporal point-in-time view: the facts the graph held true AT
     time `ts` — valid_at <= ts and not yet invalidated at ts (the

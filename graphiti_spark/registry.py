@@ -1138,6 +1138,60 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(q_kg_triples(spark, sf_dir), iters=3)
 
 
+def q_kg_node_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6+S8 under the oracle gate: keyed node lookup (names starting
+    A/B — the api takes uuids; the registry form selects the same set by
+    name so the oracle can pin it) -> all fact edges touching each node,
+    direction-tagged, exactly api.get_edges_by_node_uuid's
+    direction-agnostic union. Both legs are key semi-joins on the edge
+    table's endpoint columns — parquet/Iceberg stats prune the scan."""
+    t = _graph(spark, sf_dir)
+    sel = t.nodes.where(F.col("name").rlike("^[AB]")).select(
+        "uuid", F.col("name").alias("node_name")
+    )
+    names = t.nodes.select(
+        F.col("uuid").alias("other_uuid"), F.col("name").alias("other_name")
+    )
+    e = t.edges
+    out_leg = (
+        e.join(sel.withColumnRenamed("uuid", "source_node_uuid"), "source_node_uuid")
+        .join(names.withColumnRenamed("other_uuid", "target_node_uuid"), "target_node_uuid")
+        .select(
+            "group_id",
+            "node_name",
+            F.lit("out").alias("direction"),
+            F.col("name").alias("pred"),
+            "other_name",
+            "valid_at",
+        )
+    )
+    in_leg = (
+        e.join(sel.withColumnRenamed("uuid", "target_node_uuid"), "target_node_uuid")
+        .join(names.withColumnRenamed("other_uuid", "source_node_uuid"), "source_node_uuid")
+        .select(
+            "group_id",
+            "node_name",
+            F.lit("in").alias("direction"),
+            F.col("name").alias("pred"),
+            "other_name",
+            "valid_at",
+        )
+    )
+    return out_leg.unionByName(in_leg)
+
+
+def q_kg_shared_employer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motif query (GraphFrames-style): colleague inference —
+    (a)-[WORKS_AT]->(org)<-[WORKS_AT]-(b), a < b, over CURRENTLY VALID
+    employment edges only (invalid_at null: superseded jobs don't make
+    colleagues). One self-equi-join co-partitioned on (group, org); the
+    org side is the aggregation key, so hot mega-org skew is the AQE
+    skew-join case, never a cartesian."""
+    from .operators.search import shared_affiliation
+
+    return shared_affiliation(q_kg_triples(spark, sf_dir), "WORKS_AT")
+
+
 def q_kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle count + local clustering coefficient over the
     undirected canonical graph (degree-ordered compact-forward
@@ -1331,6 +1385,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pack": q_doc_pack,
     "doc_mix_sample": q_doc_mix_sample,
     "kg_pagerank": q_kg_pagerank,
+    "kg_node_edges": q_kg_node_edges,
+    "kg_shared_employer": q_kg_shared_employer,
     "kg_clustering": q_kg_clustering,
     "kg_cooccurrence": q_kg_cooccurrence,
     "evt_sessions": q_evt_sessions,
@@ -2148,6 +2204,31 @@ LEFT JOIN idg ON idg.group_id = r.group_id AND idg.dst = r.name"""
     return _kg_sql(body, with_eds=True)
 
 
+def _sql_kg_node_edges() -> str:
+    body = """
+SELECT group_id, subj AS node_name, 'out' AS direction, pred,
+       obj AS other_name, valid_at
+FROM eds WHERE subj LIKE 'A%' OR subj LIKE 'B%'
+UNION ALL
+SELECT group_id, obj, 'in', pred, subj, valid_at
+FROM eds WHERE obj LIKE 'A%' OR obj LIKE 'B%'"""
+    return _kg_sql(body, with_eds=True)
+
+
+def _sql_kg_shared_employer() -> str:
+    body = f"""
+, final AS ({_TRIPLES_SELECT}),
+emp AS (
+  SELECT group_id, subj AS person, obj AS org FROM final
+  WHERE pred = 'WORKS_AT' AND invalid_at IS NULL
+)
+SELECT a.group_id, a.org, a.person AS person_a, b.person AS person_b
+FROM emp a
+JOIN emp b ON b.group_id = a.group_id AND b.org = a.org
+          AND b.person > a.person"""
+    return _kg_sql(body, with_eds=True)
+
+
 def _sql_kg_clustering() -> str:
     body = """
 , und AS (
@@ -2316,6 +2397,8 @@ ORACLES: dict[str, Callable[[], str]] = {
     "doc_pack": _sql_doc_pack,
     "doc_mix_sample": _sql_doc_mix_sample,
     "kg_pagerank": _sql_kg_pagerank,
+    "kg_node_edges": _sql_kg_node_edges,
+    "kg_shared_employer": _sql_kg_shared_employer,
     "kg_clustering": _sql_kg_clustering,
     "kg_cooccurrence": _sql_kg_cooccurrence,
     "evt_sessions": _sql_evt_sessions,

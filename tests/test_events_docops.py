@@ -172,3 +172,25 @@ def test_asof_snapshot_boundaries(spark):
     )
     kept = {r["uuid"] for r in asof_snapshot(df, ts).collect()}
     assert kept == {"a", "c"}
+
+
+def test_shared_affiliation_motif(spark):
+    """Colleague pairs come only from currently-valid WORKS_AT edges at
+    the same org; invalidated employment and other predicates don't pair."""
+    from graphiti_spark.operators.search import shared_affiliation
+
+    tv = spark.createDataFrame(
+        [
+            ("g", "Alice", "WORKS_AT", "Acme", None),
+            ("g", "Bob", "WORKS_AT", "Acme", None),
+            ("g", "Carol", "WORKS_AT", "Acme", dt.datetime(2024, 5, 1)),
+            ("g", "Dave", "LIKES", "Acme", None),
+            ("g", "Erin", "WORKS_AT", "Globex", None),
+        ],
+        "group_id string, subj string, pred string, obj string, invalid_at timestamp",
+    )
+    rows = {
+        (r["org"], r["person_a"], r["person_b"])
+        for r in shared_affiliation(tv).collect()
+    }
+    assert rows == {("Acme", "Alice", "Bob")}
