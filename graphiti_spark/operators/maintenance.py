@@ -58,3 +58,55 @@ def remove_episodes_tables(
     nodes_out = nodes.join(still_mentioned, "uuid", "left_semi")
 
     return episodes_out, edges_out, mentions_out, nodes_out
+
+
+def snapshot_diff(new: DataFrame, old: DataFrame) -> DataFrame:
+    """Graph diff between two crawl snapshots — the production daily-delta
+    report over the canonical triple tables of consecutive builds. Inputs
+    are two triples views (group_id, subj, pred, obj, ..., invalid_at,
+    n_episodes); output is one row per edge key whose state differs:
+
+      added        key absent in the old snapshot
+      removed      key absent in the new one (alias canonicalization can
+                   rename endpoints when new mentions shift the canon
+                   pick, so removals happen even on a grow-only corpus)
+      invalidated  a new page contradicted an old fact (invalid_at was
+                   null, now set) — the bi-temporal delta
+      provenance   episode support count changed
+
+    One full-outer sort-merge join co-partitioned on the edge key; both
+    sides are the skinny canonical tables (O(distinct facts), not corpus-
+    scaled), and unchanged keys are filtered before any downstream
+    consumer sees them."""
+    key = ["group_id", "subj", "pred", "obj"]
+    n = new.select(
+        *key,
+        F.col("invalid_at").alias("inv_new"),
+        F.col("n_episodes").alias("n_eps_new"),
+    )
+    o = old.select(
+        *key,
+        F.col("invalid_at").alias("inv_old"),
+        F.col("n_episodes").alias("n_eps_old"),
+    )
+    j = n.join(o, key, "full")
+    status = (
+        F.when(F.col("n_eps_old").isNull(), F.lit("added"))
+        .when(F.col("n_eps_new").isNull(), F.lit("removed"))
+        .when(
+            F.col("inv_old").isNull() & F.col("inv_new").isNotNull(),
+            F.lit("invalidated"),
+        )
+        .otherwise(F.lit("provenance"))
+    )
+    return j.where(
+        F.col("n_eps_old").isNull()
+        | F.col("n_eps_new").isNull()
+        | (F.col("n_eps_old") != F.col("n_eps_new"))
+        | (F.col("inv_old").isNull() != F.col("inv_new").isNull())
+    ).select(
+        *key,
+        status.alias("status"),
+        F.coalesce("n_eps_old", F.lit(0)).cast("long").alias("n_eps_old"),
+        F.coalesce("n_eps_new", F.lit(0)).cast("long").alias("n_eps_new"),
+    )

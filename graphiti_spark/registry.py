@@ -1138,6 +1138,45 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(q_kg_triples(spark, sf_dir), iters=3)
 
 
+SNAP_PCT = 80  # old snapshot = first 80% of the crawl (warc_ts order)
+
+
+def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph diff between two crawl snapshots: the full corpus vs
+    yesterday's crawl = the first SNAP_PCT% of pages in crawl order
+    (warc_ts is monotone in doc_id). Emits added / removed /
+    invalidated / provenance deltas per edge key — the time cut makes
+    every branch real: late pages add facts (added), contradict old
+    ones (invalidated: the old snapshot's fact was still valid), extend
+    provenance across the cut (provenance), and can shift the
+    alias-canonicalization pick so the old canonical key disappears
+    (removed). In production both snapshots are committed Iceberg
+    tables; here the old side rebuilds from the filtered page set (same
+    code path)."""
+    from .operators.maintenance import snapshot_diff
+    from .plans.pipeline import build_graph
+    from .sources.pages import build_pages
+
+    new = q_kg_triples(spark, sf_dir)
+    pages = build_pages(spark, sf_dir)
+    cutoff = pages.agg(
+        F.expr(f"max(doc_id) * {SNAP_PCT} div 100").alias("c")
+    )
+    pages_old = pages.join(F.broadcast(cutoff)).where(
+        F.col("doc_id") <= F.col("c")
+    ).drop("c")
+    t_old = build_graph(spark, sf_dir, pages=pages_old)
+    old = triples_view(t_old).select(
+        "group_id",
+        "subj",
+        "pred",
+        "obj",
+        "invalid_at",
+        F.size("episodes").cast("long").alias("n_episodes"),
+    )
+    return snapshot_diff(new, old)
+
+
 def q_kg_node_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6+S8 under the oracle gate: keyed node lookup (names starting
     A/B — the api takes uuids; the registry form selects the same set by
@@ -1385,6 +1424,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pack": q_doc_pack,
     "doc_mix_sample": q_doc_mix_sample,
     "kg_pagerank": q_kg_pagerank,
+    "kg_snapshot_diff": q_kg_snapshot_diff,
     "kg_node_edges": q_kg_node_edges,
     "kg_shared_employer": q_kg_shared_employer,
     "kg_clustering": q_kg_clustering,
@@ -2204,6 +2244,65 @@ LEFT JOIN idg ON idg.group_id = r.group_id AND idg.dst = r.name"""
     return _kg_sql(body, with_eds=True)
 
 
+def _snapshot_ctes(filter_expr: str) -> str:
+    """Second canon/eds/classed/inv chain over the page subset selected by
+    `filter_expr` (a doc_id predicate), derived MECHANICALLY from
+    _EDS_CTES by suffixing every chain-local CTE name with '2' — the two
+    snapshots' semantics can never drift apart. Word-boundary regex keeps
+    raw_uuid / canon_name / mentions_g intact."""
+    import re
+
+    s = _EDS_CTES
+    for name in ("ents", "canon", "raw", "eds", "classed", "inv"):
+        s = re.sub(rf"\b{name}\b", f"{name}2", s)
+    # restrict both generative sources to the snapshot's pages
+    s = s.replace(
+        "SELECT DISTINCT group_id, name, base FROM mentions_g",
+        "SELECT DISTINCT group_id, name, base FROM mentions_g"
+        f" WHERE {filter_expr}",
+    )
+    s = s.replace(
+        "JOIN canon2 co ON co.group_id = t.group_id AND co.base = t.obj_base",
+        "JOIN canon2 co ON co.group_id = t.group_id AND co.base = t.obj_base\n"
+        f"  WHERE t.{filter_expr}",
+    )
+    return s
+
+
+def _sql_kg_snapshot_diff() -> str:
+    snap = _snapshot_ctes(
+        f"doc_id <= (SELECT max(doc_id) * {SNAP_PCT} // 100 FROM pages_g)"
+    )
+    body = f"""
+,{snap},
+new_f AS ({_TRIPLES_SELECT}),
+old_f AS (
+  SELECT e.group_id, e.subj, e.pred, e.obj,
+         i.contra_valid_at AS invalid_at, e.n_episodes
+  FROM eds2 e
+  LEFT JOIN inv2 i ON i.group_id = e.group_id AND i.subj = e.subj
+                  AND i.pred = e.pred AND i.obj = e.obj
+)
+SELECT coalesce(n.group_id, o.group_id) AS group_id,
+       coalesce(n.subj, o.subj) AS subj,
+       coalesce(n.pred, o.pred) AS pred,
+       coalesce(n.obj, o.obj) AS obj,
+       CASE WHEN o.subj IS NULL THEN 'added'
+            WHEN n.subj IS NULL THEN 'removed'
+            WHEN o.invalid_at IS NULL AND n.invalid_at IS NOT NULL
+              THEN 'invalidated'
+            ELSE 'provenance' END AS status,
+       CAST(coalesce(o.n_episodes, 0) AS BIGINT) AS n_eps_old,
+       CAST(coalesce(n.n_episodes, 0) AS BIGINT) AS n_eps_new
+FROM new_f n
+FULL JOIN old_f o ON o.group_id = n.group_id AND o.subj = n.subj
+                 AND o.pred = n.pred AND o.obj = n.obj
+WHERE o.subj IS NULL OR n.subj IS NULL
+   OR o.n_episodes <> n.n_episodes
+   OR (o.invalid_at IS NULL) <> (n.invalid_at IS NULL)"""
+    return _kg_sql(body, with_eds=True)
+
+
 def _sql_kg_node_edges() -> str:
     body = """
 SELECT group_id, subj AS node_name, 'out' AS direction, pred,
@@ -2397,6 +2496,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "doc_pack": _sql_doc_pack,
     "doc_mix_sample": _sql_doc_mix_sample,
     "kg_pagerank": _sql_kg_pagerank,
+    "kg_snapshot_diff": _sql_kg_snapshot_diff,
     "kg_node_edges": _sql_kg_node_edges,
     "kg_shared_employer": _sql_kg_shared_employer,
     "kg_clustering": _sql_kg_clustering,

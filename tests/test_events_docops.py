@@ -194,3 +194,45 @@ def test_shared_affiliation_motif(spark):
         for r in shared_affiliation(tv).collect()
     }
     assert rows == {("Acme", "Alice", "Bob")}
+
+
+def test_snapshot_diff_all_branches(spark):
+    """added / removed / invalidated / provenance each fire exactly when
+    they should; unchanged keys never appear."""
+    from graphiti_spark.operators.maintenance import snapshot_diff
+
+    schema = (
+        "group_id string, subj string, pred string, obj string,"
+        " invalid_at timestamp, n_episodes long"
+    )
+    t = dt.datetime(2024, 6, 1)
+    old = spark.createDataFrame(
+        [
+            ("g", "A", "LIKES", "B", None, 2),      # unchanged
+            ("g", "A", "WORKS_AT", "Acme", None, 1),  # -> invalidated
+            ("g", "C", "LIKES", "D", None, 1),      # -> provenance (2 eps)
+            ("g", "Old Name", "LEADS", "Org", None, 1),  # -> removed (canon rename)
+        ],
+        schema,
+    )
+    new = spark.createDataFrame(
+        [
+            ("g", "A", "LIKES", "B", None, 2),
+            ("g", "A", "WORKS_AT", "Acme", t, 1),
+            ("g", "C", "LIKES", "D", None, 2),
+            ("g", "New Name", "LEADS", "Org", None, 1),  # added
+        ],
+        schema,
+    )
+    rows = {
+        (r["subj"], r["pred"], r["obj"]): r.asDict()
+        for r in snapshot_diff(new, old).collect()
+    }
+    assert ("A", "LIKES", "B") not in rows  # unchanged filtered
+    assert rows[("A", "WORKS_AT", "Acme")]["status"] == "invalidated"
+    assert rows[("C", "LIKES", "D")]["status"] == "provenance"
+    assert rows[("C", "LIKES", "D")]["n_eps_old"] == 1
+    assert rows[("C", "LIKES", "D")]["n_eps_new"] == 2
+    assert rows[("Old Name", "LEADS", "Org")]["status"] == "removed"
+    assert rows[("New Name", "LEADS", "Org")]["status"] == "added"
+    assert rows[("New Name", "LEADS", "Org")]["n_eps_old"] == 0
