@@ -109,6 +109,32 @@ def length_deciles(docs: DataFrame) -> DataFrame:
     )
 
 
+def stats_rollup(docs: DataFrame) -> DataFrame:
+    """Dataset-card rollup: corpus statistics at every (lang, source)
+    granularity in ONE pass — per cell, per lang, and grand total — via
+    Spark's native `rollup` (a single shuffle producing all grouping
+    sets; the partial aggregates are map-side combined once, not once
+    per level, which is exactly why rollup beats three separate groupBys
+    at 100 TB). NULL dimension = subtotal row (lang/source are never
+    null in the corpus)."""
+    return (
+        docs.select(
+            "lang",
+            "source",
+            F.regexp_count("text", F.lit(WS_TOKEN)).alias("n_toks"),
+            "n_chars",
+        )
+        .rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("n_toks").cast("long").alias("min_tokens"),
+            F.max("n_toks").cast("long").alias("max_tokens"),
+        )
+    )
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Deterministic quality heuristics in integer micro-units: stopword
     ratio, punctuation ratio, mean word length, and a composite score."""

@@ -411,6 +411,48 @@ def edge_date_filter(
     return edges.where(disj) if disj is not None else edges
 
 
+def entity_timeline(triples: DataFrame) -> DataFrame:
+    """Per-entity time-ordered fact history — the entity 'biography'
+    view (every fact the entity participates in, as subject or object,
+    sequenced by valid_at). One window partitioned by (group, entity):
+    the partition is an entity's OWN facts (bounded by entity degree,
+    never corpus-scaled), so the sort is local and skew follows hub
+    degree — the same AQE-handled skew as every other per-entity op.
+    The order key (valid_at, pred, other, role) is total per entity, so
+    seq is deterministic."""
+    subj_leg = triples.select(
+        "group_id",
+        F.col("subj").alias("name"),
+        F.lit("subject").alias("role"),
+        "pred",
+        F.col("obj").alias("other"),
+        "valid_at",
+        "invalid_at",
+    )
+    obj_leg = triples.select(
+        "group_id",
+        F.col("obj").alias("name"),
+        F.lit("object").alias("role"),
+        "pred",
+        F.col("subj").alias("other"),
+        "valid_at",
+        "invalid_at",
+    )
+    w = Window.partitionBy("group_id", "name").orderBy(
+        "valid_at", "pred", "other", "role"
+    )
+    return subj_leg.unionByName(obj_leg).select(
+        "group_id",
+        "name",
+        F.row_number().over(w).cast("long").alias("seq"),
+        "role",
+        "pred",
+        "other",
+        "valid_at",
+        "invalid_at",
+    )
+
+
 def shared_affiliation(triples: DataFrame, pred: str = "WORKS_AT") -> DataFrame:
     """Motif query (GraphFrames-style): (a)-[pred]->(x)<-[pred]-(b),
     a < b, over currently-valid edges only (invalid_at null — superseded

@@ -270,6 +270,20 @@ def q_doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.length_deciles(docs.read_documents(spark, sf_dir))
 
 
+def q_doc_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics at every (lang, source) granularity in one
+    rollup pass (single shuffle for all grouping sets)."""
+    return docs_mod.stats_rollup(docs.read_documents(spark, sf_dir))
+
+
+def q_kg_entity_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity time-ordered fact history (subject+object legs,
+    deterministic seq) — the entity biography view."""
+    from .operators.search import entity_timeline
+
+    return entity_timeline(q_kg_triples(spark, sf_dir))
+
+
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = docs.quality_scores(docs.read_documents(spark, sf_dir))
     return out.select(
@@ -1406,6 +1420,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pii": q_doc_pii,
     "doc_tokens": q_doc_tokens,
     "doc_length_deciles": q_doc_length_deciles,
+    "doc_stats_rollup": q_doc_stats_rollup,
+    "kg_entity_timeline": q_kg_entity_timeline,
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
     "doc_gopher": q_doc_gopher,
@@ -1875,6 +1891,37 @@ SELECT d.lang, CAST(d.decile AS BIGINT) AS decile,
        CAST(d.total AS BIGINT) AS n_docs
 FROM dec d JOIN cdf c ON c.lang = d.lang AND c.cum * 10 >= d.decile * d.total
 GROUP BY 1, 2, 4"""
+
+
+def _sql_doc_stats_rollup() -> str:
+    return r"""
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS min_tokens,
+       CAST(max(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS max_tokens
+FROM documents
+GROUP BY ROLLUP (lang, source)"""
+
+
+def _sql_kg_entity_timeline() -> str:
+    body = f"""
+, final AS ({_TRIPLES_SELECT}),
+legs AS (
+  SELECT group_id, subj AS name, 'subject' AS role, pred, obj AS other,
+         valid_at, invalid_at
+  FROM final
+  UNION ALL
+  SELECT group_id, obj, 'object', pred, subj, valid_at, invalid_at
+  FROM final
+)
+SELECT group_id, name,
+       CAST(row_number() OVER (PARTITION BY group_id, name
+            ORDER BY valid_at, pred, other, role) AS BIGINT) AS seq,
+       role, pred, other, valid_at, invalid_at
+FROM legs"""
+    return _kg_sql(body, with_eds=True)
 
 
 def _sql_doc_quality() -> str:
@@ -2478,6 +2525,8 @@ ORACLES: dict[str, Callable[[], str]] = {
     "doc_pii": _sql_doc_pii,
     "doc_tokens": _sql_doc_tokens,
     "doc_length_deciles": _sql_doc_length_deciles,
+    "doc_stats_rollup": _sql_doc_stats_rollup,
+    "kg_entity_timeline": _sql_kg_entity_timeline,
     "doc_quality": _sql_doc_quality,
     "doc_langid": _sql_doc_langid,
     "doc_gopher": _sql_doc_gopher,

@@ -236,3 +236,54 @@ def test_snapshot_diff_all_branches(spark):
     assert rows[("Old Name", "LEADS", "Org")]["status"] == "removed"
     assert rows[("New Name", "LEADS", "Org")]["status"] == "added"
     assert rows[("New Name", "LEADS", "Org")]["n_eps_old"] == 0
+
+
+def test_stats_rollup_levels(spark):
+    """rollup emits cell, per-lang subtotal, and grand total rows whose
+    counts/sums are exact."""
+    from graphiti_spark.operators.docs import stats_rollup
+
+    rows = [
+        (0, "a b c", "en", "web", 5),
+        (1, "d e", "en", "news", 3),
+        (2, "f", "de", "web", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {
+        (r["lang"], r["source"]): r.asDict()
+        for r in stats_rollup(docs).collect()
+    }
+    assert out[("en", "web")]["n_docs"] == 1
+    assert out[("en", None)]["n_docs"] == 2
+    assert out[("en", None)]["total_tokens"] == 5
+    assert out[(None, None)]["n_docs"] == 3
+    assert out[(None, None)]["total_tokens"] == 6
+    assert out[(None, None)]["max_tokens"] == 3
+    assert len(out) == 3 + 2 + 1  # cells + lang subtotals + grand total
+
+
+def test_entity_timeline_sequence(spark):
+    """Both legs appear, ordered by valid_at with a total tiebreak."""
+    from graphiti_spark.operators.search import entity_timeline
+
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    tv = spark.createDataFrame(
+        [
+            ("g", "A", "WORKS_AT", "Acme", "f1", t2, None),
+            ("g", "A", "LIKES", "B", "f2", t1, None),
+            ("g", "C", "ADMIRES", "A", "f3", t1, None),
+        ],
+        "group_id string, subj string, pred string, obj string, fact string,"
+        " valid_at timestamp, invalid_at timestamp",
+    )
+    rows = [
+        (r["seq"], r["role"], r["pred"], r["other"])
+        for r in entity_timeline(tv).where("name = 'A'").orderBy("seq").collect()
+    ]
+    assert rows == [
+        (1, "object", "ADMIRES", "C"),
+        (2, "subject", "LIKES", "B"),
+        (3, "subject", "WORKS_AT", "Acme"),
+    ]
