@@ -673,6 +673,61 @@ def mix_sample(
     )
 
 
+CURATION_RULES = ("r_word_count", "r_mean_word_len", "r_symbol", "r_alpha")
+
+
+def curation_decision(
+    docs: DataFrame,
+    rates_u: dict[str, int],
+    default_rate_u: int = 100_000,
+    quality_rules: tuple[str, ...] = CURATION_RULES,
+) -> DataFrame:
+    """End-to-end curation decision per document, composing the standard
+    stages in production order: exact dedup -> Gopher quality ->
+    language-ID confidence -> stratified mixing. Emits keep plus the
+    FIRST failing stage as the reason code — the audit table a curation
+    run commits alongside the kept corpus (every drop is attributable,
+    achieved rates are queryable per stage).
+
+    `quality_rules` selects which Gopher flags gate the run — thresholds
+    and rule sets are corpus-calibrated config in any real curation
+    (Rae et al. tune per source); the default takes the four content
+    rules. The language stage drops only docs whose guessed language is
+    undetermined ('und') — the CCNet low-confidence rule — so declared
+    strata still reach the mixing stage.
+
+    Each stage is the already-oracle-gated operator; the composition adds
+    exactly one fingerprint-keyed shuffle (dedup) — quality, language and
+    mixing are shuffle-free projections joined back on doc_id, and at
+    scale those joins collapse into one stage over the shared scan."""
+    fp = fingerprints(docs).select("doc_id", "fingerprint")
+    groups = exact_dup_groups(docs).select("fingerprint", "canonical_doc_id")
+    dd = fp.join(groups, "fingerprint").select("doc_id", "canonical_doc_id")
+    q_keep = F.expr(" * ".join(quality_rules))
+    g = gopher_rules(docs).select("doc_id", q_keep.alias("q_keep"))
+    lid = lang_id(docs).select("doc_id", "lang_guess")
+    m = mix_sample(docs, rates_u, default_rate_u).select(
+        "doc_id", F.col("keep").alias("mix_keep")
+    )
+    j = dd.join(g, "doc_id").join(lid, "doc_id").join(m, "doc_id")
+    reason = (
+        F.when(F.col("doc_id") != F.col("canonical_doc_id"), F.lit("duplicate"))
+        .when(F.col("q_keep") == 0, F.lit("quality"))
+        .when(F.col("lang_guess") == "und", F.lit("language"))
+        .when(F.col("mix_keep") == 0, F.lit("sampled_out"))
+        .otherwise(F.lit("kept"))
+    )
+    return j.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id = canonical_doc_id AND q_keep = 1"
+            " AND lang_guess <> 'und' AND mix_keep = 1"
+            " THEN 1L ELSE 0L END"
+        ).alias("keep"),
+        reason.alias("reason"),
+    )
+
+
 PACK_CHUNK = 65_536  # docs per prefix-sum chunk (see pack_blocks)
 
 

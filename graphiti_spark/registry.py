@@ -1135,6 +1135,14 @@ def q_doc_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation audit: keep + first-failing-stage reason per
+    doc (dedup -> Gopher -> language agreement -> stratified mixing)."""
+    return docs_mod.curation_decision(
+        docs.read_documents(spark, sf_dir), MIX_RATES_U, default_rate_u=100_000
+    )
+
+
 def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing: concat docs (doc_id order, +1 EOS each)
     into 2048-token blocks; per doc its stream offset and block span,
@@ -1421,6 +1429,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_tokens": q_doc_tokens,
     "doc_length_deciles": q_doc_length_deciles,
     "doc_stats_rollup": q_doc_stats_rollup,
+    "doc_curation": q_doc_curation,
     "kg_entity_timeline": q_kg_entity_timeline,
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
@@ -2228,6 +2237,34 @@ SELECT doc_id, lang AS stratum,
 FROM documents"""
 
 
+def _sql_doc_curation() -> str:
+    # the composite reuses each stage's oracle verbatim as a CTE, so the
+    # audit's semantics are definitionally those of the gated stages
+    return f"""
+WITH fp AS ({_sql_doc_fingerprint()}),
+dd AS ({_sql_doc_dedup_exact()}),
+g AS (SELECT doc_id,
+        r_word_count * r_mean_word_len * r_symbol * r_alpha AS q_keep
+      FROM ({_sql_doc_gopher()})),
+l AS ({_sql_doc_langid()}),
+m AS ({_sql_doc_mix_sample()})
+SELECT d.doc_id,
+       CAST(CASE WHEN d.doc_id = dd.canonical_doc_id AND g.q_keep = 1
+                  AND l.lang_guess <> 'und' AND m.keep = 1
+            THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       CASE WHEN d.doc_id <> dd.canonical_doc_id THEN 'duplicate'
+            WHEN g.q_keep = 0 THEN 'quality'
+            WHEN l.lang_guess = 'und' THEN 'language'
+            WHEN m.keep = 0 THEN 'sampled_out'
+            ELSE 'kept' END AS reason
+FROM documents d
+JOIN fp ON fp.doc_id = d.doc_id
+JOIN dd ON dd.fingerprint = fp.fingerprint
+JOIN g ON g.doc_id = d.doc_id
+JOIN l ON l.doc_id = d.doc_id
+JOIN m ON m.doc_id = d.doc_id"""
+
+
 def _sql_doc_pack() -> str:
     return rf"""
 WITH n AS (
@@ -2526,6 +2563,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "doc_tokens": _sql_doc_tokens,
     "doc_length_deciles": _sql_doc_length_deciles,
     "doc_stats_rollup": _sql_doc_stats_rollup,
+    "doc_curation": _sql_doc_curation,
     "kg_entity_timeline": _sql_kg_entity_timeline,
     "doc_quality": _sql_doc_quality,
     "doc_langid": _sql_doc_langid,

@@ -287,3 +287,32 @@ def test_entity_timeline_sequence(spark):
         (2, "subject", "LIKES", "B"),
         (3, "subject", "WORKS_AT", "Acme"),
     ]
+
+
+def test_curation_decision_reasons(spark):
+    """Each curation stage fires in priority order: duplicate beats
+    quality beats language beats sampling; survivors are kept."""
+    from graphiti_spark.operators.docs import curation_decision
+
+    good = "alpha bravo the and of " * 12  # 60 words, mean len 3.6, en stopwords
+    gibberish = "zxqv wkjh plmn " * 20  # 60 words, no stopword/CJK hits
+    rows = [
+        (0, good, "en", "web"),            # kept (en rate = 1.0)
+        (1, good, "en", "web"),            # exact dup of 0 -> duplicate
+        (2, "tiny doc", "en", "web"),      # < 50 words -> quality
+        (3, gibberish, "en", "web"),       # lang_guess 'und' -> language
+        (4, good.replace("alpha", "delta"), "xx", "web"),  # rate 0 -> sampled_out
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        r["doc_id"]: (r["keep"], r["reason"])
+        for r in curation_decision(docs, {"en": 1_000_000, "xx": 0}).collect()
+    }
+    assert out[0] == (1, "kept")
+    assert out[1] == (0, "duplicate")
+    assert out[2] == (0, "quality")
+    assert out[3] == (0, "language")
+    assert out[4] == (0, "sampled_out")
