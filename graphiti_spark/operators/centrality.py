@@ -21,7 +21,7 @@ exactly like production feature pipelines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 DAMP_PCT = 85  # damping 0.85 in integer percent
 R0_U = 1_000_000  # rank unit: micro-units summing (pre-damping) to ~1e6/group
@@ -184,6 +184,76 @@ def cooccurrence(mention_edges: DataFrame, nodes: DataFrame) -> DataFrame:
             .alias("lift_u"),
         )
     )
+
+
+def random_walks(triples: DataFrame, length: int = 3) -> DataFrame:
+    """Deterministic 'random'-walk corpus over the directed canonical
+    graph — the DeepWalk/node2vec training-data export (walk sequences
+    feed a skip-gram embedder). One walk starts at every vertex; the
+    step-s transition from node v is neighbor index
+    md5('walk:' start ':' s) % outdeg(v) — a hash-derived choice that is
+    statistically uniform but reproducible, resumable, and
+    oracle-checkable (no RNG state to ship across executors). Dead-end
+    nodes simply end their walk (inner join drops them).
+
+    Scale: per step one co-partitioned join of the walk frontier onto
+    the (group, node)-keyed neighbor index — the same skinny-iteration
+    shape as PageRank, with per-step lineage truncation so plans don't
+    nest. Walk count scales with vertices, never with edges^2."""
+    e = (
+        triples.select(
+            "group_id", F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    w_nbr = Window.partitionBy("group_id", "src").orderBy("dst")
+    nbrs = e.select(
+        "group_id", "src", "dst", F.row_number().over(w_nbr).alias("pick")
+    ).localCheckpoint(eager=True)
+    outdeg = nbrs.groupBy("group_id", "src").agg(F.max("pick").alias("outdeg"))
+    starts = (
+        e.select("group_id", F.col("src").alias("name"))
+        .unionByName(e.select("group_id", F.col("dst").alias("name")))
+        .distinct()
+    )
+    cur = starts.select(
+        "group_id",
+        F.col("name").alias("start"),
+        F.lit(0).cast("long").alias("step"),
+        F.col("name").alias("node"),
+    )
+    legs = [cur]
+    for s in range(1, length + 1):
+        pick = F.expr(
+            "cast(conv(substr(md5(concat('walk:', start, ':', "
+            f"'{s}')), 1, 8), 16, 10) as bigint) % outdeg + 1"
+        )
+        cur = (
+            cur.join(
+                outdeg.select("group_id", F.col("src").alias("node"), "outdeg"),
+                ["group_id", "node"],
+            )
+            .withColumn("pick", pick)
+            .join(
+                nbrs.select(
+                    "group_id", F.col("src").alias("node"), "pick", "dst"
+                ),
+                ["group_id", "node", "pick"],
+            )
+            .select(
+                "group_id",
+                "start",
+                F.lit(s).cast("long").alias("step"),
+                F.col("dst").alias("node"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        legs.append(cur)
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
 
 
 def pagerank(

@@ -1274,6 +1274,18 @@ def q_kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence(t.mention_edges, t.nodes)
 
 
+WALK_LEN = 3
+
+
+def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random-walk corpus (DeepWalk/node2vec export): one
+    hash-driven walk of length WALK_LEN per vertex over the directed
+    canonical graph."""
+    from .operators.centrality import random_walks
+
+    return random_walks(q_kg_triples(spark, sf_dir), length=WALK_LEN)
+
+
 def q_evt_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization over the events table (30-min inactivity
     gap) — the batch twin of the streaming stateful rollup."""
@@ -1454,6 +1466,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_shared_employer": q_kg_shared_employer,
     "kg_clustering": q_kg_clustering,
     "kg_cooccurrence": q_kg_cooccurrence,
+    "kg_random_walks": q_kg_random_walks,
     "evt_sessions": q_evt_sessions,
     "evt_windows": q_evt_windows,
     "evt_funnel": q_evt_funnel,
@@ -2476,6 +2489,39 @@ pr AS (
     return _kg_sql(ctes + body)
 
 
+def _sql_kg_random_walks() -> str:
+    rounds, unions = [], [
+        "SELECT group_id, start, CAST(0 AS BIGINT) AS step, node FROM s0"
+    ]
+    for s in range(1, WALK_LEN + 1):
+        prev = f"s{s - 1}"
+        rounds.append(f"""
+s{s} AS (
+  SELECT s.group_id, s.start, n.dst AS node
+  FROM {prev} s
+  JOIN od ON od.group_id = s.group_id AND od.src = s.node
+  JOIN nbrs n ON n.group_id = s.group_id AND n.src = s.node
+   AND n.pick = ('0x' || substr(md5('walk:' || s.start || ':{s}'), 1, 8))::BIGINT
+                % od.outdeg + 1
+)""")
+        unions.append(
+            f"SELECT group_id, start, CAST({s} AS BIGINT), node FROM s{s}"
+        )
+    body = f"""
+, e AS (SELECT DISTINCT group_id, subj AS src, obj AS dst FROM eds),
+nbrs AS (
+  SELECT group_id, src, dst,
+         row_number() OVER (PARTITION BY group_id, src ORDER BY dst) AS pick
+  FROM e
+),
+od AS (SELECT group_id, src, count(*) AS outdeg FROM e GROUP BY 1, 2),
+v AS (SELECT group_id, src AS name FROM e
+      UNION SELECT group_id, dst FROM e),
+s0 AS (SELECT group_id, name AS start, name AS node FROM v),{",".join(rounds)}
+{" UNION ALL ".join(unions)}"""
+    return _kg_sql(body, with_eds=True)
+
+
 def _sql_evt_sessions() -> str:
     return """
 WITH flagged AS (
@@ -2588,6 +2634,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_shared_employer": _sql_kg_shared_employer,
     "kg_clustering": _sql_kg_clustering,
     "kg_cooccurrence": _sql_kg_cooccurrence,
+    "kg_random_walks": _sql_kg_random_walks,
     "evt_sessions": _sql_evt_sessions,
     "evt_windows": _sql_evt_windows,
     "evt_funnel": _sql_evt_funnel,

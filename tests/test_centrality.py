@@ -109,3 +109,42 @@ def test_cooccurrence_lift(spark):
     assert ab["c_ab"] == 2 and ab["c_a"] == 3 and ab["c_b"] == 2
     assert ab["lift_u"] == 1_000_000
     assert ac["c_ab"] == 1 and ac["lift_u"] == 1_000_000
+
+
+def test_random_walks_chain_and_dead_end(spark):
+    """On a chain a->b->c->d every choice is forced (outdeg 1), so the
+    walk from a is exactly a,b,c,d; d is a dead end (its walk is just
+    step 0); runs are deterministic."""
+    from graphiti_spark.operators.centrality import random_walks
+
+    t = _triples(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    out = random_walks(t, length=3)
+    rows = {
+        (r["start"], r["step"]): r["node"] for r in out.collect()
+    }
+    assert [rows[("a", s)] for s in range(4)] == ["a", "b", "c", "d"]
+    assert rows[("d", 0)] == "d" and ("d", 1) not in rows
+    # walk from b ends at d after 2 steps (dead end cuts step 3)
+    assert rows[("b", 2)] == "d" and ("b", 3) not in rows
+    again = {
+        (r["start"], r["step"]): r["node"]
+        for r in random_walks(t, length=3).collect()
+    }
+    assert again == rows
+
+
+def test_random_walks_pick_in_neighbor_set(spark):
+    """With branching, every transition lands on a real out-neighbor."""
+    from graphiti_spark.operators.centrality import random_walks
+
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "a"), ("c", "a")]
+    nbrs = {}
+    for s, o in edges:
+        nbrs.setdefault(s, set()).add(o)
+    out = random_walks(_triples(spark, edges), length=4).collect()
+    walks = {}
+    for r in out:
+        walks.setdefault(r["start"], {})[r["step"]] = r["node"]
+    for start, path in walks.items():
+        for s in range(1, max(path) + 1):
+            assert path[s] in nbrs[path[s - 1]]
