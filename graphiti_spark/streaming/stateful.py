@@ -132,3 +132,97 @@ def dedup_episodes_stream(
         .withWatermark("valid_at", watermark)
         .dropDuplicatesWithinWatermark(["group_id", "fingerprint"])
     )
+
+
+SESSION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_idx", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value_c", LongType()),
+    ]
+)
+
+_SESSION_STATE = StructType(
+    [
+        StructField("idx", LongType()),
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("sum_c", LongType()),
+    ]
+)
+
+
+def _update_session(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    from ..operators.events import SESSION_GAP_US as gap_us
+
+    (user_id,) = key
+    if state.exists:
+        idx, start_us, last_us, n, sum_c = state.get
+    else:
+        idx, start_us, last_us, n, sum_c = 1, None, None, 0, 0
+    closed: list[tuple] = []
+
+    if state.hasTimedOut:
+        # watermark passed last event + gap: the open session is final
+        if n:
+            closed.append((user_id, idx, start_us, last_us, n, sum_c))
+        state.remove()
+    else:
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        ts_us = (pd.to_datetime(rows["ts"]).astype("int64") // 1_000).to_numpy()
+        val_c = rows["value"].mul(100).round().astype("int64").to_numpy()
+        order = ts_us.argsort(kind="stable")
+        for t, v in zip(ts_us[order], val_c[order]):
+            t, v = int(t), int(v)
+            if last_us is not None and t - last_us > gap_us:
+                closed.append((user_id, idx, start_us, last_us, n, sum_c))
+                idx, start_us, n, sum_c = idx + 1, None, 0, 0
+            start_us = t if start_us is None else start_us
+            last_us, n, sum_c = t, n + 1, sum_c + v
+        state.update((idx, start_us, last_us, n, sum_c))
+        # close the open session when event time passes last + gap
+        state.setTimeoutTimestamp((last_us + gap_us) // 1_000)
+
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": u,
+                "session_idx": i,
+                "session_start": pd.Timestamp(s * 1_000),
+                "session_end": pd.Timestamp(e * 1_000),
+                "n_events": c,
+                "sum_value_c": sc,
+            }
+            for (u, i, s, e, c, sc) in closed
+        ],
+        columns=[f.name for f in SESSION_OUTPUT.fields],
+    )
+
+
+def sessionize_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming gap-based sessionization — the incremental twin of
+    operators/events.sessionize, emitting each session exactly once when
+    it CLOSES: either a new event from the same user arrives past the
+    30-minute gap (in-batch or cross-batch), or the event-time watermark
+    passes last_event + gap (`EventTimeTimeout`, so idle sessions close
+    without waiting for the user to return — the state store never holds
+    a finished session longer than the late-data horizon).
+
+    `events`: streaming (event_id, ts, user_id, event_type, value, ...).
+    State is one skinny row per OPEN session keyed by user_id; output
+    mode is 'append' (closed sessions are immutable facts)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_session,
+            outputStructType=SESSION_OUTPUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -135,3 +135,82 @@ def test_dedup_episodes_stream_drops_recrawls(spark, tmp_path):
         ("g1", "same page text"),
         ("g2", "same page text"),
     ]
+
+
+EVT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+
+
+def test_sessionize_stream_gap_and_timeout(spark, tmp_path):
+    """A session closes (and is emitted exactly once) either when a
+    same-user event arrives past the gap, or when the watermark passes
+    last_event + gap (event-time timeout). Open sessions are never
+    emitted."""
+    from graphiti_spark.streaming.stateful import sessionize_stream
+
+    d = str(tmp_path)
+    b1 = [
+        (1, datetime(2024, 1, 1, 10, 0), 1, "view", 1.0),
+        (2, datetime(2024, 1, 1, 10, 10), 1, "click", 2.0),
+        (3, datetime(2024, 1, 1, 10, 0), 2, "view", 5.0),
+    ]
+    # u1 returns past the 30-min gap -> closes session 1 in-batch;
+    # the 18:00 event also advances the watermark to 17:00
+    b2 = [(4, datetime(2024, 1, 1, 18, 0), 1, "view", 3.0)]
+    # dummy user advances processing one more trigger so u2's
+    # event-time timeout (10:30 < watermark 17:00) fires
+    b3 = [(5, datetime(2024, 1, 1, 20, 0), 3, "view", 1.0)]
+    for i, b in enumerate((b1, b2, b3), 1):
+        spark.createDataFrame(b, EVT_SCHEMA).coalesce(1).write.parquet(
+            f"{d}/in/b{i}"
+        )
+    stream = (
+        spark.readStream.schema(EVT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/in/*")
+    )
+    q = (
+        sessionize_stream(stream, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", f"{d}/ckpt_sess")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.table("sessions").toPandas()
+    got = {
+        (r.user_id, r.session_idx): (
+            r.session_start,
+            r.session_end,
+            r.n_events,
+            r.sum_value_c,
+        )
+        for r in out.itertuples()
+    }
+    # u1 session 1: two events 10:00-10:10, closed by the 18:00 arrival
+    assert got[(1, 1)] == (
+        datetime(2024, 1, 1, 10, 0),
+        datetime(2024, 1, 1, 10, 10),
+        2,
+        300,
+    )
+    # u2 session 1: single event, closed by event-time timeout
+    assert got[(2, 1)] == (
+        datetime(2024, 1, 1, 10, 0),
+        datetime(2024, 1, 1, 10, 0),
+        1,
+        500,
+    )
+    # u1 session 2: closed by the final no-data flush batch (watermark
+    # ends at 19:00 > 18:00 + gap)
+    assert got[(1, 2)] == (
+        datetime(2024, 1, 1, 18, 0),
+        datetime(2024, 1, 1, 18, 0),
+        1,
+        300,
+    )
+    # u3's 20:00 session is still open (timeout 20:30 > final watermark)
+    assert len(got) == 3
