@@ -186,6 +186,74 @@ def cooccurrence(mention_edges: DataFrame, nodes: DataFrame) -> DataFrame:
     )
 
 
+def link_prediction(triples: DataFrame) -> DataFrame:
+    """Link-prediction candidate features over the undirected canonical
+    graph: for every non-adjacent entity pair with >= 1 common neighbor,
+    the common-neighbor count and integer-exact Jaccard similarity of
+    their neighborhoods — the classic missing-edge candidate generator
+    (pairs with high neighborhood overlap but no edge are the graph's
+    best completion candidates, fed to a ranker or an extraction
+    re-check).
+
+    Plan shape: common neighbors are wedge enumeration at the shared
+    vertex (one self-join of the undirected edge list co-partitioned on
+    (group, vertex)) — identical cost profile to triangle counting; the
+    anti-join drops already-connected pairs so output is candidates
+    only. jaccard_u = 1e6 * common div (deg_a + deg_b - common), pure
+    integer."""
+    und = (
+        triples.select(
+            "group_id",
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # adjacency as (v, nbr) both directions
+    adj = und.select(
+        "group_id", F.col("a").alias("v"), F.col("b").alias("nbr")
+    ).unionByName(
+        und.select("group_id", F.col("b").alias("v"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("group_id", "v").agg(F.count(F.lit(1)).alias("deg"))
+    e1, e2 = adj.alias("e1"), adj.alias("e2")
+    # wedges at the shared vertex v: unordered endpoint pair (name order)
+    pairs = (
+        e1.join(e2, ["group_id", "v"])
+        .where(F.col("e1.nbr") < F.col("e2.nbr"))
+        .groupBy(
+            "group_id",
+            F.col("e1.nbr").alias("a"),
+            F.col("e2.nbr").alias("b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    candidates = pairs.join(und, ["group_id", "a", "b"], "left_anti")
+    return (
+        candidates.join(
+            deg.select("group_id", F.col("v").alias("a"), F.col("deg").alias("deg_a")),
+            ["group_id", "a"],
+        )
+        .join(
+            deg.select("group_id", F.col("v").alias("b"), F.col("deg").alias("deg_b")),
+            ["group_id", "b"],
+        )
+        .select(
+            "group_id",
+            F.col("a").alias("name_a"),
+            F.col("b").alias("name_b"),
+            F.col("common").cast("long").alias("common"),
+            F.col("deg_a").cast("long").alias("deg_a"),
+            F.col("deg_b").cast("long").alias("deg_b"),
+            F.expr("(1000000L * common) div (deg_a + deg_b - common)")
+            .cast("long")
+            .alias("jaccard_u"),
+        )
+    )
+
+
 def random_walks(triples: DataFrame, length: int = 3) -> DataFrame:
     """Deterministic 'random'-walk corpus over the directed canonical
     graph — the DeepWalk/node2vec training-data export (walk sequences

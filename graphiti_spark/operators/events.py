@@ -99,6 +99,43 @@ def funnel(events: DataFrame, steps: list[str]) -> DataFrame:
     return out.withColumn("steps_completed", completed.cast("long"))
 
 
+def retention(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day
+    (cohort), counted distinct-active at each day offset, with the
+    integer-exact retention rate — the standard product-analytics rollup
+    and the events-family completion of sessionize/funnel/windows.
+
+    Two narrow aggregations (first-day per user, distinct active days
+    per user) and one key join on user_id — all co-partitioned; the
+    final matrix is O(cohorts x horizon), tiny at any corpus scale."""
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    active = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    sz = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    per = (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    return per.join(sz, "cohort_day").select(
+        "cohort_day",
+        F.col("day_offset").cast("long").alias("day_offset"),
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        F.expr("(1000000L * n_users) div cohort_size")
+        .cast("long")
+        .alias("retention_u"),
+    )
+
+
 def tumbling_windows(events: DataFrame, unit: str = "hour") -> DataFrame:
     """Tumbling event-time windows per event_type — the batch form of the
     streaming windowed-count operator (streaming/stateful.py): counts,

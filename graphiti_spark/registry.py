@@ -1274,6 +1274,24 @@ def q_kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence(t.mention_edges, t.nodes)
 
 
+def q_kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction candidates: non-adjacent entity pairs with >= 1
+    common neighbor + integer-exact neighborhood Jaccard (wedge
+    enumeration at the shared vertex — same plan family as triangle
+    counting; anti-join drops existing edges)."""
+    from .operators.centrality import link_prediction
+
+    return link_prediction(q_kg_triples(spark, sf_dir))
+
+
+def q_evt_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix over the events table (first-activity-day
+    cohorts x day offset, integer retention rate)."""
+    from .operators import events as ev
+
+    return ev.retention(ev.read_events(spark, sf_dir))
+
+
 WALK_LEN = 3
 
 
@@ -1467,7 +1485,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_clustering": q_kg_clustering,
     "kg_cooccurrence": q_kg_cooccurrence,
     "kg_random_walks": q_kg_random_walks,
+    "kg_link_prediction": q_kg_link_prediction,
     "evt_sessions": q_evt_sessions,
+    "evt_retention": q_evt_retention,
     "evt_windows": q_evt_windows,
     "evt_funnel": q_evt_funnel,
     "media_phash_pairs": q_media_phash_pairs,
@@ -2489,6 +2509,62 @@ pr AS (
     return _kg_sql(ctes + body)
 
 
+def _sql_kg_link_prediction() -> str:
+    body = """
+, und AS (
+  SELECT DISTINCT group_id, least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM eds WHERE subj <> obj
+),
+adj AS (
+  SELECT group_id, a AS v, b AS nbr FROM und
+  UNION ALL SELECT group_id, b, a FROM und
+),
+deg AS (SELECT group_id, v, count(*) AS deg FROM adj GROUP BY 1, 2),
+pairs AS (
+  SELECT e1.group_id, e1.nbr AS a, e2.nbr AS b, count(*) AS common
+  FROM adj e1
+  JOIN adj e2 ON e2.group_id = e1.group_id AND e2.v = e1.v
+             AND e2.nbr > e1.nbr
+  GROUP BY 1, 2, 3
+),
+cand AS (
+  SELECT p.* FROM pairs p
+  LEFT JOIN und u ON u.group_id = p.group_id AND u.a = p.a AND u.b = p.b
+  WHERE u.a IS NULL
+)
+SELECT c.group_id, c.a AS name_a, c.b AS name_b,
+       CAST(c.common AS BIGINT) AS common,
+       CAST(da.deg AS BIGINT) AS deg_a,
+       CAST(db.deg AS BIGINT) AS deg_b,
+       CAST((1000000 * c.common) // (da.deg + db.deg - c.common) AS BIGINT)
+         AS jaccard_u
+FROM cand c
+JOIN deg da ON da.group_id = c.group_id AND da.v = c.a
+JOIN deg db ON db.group_id = c.group_id AND db.v = c.b"""
+    return _kg_sql(body, with_eds=True)
+
+
+def _sql_evt_retention() -> str:
+    return """
+WITH firsts AS (
+  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+  FROM events GROUP BY 1
+),
+active AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+sz AS (SELECT cohort_day, count(*) AS cohort_size FROM firsts GROUP BY 1),
+per AS (
+  SELECT f.cohort_day, datediff('day', f.cohort_day, a.day) AS day_offset,
+         count(*) AS n_users
+  FROM active a JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT p.cohort_day, CAST(p.day_offset AS BIGINT) AS day_offset,
+       CAST(p.n_users AS BIGINT) AS n_users,
+       CAST(sz.cohort_size AS BIGINT) AS cohort_size,
+       CAST((1000000 * p.n_users) // sz.cohort_size AS BIGINT) AS retention_u
+FROM per p JOIN sz USING (cohort_day)"""
+
+
 def _sql_kg_random_walks() -> str:
     rounds, unions = [], [
         "SELECT group_id, start, CAST(0 AS BIGINT) AS step, node FROM s0"
@@ -2635,7 +2711,9 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_clustering": _sql_kg_clustering,
     "kg_cooccurrence": _sql_kg_cooccurrence,
     "kg_random_walks": _sql_kg_random_walks,
+    "kg_link_prediction": _sql_kg_link_prediction,
     "evt_sessions": _sql_evt_sessions,
+    "evt_retention": _sql_evt_retention,
     "evt_windows": _sql_evt_windows,
     "evt_funnel": _sql_evt_funnel,
     "media_phash_pairs": _sql_media_phash_pairs,

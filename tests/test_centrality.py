@@ -148,3 +148,31 @@ def test_random_walks_pick_in_neighbor_set(spark):
     for start, path in walks.items():
         for s in range(1, max(path) + 1):
             assert path[s] in nbrs[path[s - 1]]
+
+
+def test_link_prediction_candidates(spark):
+    """Path a-b-c: (a,c) is the only candidate (common=1, jaccard
+    1/(1+1-1)=1e6 since a,c each have degree 1... deg_a=1, deg_b=1,
+    union = 1 -> 1e6). Adjacent pairs are excluded."""
+    from graphiti_spark.operators.centrality import link_prediction
+
+    out = {
+        (r["name_a"], r["name_b"]): r.asDict()
+        for r in link_prediction(
+            _triples(spark, [("a", "b"), ("b", "c")])
+        ).collect()
+    }
+    assert set(out) == {("a", "c")}
+    r = out[("a", "c")]
+    assert r["common"] == 1 and r["deg_a"] == 1 and r["deg_b"] == 1
+    assert r["jaccard_u"] == 1_000_000
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    """In K3 every pair is adjacent -> no candidates at all."""
+    from graphiti_spark.operators.centrality import link_prediction
+
+    out = link_prediction(
+        _triples(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    ).collect()
+    assert out == []

@@ -316,3 +316,24 @@ def test_curation_decision_reasons(spark):
     assert out[2] == (0, "quality")
     assert out[3] == (0, "language")
     assert out[4] == (0, "sampled_out")
+
+
+def test_retention_matrix(spark):
+    """Two users in the day-1 cohort, one returns on day 2 -> offsets
+    (0: 2 users, 1e6) and (1: 1 user, 500000)."""
+    from graphiti_spark.operators.events import retention
+
+    rows = [
+        (dt.datetime(2024, 1, 1, 9), 1, "view", 1.0),
+        (dt.datetime(2024, 1, 1, 10), 2, "view", 1.0),
+        (dt.datetime(2024, 1, 2, 11), 1, "view", 1.0),
+        (dt.datetime(2024, 1, 2, 12), 1, "click", 1.0),  # same day, 1 user
+    ]
+    out = {
+        r["day_offset"]: r.asDict()
+        for r in retention(_events(spark, rows)).collect()
+    }
+    assert out[0]["n_users"] == 2 and out[0]["cohort_size"] == 2
+    assert out[0]["retention_u"] == 1_000_000
+    assert out[1]["n_users"] == 1 and out[1]["retention_u"] == 500_000
+    assert len(out) == 2
