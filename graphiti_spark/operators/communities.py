@@ -175,3 +175,73 @@ def determine_entity_community(
         .where(F.col("rn") == 1)
         .select("group_id", "uuid", F.col("nbr_comm").alias("community"))
     )
+
+
+def modularity(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Newman modularity of the LPA partition, per group — the standard
+    quality metric for X16's community detection, reported as an EXACT
+    integer fraction (num/den) so no float accumulation or
+    floor-vs-truncate division semantics can drift between engines:
+
+        Q = sum_c [ e_c/m - (d_c/(2m))^2 ]
+          = sum_c (4*m*e_c - d_c^2) / (4*m^2)  = modularity_num / modularity_den
+
+    over the undirected simple graph (m edges; e_c = intra-community
+    edges; d_c = community degree sum). Communities with no
+    edge-incident member carry zero mass and are not counted.
+
+    Scale: the work is one undirected-edge dedup plus three
+    co-partitioned aggregations on (group, community) — nothing touches
+    corpus-scaled tables after the skinny edge projection."""
+    und = (
+        edges.select(
+            "group_id",
+            F.least("source_node_uuid", "target_node_uuid").alias("a"),
+            F.greatest("source_node_uuid", "target_node_uuid").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = label_propagation(nodes, edges)
+    memb = labels.select("group_id", "uuid", "community")
+    mtot = und.groupBy("group_id").agg(F.count(F.lit(1)).alias("m"))
+    deg = (
+        und.select("group_id", F.col("a").alias("uuid"))
+        .unionByName(und.select("group_id", F.col("b").alias("uuid")))
+        .groupBy("group_id", "uuid")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ec = (
+        und.join(
+            memb.select("group_id", F.col("uuid").alias("a"), F.col("community").alias("ca")),
+            ["group_id", "a"],
+        )
+        .join(
+            memb.select("group_id", F.col("uuid").alias("b"), F.col("community").alias("cb")),
+            ["group_id", "b"],
+        )
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy("group_id", F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    dc = (
+        deg.join(memb, ["group_id", "uuid"])
+        .groupBy("group_id", "community")
+        .agg(F.sum("deg").alias("d_c"))
+    )
+    return (
+        dc.join(ec, ["group_id", "community"], "left")
+        .join(mtot, "group_id")
+        .groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities"),
+            F.max("m").cast("long").alias("m_edges"),
+            F.sum(
+                F.expr("4L * m * coalesce(e_in, 0L) - d_c * d_c")
+            )
+            .cast("long")
+            .alias("modularity_num"),
+            F.expr("4L * max(m) * max(m)").cast("long").alias("modularity_den"),
+        )
+    )

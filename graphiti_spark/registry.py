@@ -1274,6 +1274,15 @@ def q_kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence(t.mention_edges, t.nodes)
 
 
+def q_kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA community partition per group, as an
+    exact integer fraction (X16 quality metric)."""
+    from .operators.communities import modularity
+
+    t = _graph(spark, sf_dir)
+    return modularity(t.nodes, t.edges)
+
+
 def q_kg_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-prediction candidates: non-adjacent entity pairs with >= 1
     common neighbor + integer-exact neighborhood Jaccard (wedge
@@ -1486,6 +1495,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_cooccurrence": q_kg_cooccurrence,
     "kg_random_walks": q_kg_random_walks,
     "kg_link_prediction": q_kg_link_prediction,
+    "kg_modularity": q_kg_modularity,
     "evt_sessions": q_evt_sessions,
     "evt_retention": q_evt_retention,
     "evt_windows": q_evt_windows,
@@ -2509,6 +2519,46 @@ pr AS (
     return _kg_sql(ctes + body)
 
 
+def _sql_kg_modularity() -> str:
+    n = LPA_ORACLE_ROUNDS
+    body = communities_ctes() + f"""
+, undm AS (
+  SELECT DISTINCT group_id, least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ce WHERE src <> dst
+),
+mtot AS (SELECT group_id, count(*) AS m FROM undm GROUP BY 1),
+degu AS (
+  SELECT group_id, u AS uuid, count(*) AS deg FROM (
+    SELECT group_id, a AS u FROM undm
+    UNION ALL SELECT group_id, b FROM undm
+  ) GROUP BY 1, 2
+),
+ecin AS (
+  SELECT u.group_id, la.community, count(*) AS e_in
+  FROM undm u
+  JOIN l{n} la ON la.group_id = u.group_id AND la.uuid = u.a
+  JOIN l{n} lb ON lb.group_id = u.group_id AND lb.uuid = u.b
+   AND lb.community = la.community
+  GROUP BY 1, 2
+),
+dcs AS (
+  SELECT d.group_id, l.community, sum(d.deg) AS d_c
+  FROM degu d JOIN l{n} l ON l.group_id = d.group_id AND l.uuid = d.uuid
+  GROUP BY 1, 2
+)
+SELECT d.group_id,
+       CAST(count(*) AS BIGINT) AS n_communities,
+       CAST(max(mt.m) AS BIGINT) AS m_edges,
+       CAST(sum(4 * mt.m * coalesce(e.e_in, 0) - d.d_c * d.d_c) AS BIGINT)
+         AS modularity_num,
+       CAST(4 * max(mt.m) * max(mt.m) AS BIGINT) AS modularity_den
+FROM dcs d
+LEFT JOIN ecin e ON e.group_id = d.group_id AND e.community = d.community
+JOIN mtot mt ON mt.group_id = d.group_id
+GROUP BY 1"""
+    return _kg_sql(body, with_eds=True)
+
+
 def _sql_kg_link_prediction() -> str:
     body = """
 , und AS (
@@ -2712,6 +2762,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_cooccurrence": _sql_kg_cooccurrence,
     "kg_random_walks": _sql_kg_random_walks,
     "kg_link_prediction": _sql_kg_link_prediction,
+    "kg_modularity": _sql_kg_modularity,
     "evt_sessions": _sql_evt_sessions,
     "evt_retention": _sql_evt_retention,
     "evt_windows": _sql_evt_windows,

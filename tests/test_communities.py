@@ -126,3 +126,24 @@ def test_determine_entity_community(spark):
     # p's only neighbor is q -> p joins q's community
     q_comm = labels.where(F.col("uuid") == "q").collect()[0]["community"]
     assert got["community"].iloc[0] == q_comm
+
+
+def test_modularity_two_triangles(spark):
+    """Two disjoint triangles: LPA finds the two cliques; Q = 1/2 exactly
+    (per community: 4*m*e_c - d_c^2 = 4*6*3 - 36 = 36; num 72 / den 144)."""
+    from graphiti_spark.operators.communities import modularity
+
+    names = ["a1", "a2", "a3", "b1", "b2", "b3"]
+    nodes = spark.createDataFrame(
+        [("g", n) for n in names], ["group_id", "uuid"]
+    )
+    tri = [("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+           ("b1", "b2"), ("b2", "b3"), ("b3", "b1")]
+    edges = spark.createDataFrame(
+        [("g", s, d) for s, d in tri],
+        ["group_id", "source_node_uuid", "target_node_uuid"],
+    )
+    (row,) = modularity(nodes, edges).collect()
+    assert row["n_communities"] == 2
+    assert row["m_edges"] == 6
+    assert row["modularity_num"] * 2 == row["modularity_den"]  # Q = 1/2
