@@ -41,4 +41,9 @@ def get_spark(
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
         builder = builder.config("spark.local.dir", f"{shm}/spark-local")
+        # managed-table warehouse (bucketed sinks) on scratch too — in
+        # production this is the Iceberg catalog's object-store location
+        builder = builder.config(
+            "spark.sql.warehouse.dir", f"{shm}/spark-warehouse"
+        )
     return builder.getOrCreate()
