@@ -673,6 +673,118 @@ def mix_sample(
     )
 
 
+WINNOW_K = 4  # tokens per gram
+WINNOW_W = 5  # grams per window
+
+
+def winnow_fingerprints(
+    docs: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS local fingerprinting algorithm): hash every k-token
+    gram, slide a w-gram window, keep each window's MINIMUM hash. The
+    selected set is ~2/(w+1) of all gram hashes yet GUARANTEES any
+    shared token run of length >= w + k - 1 leaves at least one common
+    fingerprint — position-robust local dedup that exact fingerprints
+    and doc-global MinHash both miss.
+
+    Entirely JVM higher-order expressions (transform/slice/array_min)
+    over the token array — one codegen projection, no shuffle until the
+    explode; the md5-low32 hash family is the DuckDB-reproducible one
+    used by MinHash/SimHash. Emits (doc_id, fp) distinct."""
+    toks = F.expr(f"regexp_extract_all(lower(text), '{WORD}', 0)")
+    base = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        F.expr(_winnow_prep(k)).alias("hashes"),
+    )
+    return (
+        base.withColumn("n_g", F.size("hashes"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"""
+                explode(array_distinct(CASE WHEN n_g >= {w} THEN
+                  transform(sequence(1, n_g - {w} + 1),
+                            j -> array_min(slice(hashes, j, {w})))
+                ELSE CASE WHEN n_g >= 1 THEN array(array_min(hashes))
+                     ELSE cast(array() as array<bigint>) END END))
+                """
+            ).alias("fp"),
+        )
+        .distinct()
+    )
+
+
+def _winnow_prep(k: int) -> str:
+    # token array -> k-gram hash array (Spark sequence(1, 0) is the
+    # DESCENDING [1, 0], not empty — guard short docs explicitly)
+    return f"""
+    CASE WHEN size(toks) >= {k} THEN
+      transform(
+        sequence(1, size(toks) - {k} + 1),
+        i -> cast(conv(substr(md5(concat_ws(' ', slice(toks, i, {k}))), 1, 8),
+                  16, 10) as bigint))
+    ELSE cast(array() as array<bigint>) END
+    """
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    min_shared: int = 3,
+    max_df_frac_u: int = 20_000,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints: docs
+    sharing >= min_shared selected fingerprints, with the winnow-set
+    Jaccard. Fingerprints appearing in more than max_df_frac_u (micro)
+    of the corpus are dropped first — the same relative document-
+    frequency skew guard as the n-gram dedup (a corpus-wide boilerplate
+    fingerprint would otherwise quadratically explode the self-join)."""
+    fps = winnow_fingerprints(docs, k, w)
+    n_docs = docs.select(F.count(F.lit(1)).alias("nd"))
+    ok = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(n_docs))
+        .where(
+            F.col("df")
+            <= F.greatest(F.lit(2), F.expr(f"nd * {max_df_frac_u} div 1000000"))
+        )
+        .select("fp")
+    )
+    kept = fps.join(ok, "fp")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a, b = kept.alias("a"), kept.alias("b")
+    shared = (
+        a.join(b, "fp")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("long").alias("shared"),
+            F.expr("(1000000L * shared) div (n_a + n_b - shared)")
+            .cast("long")
+            .alias("winnow_jaccard_u"),
+        )
+    )
+
+
 CURATION_RULES = ("r_word_count", "r_mean_word_len", "r_symbol", "r_alpha")
 
 

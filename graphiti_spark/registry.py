@@ -1135,6 +1135,13 @@ def q_doc_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) local-fingerprint near-dup pairs: shared
+    window-minimum gram hashes with the winnow-set Jaccard (guaranteed
+    detection of shared runs >= w+k-1 tokens at ~2/(w+1) storage)."""
+    return docs_mod.winnow_pairs(docs.read_documents(spark, sf_dir))
+
+
 def q_doc_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation audit: keep + first-failing-stage reason per
     doc (dedup -> Gopher -> language agreement -> stratified mixing)."""
@@ -1469,6 +1476,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_length_deciles": q_doc_length_deciles,
     "doc_stats_rollup": q_doc_stats_rollup,
     "doc_curation": q_doc_curation,
+    "doc_winnow": q_doc_winnow,
     "kg_entity_timeline": q_kg_entity_timeline,
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
@@ -2280,6 +2288,55 @@ SELECT doc_id, lang AS stratum,
 FROM documents"""
 
 
+def _sql_doc_winnow() -> str:
+    from .operators.docs import WINNOW_K as k, WINNOW_W as w
+
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {k} THEN
+           list_transform(range(1, len(toks) - {k} + 2),
+             i -> ('0x' || substr(md5(array_to_string(
+                    list_slice(toks, i, i + {k - 1}), ' ')), 1, 8))::BIGINT)
+         ELSE CAST([] AS BIGINT[]) END AS hashes
+  FROM tok
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id,
+           unnest(list_distinct(
+             CASE WHEN len(hashes) >= {w} THEN
+               list_transform(range(1, len(hashes) - {w} + 2),
+                 j -> list_min(list_slice(hashes, j, j + {w - 1})))
+             WHEN len(hashes) >= 1 THEN [list_min(hashes)]
+             ELSE CAST([] AS BIGINT[]) END)) AS fp
+    FROM h
+  )
+),
+ok AS (
+  SELECT fp FROM fps GROUP BY fp
+  HAVING count(*) <= (SELECT greatest(2, count(*) * 20000 // 1000000)
+                      FROM documents)
+),
+kept AS (SELECT fps.* FROM fps JOIN ok USING (fp)),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 3
+)
+SELECT s.doc_a, s.doc_b, CAST(s.shared AS BIGINT) AS shared,
+       CAST((1000000 * s.shared) // (sa.n_fp + sb.n_fp - s.shared) AS BIGINT)
+         AS winnow_jaccard_u
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.doc_a
+JOIN sizes sb ON sb.doc_id = s.doc_b"""
+
+
 def _sql_doc_curation() -> str:
     # the composite reuses each stage's oracle verbatim as a CTE, so the
     # audit's semantics are definitionally those of the gated stages
@@ -2736,6 +2793,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "doc_length_deciles": _sql_doc_length_deciles,
     "doc_stats_rollup": _sql_doc_stats_rollup,
     "doc_curation": _sql_doc_curation,
+    "doc_winnow": _sql_doc_winnow,
     "kg_entity_timeline": _sql_kg_entity_timeline,
     "doc_quality": _sql_doc_quality,
     "doc_langid": _sql_doc_langid,

@@ -337,3 +337,40 @@ def test_retention_matrix(spark):
     assert out[0]["retention_u"] == 1_000_000
     assert out[1]["n_users"] == 1 and out[1]["retention_u"] == 500_000
     assert len(out) == 2
+
+
+def test_winnowing_guarantee(spark):
+    """The MOSS guarantee: two docs sharing a token run of length
+    >= w + k - 1 (= 8 here) share at least one selected fingerprint,
+    wherever the run sits in each doc; disjoint docs share none."""
+    from graphiti_spark.operators.docs import winnow_fingerprints
+
+    passage = "quick brown foxes jump over seven lazy sleeping dogs today"
+    texts = [
+        "alpha beta gamma delta " * 6 + passage,
+        passage + " omega psi chi phi " * 6,
+        "one two three four five six seven eight nine ten " * 4,
+    ]
+    fps = winnow_fingerprints(_docs(spark, texts)).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1], "shared passage must leave a fingerprint"
+    assert not (by_doc[0] & by_doc[2])
+    assert not (by_doc[1] & by_doc[2])
+
+
+def test_winnowing_selects_sparse_subset(spark):
+    """Selected fingerprints are far fewer than gram count (~2/(w+1))
+    but never zero for docs with >= 1 gram."""
+    from graphiti_spark.operators.docs import WINNOW_K, winnow_fingerprints
+
+    words = [f"w{i}" for i in range(200)]
+    texts = [" ".join(words), "short doc here okay"]
+    fps = winnow_fingerprints(_docs(spark, texts)).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    n_grams = 200 - WINNOW_K + 1
+    assert 0 < len(by_doc[0]) < n_grams / 2
+    assert len(by_doc[1]) == 1  # 4 tokens -> single gram -> single min
