@@ -1281,6 +1281,53 @@ def q_kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence(t.mention_edges, t.nodes)
 
 
+def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weakly-connected components of the canonical entity graph per
+    group, with component sizes — the graph-hygiene diagnostic (one
+    giant component = healthy coverage; many shards = extraction gaps).
+    Reuses the engine's adaptive connected-components (local union-find
+    cutover under 1M edges, distributed min-label fixpoint above);
+    per-group isolation via a group-prefixed vertex key."""
+    from .operators.resolve import connected_components
+
+    tv = q_kg_triples(spark, sf_dir)
+    und = (
+        tv.select(
+            "group_id",
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e = und.select(
+        F.concat_ws("|", "group_id", "a").alias("src"),
+        F.concat_ws("|", "group_id", "b").alias("dst"),
+    )
+    v = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    comp = connected_components(e, v)
+    out = comp.select(
+        F.expr("substring_index(id, '|', 1)").alias("group_id"),
+        F.expr("substr(id, length(substring_index(id, '|', 1)) + 2)").alias(
+            "name"
+        ),
+        F.expr(
+            "substr(component, length(substring_index(component, '|', 1)) + 2)"
+        ).alias("component"),
+    )
+    sizes = out.groupBy("group_id", "component").agg(
+        F.count(F.lit(1)).alias("comp_size")
+    )
+    return out.join(sizes, ["group_id", "component"]).select(
+        "group_id",
+        "name",
+        "component",
+        F.col("comp_size").cast("long").alias("comp_size"),
+    )
+
+
 def q_kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the LPA community partition per group, as an
     exact integer fraction (X16 quality metric)."""
@@ -1504,6 +1551,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_random_walks": q_kg_random_walks,
     "kg_link_prediction": q_kg_link_prediction,
     "kg_modularity": q_kg_modularity,
+    "kg_components": q_kg_components,
     "evt_sessions": q_evt_sessions,
     "evt_retention": q_evt_retention,
     "evt_windows": q_evt_windows,
@@ -2576,6 +2624,35 @@ pr AS (
     return _kg_sql(ctes + body)
 
 
+def _sql_kg_components() -> str:
+    rounds = []
+    for k in range(1, 13):  # 12 min-propagation rounds >= entity-graph diameter
+        prev = f"k{k - 1}"
+        rounds.append(f"""
+k{k} AS MATERIALIZED (
+  SELECT l.group_id, l.name,
+         least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
+  FROM {prev} l
+  LEFT JOIN e2 ON e2.group_id = l.group_id AND e2.a = l.name
+  LEFT JOIN {prev} n ON n.group_id = e2.group_id AND n.name = e2.b
+  GROUP BY l.group_id, l.name, l.comp
+)""")
+    body = f"""
+, undc AS (
+  SELECT DISTINCT group_id, least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM eds WHERE subj <> obj
+),
+e2 AS (SELECT group_id, a, b FROM undc
+       UNION ALL SELECT group_id, b, a FROM undc),
+vc AS (SELECT DISTINCT group_id, a AS name FROM e2),
+k0 AS (SELECT group_id, name, name AS comp FROM vc),{",".join(rounds)},
+sz AS (SELECT group_id, comp, count(*) AS comp_size FROM k12 GROUP BY 1, 2)
+SELECT k.group_id, k.name, k.comp AS component,
+       CAST(sz.comp_size AS BIGINT) AS comp_size
+FROM k12 k JOIN sz ON sz.group_id = k.group_id AND sz.comp = k.comp"""
+    return _kg_sql(body, with_eds=True)
+
+
 def _sql_kg_modularity() -> str:
     n = LPA_ORACLE_ROUNDS
     body = communities_ctes() + f"""
@@ -2821,6 +2898,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_random_walks": _sql_kg_random_walks,
     "kg_link_prediction": _sql_kg_link_prediction,
     "kg_modularity": _sql_kg_modularity,
+    "kg_components": _sql_kg_components,
     "evt_sessions": _sql_evt_sessions,
     "evt_retention": _sql_evt_retention,
     "evt_windows": _sql_evt_windows,

@@ -176,3 +176,23 @@ def test_link_prediction_excludes_existing_edges(spark):
         _triples(spark, [("a", "b"), ("b", "c"), ("c", "a")])
     ).collect()
     assert out == []
+
+
+def test_components_group_isolation(spark):
+    """Same entity names in different groups stay in separate components
+    (the group-prefixed vertex key); sizes are per-group."""
+    from graphiti_spark.registry import q_kg_components  # noqa: F401  (plumbing)
+    from graphiti_spark.operators.resolve import connected_components
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        [("g1|a", "g1|b"), ("g1|b", "g1|c"), ("g2|a", "g2|b")],
+        ["src", "dst"],
+    )
+    v = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    comp = {r["id"]: r["component"] for r in connected_components(e, v).collect()}
+    assert comp["g1|a"] == comp["g1|b"] == comp["g1|c"] == "g1|a"
+    assert comp["g2|a"] == comp["g2|b"] == "g2|a"
+    assert comp["g1|a"] != comp["g2|a"]
