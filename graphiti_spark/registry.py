@@ -1281,6 +1281,53 @@ def q_kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cooccurrence(t.mention_edges, t.nodes)
 
 
+def q_kg_fact_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal ops dashboard: per (group, day), facts becoming valid and
+    facts invalidated — the churn signal a production KG monitors for
+    extraction regressions and contradiction storms. Two skinny aggs +
+    one full-outer join on (group, day)."""
+    tv = q_kg_triples(spark, sf_dir)
+    new = tv.groupBy(
+        "group_id", F.date_format("valid_at", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    inv = (
+        tv.where(F.col("invalid_at").isNotNull())
+        .groupBy("group_id", F.date_format("invalid_at", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_invalidated"))
+    )
+    return new.join(inv, ["group_id", "day"], "full").select(
+        "group_id",
+        "day",
+        F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        F.coalesce("n_invalidated", F.lit(0)).cast("long").alias("n_invalidated"),
+    )
+
+
+def q_doc_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top 50 terms by frequency with rank — the
+    Zipf sanity table a curation run eyeballs. Explode shuffles once on
+    the term key (map-side combined); the rank window runs over the
+    vocab-sized aggregate, never the corpus."""
+    from pyspark.sql import Window
+
+    d = docs.read_documents(spark, sf_dir)
+    terms = d.select(
+        F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias(
+            "term"
+        )
+    )
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), "term")
+    return (
+        counts.select(
+            "term",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= 50)
+    )
+
+
 def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weakly-connected components of the canonical entity graph per
     group, with component sizes — the graph-hygiene diagnostic (one
@@ -1552,6 +1599,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_link_prediction": q_kg_link_prediction,
     "kg_modularity": q_kg_modularity,
     "kg_components": q_kg_components,
+    "kg_fact_churn": q_kg_fact_churn,
+    "doc_zipf": q_doc_zipf,
     "evt_sessions": q_evt_sessions,
     "evt_retention": q_evt_retention,
     "evt_windows": q_evt_windows,
@@ -2624,6 +2673,38 @@ pr AS (
     return _kg_sql(ctes + body)
 
 
+def _sql_kg_fact_churn() -> str:
+    body = f"""
+, final AS ({_TRIPLES_SELECT}),
+newf AS (
+  SELECT group_id, strftime(valid_at, '%Y-%m-%d') AS day, count(*) AS n_new
+  FROM final GROUP BY 1, 2
+),
+invf AS (
+  SELECT group_id, strftime(invalid_at, '%Y-%m-%d') AS day, count(*) AS n_invalidated
+  FROM final WHERE invalid_at IS NOT NULL GROUP BY 1, 2
+)
+SELECT coalesce(n.group_id, i.group_id) AS group_id,
+       coalesce(n.day, i.day) AS day,
+       CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+       CAST(coalesce(i.n_invalidated, 0) AS BIGINT) AS n_invalidated
+FROM newf n
+FULL JOIN invf i ON i.group_id = n.group_id AND i.day = n.day"""
+    return _kg_sql(body, with_eds=True)
+
+
+def _sql_doc_zipf() -> str:
+    return """
+WITH t AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+c AS (SELECT term, count(*) AS cnt FROM t GROUP BY 1)
+SELECT term, CAST(cnt AS BIGINT) AS cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank
+FROM c QUALIFY rank <= 50"""
+
+
 def _sql_kg_components() -> str:
     rounds = []
     for k in range(1, 13):  # 12 min-propagation rounds >= entity-graph diameter
@@ -2899,6 +2980,8 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_link_prediction": _sql_kg_link_prediction,
     "kg_modularity": _sql_kg_modularity,
     "kg_components": _sql_kg_components,
+    "kg_fact_churn": _sql_kg_fact_churn,
+    "doc_zipf": _sql_doc_zipf,
     "evt_sessions": _sql_evt_sessions,
     "evt_retention": _sql_evt_retention,
     "evt_windows": _sql_evt_windows,
