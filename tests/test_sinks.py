@@ -28,7 +28,7 @@ def _no_broadcast(spark):
     return ctx()
 
 
-def test_bucketed_join_is_exchange_free(spark):
+def test_bucketed_join_is_exchange_free(spark, tmp_path):
     left = spark.range(0, 1000).selectExpr(
         "cast(id as string) AS uuid", "id * 2 AS payload"
     )
@@ -44,10 +44,10 @@ def test_bucketed_join_is_exchange_free(spark):
         assert "Bucketed: true" in plan, plan
         assert j.count() == 1000
         # contrast: the same join over plain parquet DOES shuffle
-        left.write.mode("overwrite").saveAsTable("t_left_plain")
-        right.write.mode("overwrite").saveAsTable("t_right_plain")
-        jp = spark.table("t_left_plain").join(
-            spark.table("t_right_plain"), "uuid"
+        left.write.mode("overwrite").parquet(f"{tmp_path}/plain_left")
+        right.write.mode("overwrite").parquet(f"{tmp_path}/plain_right")
+        jp = spark.read.parquet(f"{tmp_path}/plain_left").join(
+            spark.read.parquet(f"{tmp_path}/plain_right"), "uuid"
         )
         assert "Exchange" in jp._jdf.queryExecution().executedPlan().toString()
 
