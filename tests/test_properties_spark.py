@@ -115,3 +115,56 @@ def test_sessionize_invariants_random_events(spark):
         # consecutive sessions are separated by MORE than the gap
         for prev, nxt in zip(sess, sess[1:]):
             assert nxt["session_start"] - prev["session_end"] > gap
+
+
+def test_funnel_and_retention_invariants_random_events(spark):
+    from graphiti_spark.operators.events import funnel, retention
+
+    t0 = dt.datetime(2024, 5, 1)
+    types = ["view", "click", "purchase"]
+    rows = []
+    eid = 0
+    for uid in range(30):
+        for _ in range(int(RNG.randint(1, 15))):
+            rows.append(
+                (
+                    eid,
+                    t0 + dt.timedelta(minutes=int(RNG.randint(0, 60 * 24 * 5))),
+                    uid,
+                    types[RNG.randint(0, 3)],
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    fun = funnel(events, types).collect()
+    viewers = {r[2] for r in rows if r[3] == "view"}
+    assert {r["user_id"] for r in fun} == viewers
+    for r in fun:
+        ts = [r["t1"], r["t2"], r["t3"]]
+        # once the funnel breaks it stays broken; present steps are
+        # strictly increasing in time
+        present = [t is not None for t in ts]
+        assert present == sorted(present, reverse=True)
+        got_steps = sum(present)
+        assert r["steps_completed"] == got_steps
+        for a, b in zip(ts, ts[1:]):
+            if b is not None:
+                assert b > a
+    ret = retention(events).collect()
+    by_cohort: dict = {}
+    for r in ret:
+        by_cohort.setdefault(r["cohort_day"], {})[r["day_offset"]] = r
+    for cohort, offs in by_cohort.items():
+        # every user is active on their first day: offset-0 row is exact
+        assert offs[0]["n_users"] == offs[0]["cohort_size"]
+        assert offs[0]["retention_u"] == 1_000_000
+        for r in offs.values():
+            assert 0 < r["n_users"] <= r["cohort_size"]
+            assert 0 < r["retention_u"] <= 1_000_000
+            assert r["day_offset"] >= 0
