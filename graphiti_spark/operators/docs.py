@@ -673,6 +673,43 @@ def mix_sample(
     )
 
 
+def bpe_pair_counts(docs: DataFrame, top_n: int = 20) -> DataFrame:
+    """The inner loop of distributed BPE tokenizer training (Sennrich et
+    al. 2016): corpus-weighted adjacent-symbol-pair frequencies. The
+    crucial scale move is counting over the DISTINCT-WORD frequency
+    table — the corpus collapses to its vocabulary (one groupBy) before
+    any per-character work, so the expensive pair explosion runs on
+    vocab-sized data regardless of corpus size; production tokenizer
+    trainers distribute exactly this way, re-running the count after
+    each merge. Returns the top_n pairs with deterministic rank (the
+    rank-1 row is the next BPE merge)."""
+    words = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("word")
+    )
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = wc.where(F.length("word") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substr(word, i, 2))"
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("cnt").alias("total"))
+    w = Window.orderBy(F.col("total").desc(), "pair")
+    return (
+        agg.select(
+            "pair",
+            F.col("total").cast("long").alias("total"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= top_n)
+    )
+
+
 WINNOW_K = 4  # tokens per gram
 WINNOW_W = 5  # grams per window
 

@@ -99,6 +99,59 @@ def funnel(events: DataFrame, steps: list[str]) -> DataFrame:
     return out.withColumn("steps_completed", completed.cast("long"))
 
 
+def last_touch_attribution(
+    events: DataFrame, conversion: str = "purchase", touch: str = "view"
+) -> DataFrame:
+    """As-of join, the classic operator Spark has no native form of: for
+    every conversion event, the user's most recent strictly-earlier
+    touch event (last-touch attribution; DuckDB expresses the same thing
+    with its native ASOF JOIN, which is the oracle).
+
+    Spark plan: union-tag both event kinds, ONE window per user ordered
+    by (ts, is_conversion, event_id) carrying the last touch forward
+    (`last(..., ignorenulls)`), then keep conversions. A single shuffle
+    on user_id, no range join, no per-user collect — the standard
+    distributed as-of design. Ordering puts a touch BEFORE a conversion
+    at the same timestamp (as-of matches touch_ts <= conversion_ts); at
+    equal touch timestamps the larger event_id wins, so the pick is
+    total. Conversions with no prior touch keep null touch columns."""
+    tagged = events.where(
+        F.col("event_type").isin([conversion, touch])
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("event_type") == conversion).cast("int").alias("is_conv"),
+        F.when(F.col("event_type") == touch, F.col("ts")).alias("touch_ts"),
+        F.when(F.col("event_type") == touch, F.col("event_id")).alias(
+            "touch_id"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_conv", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.select(
+            "user_id",
+            "event_id",
+            "ts",
+            "is_conv",
+            F.last("touch_ts", ignorenulls=True).over(w).alias("touch_ts"),
+            F.last("touch_id", ignorenulls=True).over(w).alias("touch_id"),
+        )
+        .where(F.col("is_conv") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("conversion_id"),
+            F.col("ts").alias("conversion_ts"),
+            "touch_id",
+            "touch_ts",
+        )
+    )
+
+
 def retention(events: DataFrame) -> DataFrame:
     """Cohort retention matrix: users grouped by first-activity day
     (cohort), counted distinct-active at each day offset, with the

@@ -1135,6 +1135,22 @@ def q_doc_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-training inner loop: corpus-weighted adjacent-symbol-pair
+    counts over the vocab-sized word-frequency table (rank-1 = the next
+    merge)."""
+    return docs_mod.bpe_pair_counts(docs.read_documents(spark, sf_dir))
+
+
+def q_evt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (as-of join): every purchase matched to
+    the user's most recent at-or-before view — one window per user, no
+    range join (DuckDB oracle uses LATERAL top-1, the ASOF semantics)."""
+    from .operators import events as ev
+
+    return ev.last_touch_attribution(ev.read_events(spark, sf_dir))
+
+
 def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) local-fingerprint near-dup pairs: shared
     window-minimum gram hashes with the winnow-set Jaccard (guaranteed
@@ -1571,6 +1587,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_stats_rollup": q_doc_stats_rollup,
     "doc_curation": q_doc_curation,
     "doc_winnow": q_doc_winnow,
+    "doc_bpe_pairs": q_doc_bpe_pairs,
+    "evt_attribution": q_evt_attribution,
     "kg_entity_timeline": q_kg_entity_timeline,
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
@@ -2385,6 +2403,43 @@ SELECT doc_id, lang AS stratum,
 FROM documents"""
 
 
+def _sql_doc_bpe_pairs() -> str:
+    return """
+WITH w AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+  FROM documents
+),
+wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+p AS (
+  SELECT unnest(list_transform(range(1, length(word)),
+                i -> substring(word, i, 2))) AS pair, cnt
+  FROM wc WHERE length(word) >= 2
+),
+agg AS (SELECT pair, sum(cnt) AS total FROM p GROUP BY 1)
+SELECT pair, CAST(total AS BIGINT) AS total,
+       CAST(row_number() OVER (ORDER BY total DESC, pair) AS BIGINT) AS rank
+FROM agg QUALIFY rank <= 20"""
+
+
+def _sql_evt_attribution() -> str:
+    return """
+WITH conv AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+)
+SELECT c.user_id, c.event_id AS conversion_id, c.ts AS conversion_ts,
+       t.touch_id, t.touch_ts
+FROM conv c
+LEFT JOIN LATERAL (
+  SELECT tt.event_id AS touch_id, tt.ts AS touch_ts
+  FROM touches tt
+  WHERE tt.user_id = c.user_id AND tt.ts <= c.ts
+  ORDER BY tt.ts DESC, tt.event_id DESC LIMIT 1
+) t ON true"""
+
+
 def _sql_doc_winnow() -> str:
     from .operators.docs import WINNOW_K as k, WINNOW_W as w
 
@@ -2952,6 +3007,8 @@ ORACLES: dict[str, Callable[[], str]] = {
     "doc_stats_rollup": _sql_doc_stats_rollup,
     "doc_curation": _sql_doc_curation,
     "doc_winnow": _sql_doc_winnow,
+    "doc_bpe_pairs": _sql_doc_bpe_pairs,
+    "evt_attribution": _sql_evt_attribution,
     "kg_entity_timeline": _sql_kg_entity_timeline,
     "doc_quality": _sql_doc_quality,
     "doc_langid": _sql_doc_langid,

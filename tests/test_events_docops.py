@@ -374,3 +374,43 @@ def test_winnowing_selects_sparse_subset(spark):
     n_grams = 200 - WINNOW_K + 1
     assert 0 < len(by_doc[0]) < n_grams / 2
     assert len(by_doc[1]) == 1  # 4 tokens -> single gram -> single min
+
+
+def test_attribution_asof_semantics(spark):
+    """Last touch at-or-before the conversion wins; later touches never
+    attribute backwards; conversions with no prior touch keep nulls."""
+    from graphiti_spark.operators.events import last_touch_attribution
+
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (T0, 1, "view", 1.0),           # eid 0
+        (T0 + m, 1, "view", 1.0),       # eid 1 <- last touch
+        (T0 + 2 * m, 1, "purchase", 1.0),  # eid 2
+        (T0 + 3 * m, 1, "view", 1.0),   # eid 3 (after: must not attribute)
+        (T0, 2, "purchase", 1.0),       # eid 4: no prior view
+        (T0 + m, 2, "view", 1.0),       # eid 5
+        (T0 + 2 * m, 2, "purchase", 1.0),  # eid 6 <- attributes to 5
+        (T0, 3, "view", 1.0),           # eid 7: same-ts touch...
+        (T0, 3, "purchase", 1.0),       # eid 8: ...counts (at-or-before)
+    ]
+    out = {
+        r["conversion_id"]: r.asDict()
+        for r in last_touch_attribution(_events(spark, rows)).collect()
+    }
+    assert out[2]["touch_id"] == 1 and out[2]["touch_ts"] == T0 + m
+    assert out[4]["touch_id"] is None and out[4]["touch_ts"] is None
+    assert out[6]["touch_id"] == 5
+    assert out[8]["touch_id"] == 7  # same-timestamp touch attributes
+    assert set(out) == {2, 4, 6, 8}
+
+
+def test_bpe_pair_counts_weighted(spark):
+    """Pair totals are word-frequency weighted: 'abab' x3 contributes
+    ab:6, ba:3; 'ab' x2 adds ab:2."""
+    from graphiti_spark.operators.docs import bpe_pair_counts
+
+    texts = ["abab abab abab ab ab"]
+    out = {r["pair"]: r.asDict() for r in bpe_pair_counts(_docs(spark, texts)).collect()}
+    assert out["ab"]["total"] == 3 * 2 + 2 * 1
+    assert out["ba"]["total"] == 3
+    assert out["ab"]["rank"] == 1
