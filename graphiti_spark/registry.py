@@ -1430,6 +1430,41 @@ def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(q_kg_triples(spark, sf_dir), length=WALK_LEN)
 
 
+WALK_WINDOW = 2
+
+
+def q_kg_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training pairs from the walk corpus (the DeepWalk
+    word2vec stage): (center, context) for walk positions within
+    WALK_WINDOW of each other, with pair counts — the direct input to a
+    node-embedding trainer. One self-join of the walk table
+    co-partitioned on (group, start); each walk is length WALK_LEN+1 so
+    the per-walk fan-out is a small constant."""
+    from .operators.centrality import random_walks
+
+    walks = random_walks(q_kg_triples(spark, sf_dir), length=WALK_LEN)
+    a, b = walks.alias("a"), walks.alias("b")
+    return (
+        a.join(b, ["group_id", "start"])
+        .where(
+            (F.col("a.step") != F.col("b.step"))
+            & (F.abs(F.col("a.step") - F.col("b.step")) <= WALK_WINDOW)
+        )
+        .groupBy(
+            "group_id",
+            F.col("a.node").alias("center"),
+            F.col("b.node").alias("context"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "group_id",
+            "center",
+            "context",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+        )
+    )
+
+
 def q_evt_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization over the events table (30-min inactivity
     gap) — the batch twin of the streaming stateful rollup."""
@@ -1614,6 +1649,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_clustering": q_kg_clustering,
     "kg_cooccurrence": q_kg_cooccurrence,
     "kg_random_walks": q_kg_random_walks,
+    "kg_walk_pairs": q_kg_walk_pairs,
     "kg_link_prediction": q_kg_link_prediction,
     "kg_modularity": q_kg_modularity,
     "kg_components": q_kg_components,
@@ -2918,6 +2954,19 @@ s0 AS (SELECT group_id, name AS start, name AS node FROM v),{",".join(rounds)}
     return _kg_sql(body, with_eds=True)
 
 
+def _sql_kg_walk_pairs() -> str:
+    walks = _sql_kg_random_walks()
+    return f"""
+WITH walks AS ({walks})
+SELECT a.group_id, a.node AS center, b.node AS context,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM walks a
+JOIN walks b ON b.group_id = a.group_id AND b.start = a.start
+            AND b.step <> a.step
+            AND abs(a.step - b.step) <= {WALK_WINDOW}
+GROUP BY 1, 2, 3"""
+
+
 def _sql_evt_sessions() -> str:
     return """
 WITH flagged AS (
@@ -3034,6 +3083,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_clustering": _sql_kg_clustering,
     "kg_cooccurrence": _sql_kg_cooccurrence,
     "kg_random_walks": _sql_kg_random_walks,
+    "kg_walk_pairs": _sql_kg_walk_pairs,
     "kg_link_prediction": _sql_kg_link_prediction,
     "kg_modularity": _sql_kg_modularity,
     "kg_components": _sql_kg_components,

@@ -196,3 +196,33 @@ def test_components_group_isolation(spark):
     assert comp["g1|a"] == comp["g1|b"] == comp["g1|c"] == "g1|a"
     assert comp["g2|a"] == comp["g2|b"] == "g2|a"
     assert comp["g1|a"] != comp["g2|a"]
+
+
+def test_walk_pairs_window(spark):
+    """On the forced chain a->b->c->d, the walk from a is a,b,c,d: pairs
+    within window 2 are exactly the (center, context) at distance 1-2."""
+    from graphiti_spark.registry import WALK_WINDOW, WALK_LEN  # noqa: F401
+    from graphiti_spark.operators.centrality import random_walks
+    from pyspark.sql import functions as F
+
+    walks = random_walks(
+        _triples(spark, [("a", "b"), ("b", "c"), ("c", "d")]), length=3
+    ).where(F.col("start") == "a")
+    a, b = walks.alias("a"), walks.alias("b")
+    pairs = {
+        (r["center"], r["context"])
+        for r in a.join(b, ["group_id", "start"])
+        .where(
+            (F.col("a.step") != F.col("b.step"))
+            & (F.abs(F.col("a.step") - F.col("b.step")) <= 2)
+        )
+        .select(F.col("a.node").alias("center"), F.col("b.node").alias("context"))
+        .collect()
+    }
+    want = set()
+    seq = ["a", "b", "c", "d"]
+    for i, c in enumerate(seq):
+        for j, x in enumerate(seq):
+            if i != j and abs(i - j) <= 2:
+                want.add((c, x))
+    assert pairs == want
