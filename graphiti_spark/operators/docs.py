@@ -535,6 +535,54 @@ def unigram_lm_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+def lm_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): per language,
+    documents are bucketed by LM score terciles — 'head' = most probable
+    third (CCNet keeps head+middle for pre-training, tail is the noise).
+    Thresholds are EXACT per-language terciles via the histogram-CDF
+    pattern (the corpus collapses to one row per (lang, score) before any
+    window — same plan as length_deciles, so the split of a 10^12-doc
+    corpus costs one narrow shuffle plus a tiny histogram window).
+
+    Boundary semantics: t1/t2 are the smallest scores whose cumulative
+    count reaches 1/3 and 2/3; score <= t1 -> tail, <= t2 -> middle,
+    else head. Pure integer comparisons, bit-identical in both engines."""
+    scored = unigram_lm_scores(docs).select("doc_id", "lm_score_n")
+    s = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    hist = s.groupBy("lang", "lm_score_n").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy("lm_score_n")
+    cdf = hist.select(
+        "lang",
+        "lm_score_n",
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    totals = hist.groupBy("lang").agg(F.sum("cnt").alias("total"))
+    ts = (
+        totals.select(
+            "lang", "total", F.explode(F.array(F.lit(1), F.lit(2))).alias("k")
+        )
+        .join(cdf, "lang")
+        .where(F.col("cum") * 3 >= F.col("k") * F.col("total"))
+        .groupBy("lang", "k")
+        .agg(F.min("lm_score_n").alias("t"))
+        .groupBy("lang")
+        .pivot("k", [1, 2])
+        .agg(F.min("t"))
+        .select("lang", F.col("1").alias("t1"), F.col("2").alias("t2"))
+    )
+    return s.join(ts, "lang").select(
+        "doc_id",
+        "lang",
+        F.col("lm_score_n").cast("long").alias("lm_score_n"),
+        F.expr(
+            "CASE WHEN lm_score_n <= t1 THEN 'tail'"
+            " WHEN lm_score_n <= t2 THEN 'middle' ELSE 'head' END"
+        ).alias("bucket"),
+    )
+
+
 def tfidf_terms(docs: DataFrame, k: int = 3) -> DataFrame:
     """Top-k TF-IDF keywords per document (the keyword-extraction /
     topic-tagging stage). Integer-exact weights:

@@ -1135,6 +1135,12 @@ def q_doc_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split: per-language exact LM-score terciles
+    (histogram-CDF plan), bucket label per doc."""
+    return docs_mod.lm_buckets(docs.read_documents(spark, sf_dir))
+
+
 def q_doc_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-training inner loop: corpus-weighted adjacent-symbol-pair
     counts over the vocab-sized word-frequency table (rank-1 = the next
@@ -1623,6 +1629,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_curation": q_doc_curation,
     "doc_winnow": q_doc_winnow,
     "doc_bpe_pairs": q_doc_bpe_pairs,
+    "doc_lm_buckets": q_doc_lm_buckets,
     "evt_attribution": q_evt_attribution,
     "kg_entity_timeline": q_kg_entity_timeline,
     "doc_quality": q_doc_quality,
@@ -2439,6 +2446,35 @@ SELECT doc_id, lang AS stratum,
 FROM documents"""
 
 
+def _sql_doc_lm_buckets() -> str:
+    return f"""
+WITH scored AS ({_sql_doc_unigram_lm()}),
+s AS (
+  SELECT sc.doc_id, d.lang, sc.lm_score_n
+  FROM scored sc JOIN documents d USING (doc_id)
+),
+hist AS (SELECT lang, lm_score_n, count(*) AS cnt FROM s GROUP BY 1, 2),
+cdf AS (
+  SELECT lang, lm_score_n,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY lm_score_n
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+tot AS (SELECT lang, sum(cnt) AS total FROM hist GROUP BY 1),
+ts AS (
+  SELECT c.lang,
+         min(CASE WHEN c.cum * 3 >= 1 * t.total THEN c.lm_score_n END) AS t1,
+         min(CASE WHEN c.cum * 3 >= 2 * t.total THEN c.lm_score_n END) AS t2
+  FROM cdf c JOIN tot t USING (lang)
+  GROUP BY 1
+)
+SELECT s.doc_id, s.lang, CAST(s.lm_score_n AS BIGINT) AS lm_score_n,
+       CASE WHEN s.lm_score_n <= ts.t1 THEN 'tail'
+            WHEN s.lm_score_n <= ts.t2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM s JOIN ts USING (lang)"""
+
+
 def _sql_doc_bpe_pairs() -> str:
     return """
 WITH w AS (
@@ -3057,6 +3093,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "doc_curation": _sql_doc_curation,
     "doc_winnow": _sql_doc_winnow,
     "doc_bpe_pairs": _sql_doc_bpe_pairs,
+    "doc_lm_buckets": _sql_doc_lm_buckets,
     "evt_attribution": _sql_evt_attribution,
     "kg_entity_timeline": _sql_kg_entity_timeline,
     "doc_quality": _sql_doc_quality,

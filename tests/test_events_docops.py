@@ -414,3 +414,20 @@ def test_bpe_pair_counts_weighted(spark):
     assert out["ab"]["total"] == 3 * 2 + 2 * 1
     assert out["ba"]["total"] == 3
     assert out["ab"]["rank"] == 1
+
+
+def test_lm_buckets_terciles(spark):
+    """9 docs with strictly increasing LM scores split 3/3/3 into
+    tail/middle/head; buckets are per-language."""
+    from graphiti_spark.operators.docs import lm_buckets
+
+    # score is driven by token corpus frequency: doc i repeats a token
+    # shared by i+1 docs -> strictly increasing avg corpus frequency
+    texts = [" ".join(["common"] * (i + 1) + [f"rare{i}"]) for i in range(9)]
+    out = {r["doc_id"]: r["bucket"] for r in lm_buckets(_docs(spark, texts)).collect()}
+    buckets = [out[i] for i in range(9)]
+    assert buckets.count("tail") == 3
+    assert buckets.count("middle") == 3
+    assert buckets.count("head") == 3
+    # more 'common' repeats -> higher score -> later docs are head
+    assert buckets[8] == "head" and buckets[0] == "tail"
