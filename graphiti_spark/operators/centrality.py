@@ -409,3 +409,158 @@ def pagerank(
             F.col("rank_u").cast("long").alias("rank_u"),
         )
     )
+
+
+def kcore(triples: DataFrame, k: int = 2, max_iter: int = 30) -> DataFrame:
+    """k-core decomposition membership: the maximal subgraph in which every
+    node keeps degree >= k, computed by iterative peeling (remove nodes
+    below k, drop their incident edges, repeat to fixpoint). The k-core is
+    the standard "dense backbone" extraction for a web-text KG — pendant
+    chains of one-off extractions peel away, leaving the entities whose
+    facts corroborate each other (the reference's community stage
+    (community_operations.py) clusters exactly this backbone).
+
+    Returns (group_id, name, core_degree) — core_degree is the node's
+    degree WITHIN the surviving subgraph.
+
+    Scale shape: each round is one co-partitioned groupBy on
+    (group_id, vertex) plus two semi-joins of the edge list against the
+    surviving-vertex set — all skinny (group, name) rows shuffled on the
+    same key, so with the edge table bucketed the rounds are co-located.
+    Round count is bounded by the longest pendant path, not graph size;
+    localCheckpoint per round truncates the iterative lineage, and the
+    fixpoint early-exit is one limit(1) count per round.
+    """
+    und = (
+        triples.select(
+            "group_id",
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        deg = (
+            und.select("group_id", F.col("a").alias("name"))
+            .unionAll(und.select("group_id", F.col("b").alias("name")))
+            .groupBy("group_id", "name")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        alive = deg.where(F.col("c") >= k).select("group_id", "name")
+        nxt = (
+            und.join(
+                alive.withColumnRenamed("name", "a"), ["group_id", "a"], "semi"
+            )
+            .join(
+                alive.withColumnRenamed("name", "b"), ["group_id", "b"], "semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint check: peeling only ever removes edges, so "no edge
+        # removed" == converged; one cheap limit(1) probe on the anti set
+        removed = (
+            und.join(nxt, ["group_id", "a", "b"], "anti").limit(1).count()
+        )
+        und = nxt
+        if removed == 0:
+            break
+    return (
+        und.select("group_id", F.col("a").alias("name"))
+        .unionAll(und.select("group_id", F.col("b").alias("name")))
+        .groupBy("group_id", "name")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+
+
+def degree_histogram(triples: DataFrame) -> DataFrame:
+    """Log2-bucketed degree distribution per group — the power-law
+    diagnostic that decides skew handling (salting thresholds, AQE skew
+    join) for every downstream graph job. bucket = bit_length(degree)-1,
+    computed via the binary string representation (`bin`), which is
+    integer-exact in both Spark and DuckDB — `floor(log2(x))` would risk
+    IEEE drift at exact powers of two.
+
+    Corpus collapses to one row per (group, node) then one row per
+    (group, bucket) — nothing here scales beyond the vocab of buckets.
+    """
+    und = (
+        triples.select(
+            "group_id",
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select("group_id", F.col("a").alias("name"))
+        .unionAll(und.select("group_id", F.col("b").alias("name")))
+        .groupBy("group_id", "name")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.select(
+            "group_id",
+            (F.length(F.expr("bin(degree)")) - 1).cast("long").alias("bucket"),
+        )
+        .groupBy("group_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+
+
+def entity_cards(triples: DataFrame) -> DataFrame:
+    """Per-entity profile rollup ("entity card"): fact counts by role,
+    currently-valid fact count, first/last observed validity, and the
+    dominant predicate (max count, lexicographic tie-break) — the
+    dataset-card analogue at entity granularity, and the batch form of the
+    reference's node summary context (node_operations.py summary builds
+    from exactly these facts).
+
+    One union of two role-tagged projections, one groupBy on
+    (group_id, name), one window over the (entity, pred)-sized aggregate
+    for the dominant predicate — partition size is bounded by entity
+    degree, never corpus-scaled.
+    """
+    legs = triples.select(
+        "group_id",
+        F.col("subj").alias("name"),
+        F.lit(1).alias("as_subj"),
+        F.lit(0).alias("as_obj"),
+        "pred",
+        "valid_at",
+        "invalid_at",
+    ).unionAll(
+        triples.select(
+            "group_id",
+            F.col("obj").alias("name"),
+            F.lit(0),
+            F.lit(1),
+            "pred",
+            "valid_at",
+            "invalid_at",
+        )
+    )
+    cards = legs.groupBy("group_id", "name").agg(
+        F.sum("as_subj").cast("long").alias("n_subj"),
+        F.sum("as_obj").cast("long").alias("n_obj"),
+        F.count(F.lit(1)).cast("long").alias("n_facts"),
+        F.sum(F.when(F.col("invalid_at").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_valid"),
+        F.min("valid_at").alias("first_valid"),
+        F.max("valid_at").alias("last_valid"),
+    )
+    pc = legs.groupBy("group_id", "name", "pred").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("group_id", "name").orderBy(
+        F.desc("c"), F.asc("pred")
+    )
+    top = (
+        pc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("group_id", "name", F.col("pred").alias("top_pred"))
+    )
+    return cards.join(top, ["group_id", "name"])

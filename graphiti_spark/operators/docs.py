@@ -1013,3 +1013,110 @@ def substring_dup_stats(docs: DataFrame, k: int = 10) -> DataFrame:
             ).alias("dup_frac_u"),
         )
     )
+
+
+RAG_WINDOW = 64  # whitespace tokens per chunk
+RAG_STRIDE = 48  # stride (=> 16-token overlap between neighbors)
+DSIR_BUCKETS = 4096  # hashed-unigram feature space (Xie et al. 2023 use 10^4)
+
+
+def rag_chunks(
+    docs: DataFrame, window: int = RAG_WINDOW, stride: int = RAG_STRIDE
+) -> DataFrame:
+    """Sliding-window chunk spans for RAG / training-window export:
+    fixed `window`-token chunks every `stride` tokens (overlap =
+    window - stride), last chunk clipped to the document end. Emits the
+    SPAN TABLE (doc_id, chunk_idx, start_tok, end_tok, n_tok) rather than
+    materialized text — at 100 TB the spans are the cheap, losslessly
+    joinable artifact; slicing text is a single later projection.
+
+    Plan: one codegen'd projection computing n_tok (regexp_count), then
+    explode(sequence(...)) — per-doc fan-out is n_chunks (bounded by
+    doc length / stride), no shuffle at all.
+    """
+    n_tok = F.regexp_count("text", F.lit(WS_TOKEN))
+    base = docs.select(
+        "doc_id", n_tok.cast("long").alias("n_tok"),
+        F.expr(
+            f"case when regexp_count(text, r'\\S+') <= 0 then 0L else "
+            f"1L + (greatest(regexp_count(text, r'\\S+') - {window}, 0)"
+            f" + {stride - 1}) div {stride} end"
+        ).alias("n_chunks"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tok",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))
+        ).alias("chunk_idx"),
+    ).where(F.col("n_tok") > 0).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * stride).cast("long").alias("start_tok"),
+        F.least(
+            F.col("chunk_idx").cast("long") * stride + window, F.col("n_tok")
+        ).alias("end_tok"),
+        "n_tok",
+    )
+
+
+def dsir_weights(
+    docs: DataFrame, target_lang: str = "en", buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by how target-like its hashed-unigram distribution is, where the
+    target is a trusted slice of the corpus itself (here: the
+    `target_lang` documents, the stand-in for Wikipedia/books in the
+    paper). Deterministic integer quantization replaces the float
+    log-ratio sum: each token contributes the micro-unit ratio
+
+        ratio_u(b) = 1e6 * (c_target[b]+1) * (N_raw+B) div
+                     ((c_raw[b]+1) * (N_target+B))
+
+    (add-one smoothing on both sides, two-step quantization keeping every
+    intermediate within int64 at corpus scale — a true 10^13-token run
+    would widen to DECIMAL(38) here), and the document weight is the
+    token-average of ratios — order-free, drift-free, DuckDB-checkable.
+    weight_u > 1e6 means "more target-like than the average raw token".
+
+    Scale shape: token counts collapse to the B-bucket LM table (tiny,
+    broadcast); the normalizers are one 1-row aggregate cross-joined in
+    (never a driver-side collect); the corpus side is one explode + two
+    partial-agg groupBys; nothing corpus-scaled is ever sorted.
+    """
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias(
+            "tok"
+        ),
+    ).withColumn(
+        "bucket",
+        F.expr(
+            f"cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint) % {buckets}"
+        ),
+    )
+    is_tgt = (F.col("lang") == target_lang).cast("long")
+    totals = toks.agg(
+        F.count(F.lit(1)).alias("n_raw"), F.sum(is_tgt).alias("n_tgt")
+    )
+    counts = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw"), F.sum(is_tgt).alias("c_tgt")
+    )
+    lm = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.expr(
+            f"(1000000L * (1000000L * (c_tgt + 1)"
+            f" div (n_tgt + {buckets})))"
+            f" div greatest(1000000L * (c_raw + 1) div (n_raw + {buckets}), 1L)"
+        ).alias("ratio_u"),
+    )
+    return (
+        toks.join(lm, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.expr("sum(ratio_u) div count(1)").alias("weight_u"),
+        )
+    )

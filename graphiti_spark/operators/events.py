@@ -203,3 +203,61 @@ def tumbling_windows(events: DataFrame, unit: str = "hour") -> DataFrame:
         F.sum(F.expr("cast(round(value * 100) as long)")).alias("sum_value_c"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+def type_transitions(events: DataFrame) -> DataFrame:
+    """Event-type Markov transition matrix: for each user's event stream
+    ordered by (ts, event_id), count (prev_type -> next_type) steps and
+    the integer-exact transition probability in micro-units. The classic
+    behavioral-sequence feature (and the generative check for funnel
+    ordering): one window per user + one vocab-sized groupBy.
+
+    Scale: the window partitions by user_id (bounded by per-user event
+    count, never corpus-wide); the transition table is |types|^2 rows.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = steps.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    return steps.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        F.expr("(1000000L * n) div n_from").alias("prob_u"),
+    )
+
+
+def daily_anomalies(events: DataFrame, spike_ratio_u: int = 2_000_000) -> DataFrame:
+    """Daily volume anomaly ratios per event type: each (type, day) count
+    against the type's mean daily volume, as the integer micro-unit ratio
+    ratio_u = 1e6 * n * n_days div total; is_spike flags >= 2x days —
+    the drift monitor a production ingest pipeline alarms on.
+
+    Two aggregations over (type, day) — both partial-agg friendly; the
+    per-type normalizer table is vocab-sized.
+    """
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    norm = daily.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    return daily.join(norm, "event_type").select(
+        "event_type",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.expr("(1000000L * n * n_days) div total").alias("ratio_u"),
+        (F.expr("(1000000L * n * n_days) div total") >= spike_ratio_u).alias(
+            "is_spike"
+        ),
+    )

@@ -1148,6 +1148,44 @@ def q_doc_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs_mod.bpe_pair_counts(docs.read_documents(spark, sf_dir))
 
 
+def q_doc_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunk spans (RAG / training-window export): 64-token
+    chunks every 48 tokens, last chunk clipped; span table only —
+    shuffle-free explode."""
+    from .operators.docs import rag_chunks
+
+    return rag_chunks(docs.read_documents(spark, sf_dir))
+
+
+def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed-unigram importance weights against the English
+    slice as the target distribution (integer-quantized log-ratio
+    stand-in; Xie et al. 2023)."""
+    from .operators.docs import dsir_weights
+
+    return dsir_weights(docs.read_documents(spark, sf_dir))
+
+
+def q_evt_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type Markov transition matrix with integer-exact transition
+    probabilities (one per-user window + vocab-sized agg)."""
+    from .operators.events import type_transitions
+
+    from .operators import events as ev
+
+    return type_transitions(ev.read_events(spark, sf_dir))
+
+
+def q_evt_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily volume anomaly ratios per event type (n vs the type's mean
+    daily volume, micro-units; >=2x flagged as spike)."""
+    from .operators.events import daily_anomalies
+
+    from .operators import events as ev
+
+    return daily_anomalies(ev.read_events(spark, sf_dir))
+
+
 def q_evt_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution (as-of join): every purchase matched to
     the user's most recent at-or-before view — one window per user, no
@@ -1290,6 +1328,33 @@ def q_kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.centrality import clustering_coefficients
 
     return clustering_coefficients(q_kg_triples(spark, sf_dir))
+
+
+def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the canonical KG via iterative peeling — the dense
+    backbone once pendant single-fact chains peel away; per-round cost is
+    one co-partitioned degree agg + two semi-joins of the skinny edge
+    list (see operators/centrality.kcore scale notes)."""
+    from .operators.centrality import kcore
+
+    return kcore(q_kg_triples(spark, sf_dir), k=2)
+
+
+def q_kg_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution — the power-law diagnostic that
+    sizes skew handling; integer-exact buckets via bin() bit length."""
+    from .operators.centrality import degree_histogram
+
+    return degree_histogram(q_kg_triples(spark, sf_dir))
+
+
+def q_kg_entity_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity profile rollup: role-tagged fact counts, currently-valid
+    count, first/last validity, dominant predicate (deterministic
+    tie-break) — entity-granularity dataset card."""
+    from .operators.centrality import entity_cards
+
+    return entity_cards(q_kg_triples(spark, sf_dir))
 
 
 def q_kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1631,6 +1696,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_bpe_pairs": q_doc_bpe_pairs,
     "doc_lm_buckets": q_doc_lm_buckets,
     "evt_attribution": q_evt_attribution,
+    "doc_rag_chunks": q_doc_rag_chunks,
+    "doc_dsir": q_doc_dsir,
+    "evt_transitions": q_evt_transitions,
+    "evt_anomaly": q_evt_anomaly,
     "kg_entity_timeline": q_kg_entity_timeline,
     "doc_quality": q_doc_quality,
     "doc_langid": q_doc_langid,
@@ -1654,6 +1723,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_node_edges": q_kg_node_edges,
     "kg_shared_employer": q_kg_shared_employer,
     "kg_clustering": q_kg_clustering,
+    "kg_kcore": q_kg_kcore,
+    "kg_degree_hist": q_kg_degree_hist,
+    "kg_entity_cards": q_kg_entity_cards,
     "kg_cooccurrence": q_kg_cooccurrence,
     "kg_random_walks": q_kg_random_walks,
     "kg_walk_pairs": q_kg_walk_pairs,
@@ -2770,6 +2842,96 @@ FROM deg d LEFT JOIN pn ON pn.group_id = d.group_id AND pn.name = d.name"""
     return _kg_sql(body, with_eds=True)
 
 
+def _sql_kg_kcore(rounds: int = 10) -> str:
+    # peel rounds unrolled mechanically; the engine peels to fixpoint with
+    # an early-exit probe, so the gate holds whenever the graph converges
+    # within `rounds` (pendant-path depth, verified at test scale)
+    # every CTE here is referenced 2-3x per round — MATERIALIZED keeps
+    # DuckDB from inlining (and thus exponentially re-evaluating) the chain
+    ctes = """
+, und0 AS MATERIALIZED (
+  SELECT DISTINCT group_id, least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM eds WHERE subj <> obj
+)"""
+    for i in range(rounds):
+        ctes += f""",
+alive{i} AS MATERIALIZED (
+  SELECT group_id, name FROM (
+    SELECT group_id, name, count(*) AS c FROM (
+      SELECT group_id, a AS name FROM und{i}
+      UNION ALL SELECT group_id, b FROM und{i}
+    ) GROUP BY 1, 2
+  ) WHERE c >= 2
+),
+und{i + 1} AS MATERIALIZED (
+  SELECT u.group_id, u.a, u.b FROM und{i} u
+  JOIN alive{i} x ON x.group_id = u.group_id AND x.name = u.a
+  JOIN alive{i} y ON y.group_id = u.group_id AND y.name = u.b
+)"""
+    body = (
+        ctes
+        + f"""
+SELECT group_id, name, CAST(count(*) AS BIGINT) AS core_degree FROM (
+  SELECT group_id, a AS name FROM und{rounds}
+  UNION ALL SELECT group_id, b FROM und{rounds}
+) GROUP BY 1, 2"""
+    )
+    return _kg_sql(body, with_eds=True)
+
+
+def _sql_kg_degree_hist() -> str:
+    body = """
+, und AS (
+  SELECT DISTINCT group_id, least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM eds WHERE subj <> obj
+),
+deg AS (
+  SELECT group_id, name, count(*) AS degree FROM (
+    SELECT group_id, a AS name FROM und
+    UNION ALL SELECT group_id, b FROM und
+  ) GROUP BY 1, 2
+)
+SELECT group_id, CAST(length(bin(degree)) - 1 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1, 2"""
+    return _kg_sql(body, with_eds=True)
+
+
+def _sql_kg_entity_cards() -> str:
+    body = f"""
+, final AS ({_TRIPLES_SELECT}),
+legs AS (
+  SELECT group_id, subj AS name, 1 AS as_subj, 0 AS as_obj, pred,
+         valid_at, invalid_at FROM final
+  UNION ALL
+  SELECT group_id, obj, 0, 1, pred, valid_at, invalid_at FROM final
+),
+cards AS (
+  SELECT group_id, name,
+         CAST(sum(as_subj) AS BIGINT) AS n_subj,
+         CAST(sum(as_obj) AS BIGINT) AS n_obj,
+         CAST(count(*) AS BIGINT) AS n_facts,
+         CAST(sum(CASE WHEN invalid_at IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_valid,
+         min(valid_at) AS first_valid,
+         max(valid_at) AS last_valid
+  FROM legs GROUP BY 1, 2
+),
+pc AS (SELECT group_id, name, pred, count(*) AS c FROM legs GROUP BY 1, 2, 3),
+top AS (
+  SELECT group_id, name, pred AS top_pred FROM (
+    SELECT group_id, name, pred,
+           row_number() OVER (PARTITION BY group_id, name
+                              ORDER BY c DESC, pred ASC) AS rn
+    FROM pc
+  ) WHERE rn = 1
+)
+SELECT c.group_id, c.name, c.n_subj, c.n_obj, c.n_facts, c.n_valid,
+       c.first_valid, c.last_valid, t.top_pred
+FROM cards c JOIN top t ON t.group_id = c.group_id AND t.name = c.name"""
+    return _kg_sql(body, with_eds=True)
+
+
 def _sql_kg_cooccurrence() -> str:
     body = """
 SELECT pr.group_id, pr.name_a, pr.name_b,
@@ -3037,6 +3199,92 @@ SELECT date_trunc('hour', ts) AS window_start, event_type,
 FROM events GROUP BY 1, 2"""
 
 
+def _sql_doc_rag_chunks() -> str:
+    from .operators.docs import RAG_STRIDE, RAG_WINDOW
+
+    w, s = RAG_WINDOW, RAG_STRIDE
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tok FROM documents
+),
+base AS (
+  SELECT doc_id, n_tok,
+         CASE WHEN n_tok <= 0 THEN 0
+              ELSE 1 + (greatest(n_tok - {w}, 0) + {s - 1}) // {s} END AS n_chunks
+  FROM toks
+)
+SELECT doc_id, CAST(u AS BIGINT) AS chunk_idx,
+       CAST(u * {s} AS BIGINT) AS start_tok,
+       CAST(least(u * {s} + {w}, n_tok) AS BIGINT) AS end_tok,
+       CAST(n_tok AS BIGINT) AS n_tok
+FROM (SELECT doc_id, n_tok, unnest(range(n_chunks)) AS u
+      FROM base WHERE n_tok > 0)"""
+
+
+def _sql_doc_dsir() -> str:
+    from .operators.docs import DSIR_BUCKETS
+
+    b = DSIR_BUCKETS
+    return rf"""
+WITH tb AS MATERIALIZED (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(tok), 1, 8))::BIGINT % {b} AS bucket
+  FROM (SELECT doc_id, lang,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents)
+),
+tot AS (
+  SELECT count(*) AS n_raw,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_tgt
+  FROM tb
+),
+lm AS MATERIALIZED (
+  SELECT bucket,
+         (1000000 * (1000000 * (sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1)
+                     // (any_value(t.n_tgt) + {b})))
+         // greatest(1000000 * (count(*) + 1) // (any_value(t.n_raw) + {b}), 1)
+           AS ratio_u
+  FROM tb CROSS JOIN tot t GROUP BY bucket
+)
+SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+       CAST(sum(lm.ratio_u) // count(*) AS BIGINT) AS weight_u
+FROM tb JOIN lm USING (bucket) GROUP BY 1"""
+
+
+def _sql_evt_transitions() -> str:
+    return """
+WITH steps AS (
+  SELECT event_type AS prev_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, next_type, count(*) AS n FROM steps
+  WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT prev_type, sum(n) AS n_from FROM c GROUP BY 1)
+SELECT c.prev_type, c.next_type, CAST(c.n AS BIGINT) AS n,
+       CAST((1000000 * c.n) // t.n_from AS BIGINT) AS prob_u
+FROM c JOIN tot t ON t.prev_type = c.prev_type"""
+
+
+def _sql_evt_anomaly() -> str:
+    return """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+norm AS (
+  SELECT event_type, sum(n) AS total, count(*) AS n_days
+  FROM daily GROUP BY 1
+)
+SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n,
+       CAST((1000000 * d.n * x.n_days) // x.total AS BIGINT) AS ratio_u,
+       ((1000000 * d.n * x.n_days) // x.total >= 2000000) AS is_spike
+FROM daily d JOIN norm x ON x.event_type = d.event_type"""
+
+
 def _sql_evt_funnel() -> str:
     steps = FUNNEL_STEPS
     return f"""
@@ -3118,6 +3366,9 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_node_edges": _sql_kg_node_edges,
     "kg_shared_employer": _sql_kg_shared_employer,
     "kg_clustering": _sql_kg_clustering,
+    "kg_kcore": _sql_kg_kcore,
+    "kg_degree_hist": _sql_kg_degree_hist,
+    "kg_entity_cards": _sql_kg_entity_cards,
     "kg_cooccurrence": _sql_kg_cooccurrence,
     "kg_random_walks": _sql_kg_random_walks,
     "kg_walk_pairs": _sql_kg_walk_pairs,
@@ -3130,6 +3381,10 @@ ORACLES: dict[str, Callable[[], str]] = {
     "evt_retention": _sql_evt_retention,
     "evt_windows": _sql_evt_windows,
     "evt_funnel": _sql_evt_funnel,
+    "doc_rag_chunks": _sql_doc_rag_chunks,
+    "doc_dsir": _sql_doc_dsir,
+    "evt_transitions": _sql_evt_transitions,
+    "evt_anomaly": _sql_evt_anomaly,
     "media_phash_pairs": _sql_media_phash_pairs,
     "media_audio_dedup": _sql_media_audio_dedup,
 }

@@ -226,3 +226,66 @@ def test_walk_pairs_window(spark):
             if i != j and abs(i - j) <= 2:
                 want.add((c, x))
     assert pairs == want
+
+
+def test_kcore_peels_pendant_chain(spark):
+    """Triangle a-b-c with pendant chain c-d-e: the 2-core is exactly the
+    triangle (two peel rounds: e first, then d), each with core degree 2."""
+    from graphiti_spark.operators.centrality import kcore
+
+    out = kcore(
+        _triples(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]),
+        k=2,
+    )
+    rows = {r["name"]: r["core_degree"] for r in out.collect()}
+    assert rows == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_empty_when_forest(spark):
+    from graphiti_spark.operators.centrality import kcore
+
+    out = kcore(_triples(spark, [("a", "b"), ("b", "c"), ("x", "y")]), k=2)
+    assert out.count() == 0
+
+
+def test_degree_histogram_buckets(spark):
+    """Star hub deg 4 -> bucket 2; leaves deg 1 -> bucket 0; reversed and
+    duplicate edges collapse before counting."""
+    from graphiti_spark.operators.centrality import degree_histogram
+
+    out = degree_histogram(
+        _triples(
+            spark,
+            [("h", "l1"), ("h", "l2"), ("h", "l3"), ("h", "l4"), ("l1", "h")],
+        )
+    )
+    rows = {r["bucket"]: r["n_nodes"] for r in out.collect()}
+    assert rows == {2: 1, 0: 4}
+
+
+def test_entity_cards_counts_and_top_pred(spark):
+    """Role counts, valid-fact count, and the deterministic top predicate
+    (ties break to the lexicographically smaller pred)."""
+    from datetime import datetime
+
+    from graphiti_spark.operators.centrality import entity_cards
+
+    t1, t2 = datetime(2020, 1, 1), datetime(2021, 6, 1)
+    df = spark.createDataFrame(
+        [
+            ("g", "alice", "WORKS_AT", "acme", t1, None),
+            ("g", "alice", "LIVES_IN", "berlin", t2, t2),
+            ("g", "acme", "BASED_IN", "berlin", t1, None),
+        ],
+        "group_id string, subj string, pred string, obj string, "
+        "valid_at timestamp, invalid_at timestamp",
+    )
+    rows = {r["name"]: r.asDict() for r in entity_cards(df).collect()}
+    a = rows["alice"]
+    assert (a["n_subj"], a["n_obj"], a["n_facts"], a["n_valid"]) == (2, 0, 2, 1)
+    assert a["first_valid"] == t1 and a["last_valid"] == t2
+    # alice has LIVES_IN and WORKS_AT once each -> lexicographic tie-break
+    assert a["top_pred"] == "LIVES_IN"
+    b = rows["berlin"]
+    assert (b["n_subj"], b["n_obj"]) == (0, 2)
+    assert b["top_pred"] == "BASED_IN"

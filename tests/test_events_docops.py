@@ -431,3 +431,109 @@ def test_lm_buckets_terciles(spark):
     assert buckets.count("head") == 3
     # more 'common' repeats -> higher score -> later docs are head
     assert buckets[8] == "head" and buckets[0] == "tail"
+
+
+def _docs2(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, lang, "s", len(t)) for i, (t, lang) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_rag_chunks_spans(spark):
+    from graphiti_spark.operators.docs import rag_chunks
+
+    docs = _docs2(
+        spark,
+        [
+            (" ".join(f"t{i}" for i in range(100)), "en"),  # 100 tokens
+            (" ".join(f"t{i}" for i in range(64)), "en"),  # exactly 1 window
+            ("", "en"),  # no tokens -> no chunks
+        ],
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["start_tok"], r["end_tok"])
+        for r in rag_chunks(docs).collect()
+    )
+    assert rows == [(0, 0, 0, 64), (0, 1, 48, 100), (1, 0, 0, 64)]
+
+
+def test_rag_chunks_cover_and_overlap(spark):
+    """Every token position is covered; consecutive chunks overlap by
+    window - stride."""
+    from graphiti_spark.operators.docs import RAG_STRIDE, RAG_WINDOW, rag_chunks
+
+    docs = _docs2(spark, [(" ".join("x" * 1 for _ in range(333)), "en")])
+    spans = sorted(
+        (r["start_tok"], r["end_tok"]) for r in rag_chunks(docs).collect()
+    )
+    assert spans[0][0] == 0 and spans[-1][1] == 333
+    for (s0, e0), (s1, e1) in zip(spans, spans[1:]):
+        assert s1 == s0 + RAG_STRIDE and s1 < e0  # overlap, no gap
+
+
+def test_dsir_weights_prefer_target_like(spark):
+    """Docs sharing the target (en) vocabulary score above docs with
+    disjoint off-target vocabulary."""
+    from graphiti_spark.operators.docs import dsir_weights
+
+    docs = _docs2(
+        spark,
+        [
+            ("the quick brown fox jumps", "en"),
+            ("the quick brown fox sleeps", "en"),
+            ("der schnelle braune fuchs springt", "de"),
+            ("the quick brown fox jumps", "de"),  # target-like non-en doc
+        ],
+    )
+    w = {r["doc_id"]: r["weight_u"] for r in dsir_weights(docs).collect()}
+    assert w[3] > w[2]  # target-like text outranks off-target text
+    assert w[0] > w[2]
+    assert all(r > 0 for r in w.values())
+
+
+def test_type_transitions_counts(spark):
+    from graphiti_spark.operators.events import type_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 10, "a", 0.0, ""),
+        (2, t0 + dt.timedelta(minutes=1), 10, "b", 0.0, ""),
+        (3, t0 + dt.timedelta(minutes=2), 10, "b", 0.0, ""),
+        (4, t0, 20, "a", 0.0, ""),
+        (5, t0 + dt.timedelta(minutes=1), 20, "c", 0.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["prob_u"])
+        for r in type_transitions(ev).collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 500000),
+        ("a", "c"): (1, 500000),
+        ("b", "b"): (1, 1000000),
+    }
+
+
+def test_daily_anomalies_spike_flag(spark):
+    from graphiti_spark.operators.events import daily_anomalies
+
+    rows = []
+    eid = 0
+    for day, n in [(1, 1), (2, 1), (3, 6)]:
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, dt.datetime(2024, 1, day, 12), 1, "x", 0.0, ""))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r["day"].day: (r["ratio_u"], r["is_spike"]) for r in daily_anomalies(ev).collect()}
+    # total 8 over 3 days; day3: 1e6*6*3//8 = 2.25e6 -> spike
+    assert got[3] == (2250000, True)
+    assert got[1] == (375000, False)
