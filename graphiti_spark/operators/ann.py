@@ -259,3 +259,32 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "rank", "c_id", "score")
     )
+
+
+def range_search(
+    queries: DataFrame, candidates: DataFrame, min_score_q: int
+) -> DataFrame:
+    """Radius (range) similarity search: every candidate whose exact
+    integer inner product with the query reaches `min_score_q` — the
+    dual of top-k for workloads where the SCORE bar, not the result
+    count, is the contract (dedup sweeps, retrieval floors, semantic
+    filters). queries: (q_id, qemb array<bigint>), candidates:
+    (c_id, emb array<bigint>), both milli-quantized — integer dot keeps
+    the threshold comparison bit-exact across engines (no float boundary
+    flicker at score == tau).
+
+    The query table is the broadcast side (queries are few, candidates
+    are the corpus); the scan stays one codegen'd projection + filter —
+    no shuffle at all, and column pruning reaches the parquet scan. For
+    query sets too big to broadcast, block both sides by IVF cell first
+    (embcos_dedup_pairs shape).
+    """
+    dot = F.expr(
+        "aggregate(zip_with(emb, qemb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    )
+    return (
+        candidates.crossJoin(F.broadcast(queries))
+        .withColumn("score_q", dot)
+        .where(F.col("score_q") >= min_score_q)
+        .select("q_id", "c_id", "score_q")
+    )

@@ -564,3 +564,32 @@ def entity_cards(triples: DataFrame) -> DataFrame:
         .select("group_id", "name", F.col("pred").alias("top_pred"))
     )
     return cards.join(top, ["group_id", "name"])
+
+
+def predicate_stats(triples: DataFrame) -> DataFrame:
+    """Per-predicate schema statistics — the ontology-induction signal a
+    KG pipeline derives before typing predicates: fact count, distinct
+    subject/object counts, currently-valid count, and integer-exact
+    functionality ratios (func_u = 1e6 * n_subjects div n_facts; 1e6
+    means every fact has a distinct subject, i.e. the predicate is
+    functional from the subject side). The reference's fixed predicate
+    vocabulary (extract_edges prompts) is the hand-written version of
+    this table.
+
+    One groupBy on (group_id, pred) with distinct-aggs — vocab-sized
+    output, partial-agg friendly.
+    """
+    return triples.groupBy("group_id", "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_facts"),
+        F.countDistinct("subj").cast("long").alias("n_subjects"),
+        F.countDistinct("obj").cast("long").alias("n_objects"),
+        F.sum(F.when(F.col("invalid_at").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_valid"),
+        F.expr("(1000000L * count(distinct subj)) div count(1)").alias(
+            "func_u"
+        ),
+        F.expr("(1000000L * count(distinct obj)) div count(1)").alias(
+            "inv_func_u"
+        ),
+    )

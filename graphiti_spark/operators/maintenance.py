@@ -110,3 +110,68 @@ def snapshot_diff(new: DataFrame, old: DataFrame) -> DataFrame:
         F.coalesce("n_eps_old", F.lit(0)).cast("long").alias("n_eps_old"),
         F.coalesce("n_eps_new", F.lit(0)).cast("long").alias("n_eps_new"),
     )
+
+
+def integrity_audit(
+    nodes: DataFrame,
+    edges: DataFrame,
+    mentions: DataFrame,
+    episodes: DataFrame,
+) -> DataFrame:
+    """Referential-integrity audit of the stored graph: for every foreign
+    key (edge endpoints -> nodes, mention -> entity, mention -> episode)
+    report how many references dangle. A production KG runs this after
+    every compaction / partial delete (the reference's remove_episode
+    cleanup, graphiti.py:758-787, is exactly the operation that can
+    orphan references when interrupted) — the audit is the resume-safety
+    check for the maintenance paths.
+
+    Returns (check, n_bad, n_total), one row per check. Every check is a
+    skinny uuid projection + left join + one aggregate; at scale each is
+    a single co-partitioned shuffle on the uuid key — no wide rows move.
+    """
+    node_ids = nodes.select("uuid").distinct()
+    episode_ids = episodes.select("uuid").distinct()
+
+    def _check(name: str, refs: DataFrame, ids: DataFrame) -> DataFrame:
+        j = refs.join(
+            ids.withColumnRenamed("uuid", "ref").withColumn(
+                "ok", F.lit(1)
+            ),
+            "ref",
+            "left",
+        )
+        return j.agg(
+            F.lit(name).alias("check"),
+            F.sum(F.when(F.col("ok").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_bad"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        )
+
+    checks = [
+        _check(
+            "edge_src_missing",
+            edges.select(F.col("source_node_uuid").alias("ref")),
+            node_ids,
+        ),
+        _check(
+            "edge_dst_missing",
+            edges.select(F.col("target_node_uuid").alias("ref")),
+            node_ids,
+        ),
+        _check(
+            "mention_entity_missing",
+            mentions.select(F.col("entity_uuid").alias("ref")),
+            node_ids,
+        ),
+        _check(
+            "mention_episode_missing",
+            mentions.select(F.col("episode_uuid").alias("ref")),
+            episode_ids,
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -1357,6 +1357,47 @@ def q_kg_entity_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_cards(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate ontology-induction stats (counts, distinct
+    subj/obj, integer functionality ratios)."""
+    from .operators.centrality import predicate_stats
+
+    return predicate_stats(q_kg_triples(spark, sf_dir))
+
+
+def q_kg_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit, exercised for real: the node table is
+    deterministically corrupted (uuids starting 0/1/2 dropped, ~3/16 of
+    nodes) before auditing, so the dangling-reference counters fire on
+    every foreign key except the untouched episode refs."""
+    from .operators.maintenance import integrity_audit
+
+    t = _graph(spark, sf_dir)
+    corrupted = t.nodes.where(
+        ~F.substring("uuid", 1, 1).isin("0", "1", "2")
+    )
+    return integrity_audit(
+        corrupted, t.edges, t.mention_edges, t.episodes
+    )
+
+
+def q_ann_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius similarity search: all (query, candidate) pairs whose exact
+    integer inner product over milli-quantized vectors reaches the score
+    floor — the fixed-score dual of ann_topk."""
+    emb = ann.read_embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.expr(_QZ).alias("qemb")
+    )
+    c = emb.where(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("c_id"), F.expr(_QZ).alias("emb")
+    )
+    return ann.range_search(q, c, min_score_q=ANN_RANGE_MIN_Q)
+
+
+ANN_RANGE_MIN_Q = 100_000  # cosine 0.1 in milli-quantized dot units
+
+
 def q_kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity co-mention pairs with integer-exact PMI lift — the
     relation-discovery signal (high lift + no fact edge = extraction
@@ -1724,6 +1765,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_shared_employer": q_kg_shared_employer,
     "kg_clustering": q_kg_clustering,
     "kg_kcore": q_kg_kcore,
+    "kg_predicate_stats": q_kg_predicate_stats,
+    "kg_integrity": q_kg_integrity,
+    "ann_range": q_ann_range,
     "kg_degree_hist": q_kg_degree_hist,
     "kg_entity_cards": q_kg_entity_cards,
     "kg_cooccurrence": q_kg_cooccurrence,
@@ -2932,6 +2976,84 @@ FROM cards c JOIN top t ON t.group_id = c.group_id AND t.name = c.name"""
     return _kg_sql(body, with_eds=True)
 
 
+def _sql_kg_predicate_stats() -> str:
+    body = f"""
+, final AS ({_TRIPLES_SELECT})
+SELECT group_id, pred,
+       CAST(count(*) AS BIGINT) AS n_facts,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_objects,
+       CAST(sum(CASE WHEN invalid_at IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_valid,
+       CAST((1000000 * count(DISTINCT subj)) // count(*) AS BIGINT) AS func_u,
+       CAST((1000000 * count(DISTINCT obj)) // count(*) AS BIGINT)
+         AS inv_func_u
+FROM final GROUP BY 1, 2"""
+    return _kg_sql(body, with_eds=True)
+
+
+def _sql_kg_integrity() -> str:
+    # the engine corrupts its node table by dropping uuids starting 0/1/2;
+    # node uuid = min md5('node|' group '|' alias) per canonical group
+    # (canonu), edge endpoints resolve through the same mapping, mention
+    # edges through ment_edges, episode refs are untouched (n_bad = 0)
+    body = """
+, canonu AS MATERIALIZED (
+  SELECT e.group_id, c.canon_name AS name,
+         min(md5('node|' || e.group_id || '|' || e.name)) AS uuid
+  FROM ents e JOIN canon c ON c.group_id = e.group_id AND c.base = e.base
+  GROUP BY 1, 2
+),
+kept AS MATERIALIZED (
+  SELECT uuid FROM canonu WHERE substr(uuid, 1, 1) NOT IN ('0', '1', '2')
+),
+erefs AS MATERIALIZED (
+  SELECT cs.uuid AS src_uuid, co.uuid AS dst_uuid
+  FROM eds e
+  JOIN canonu cs ON cs.group_id = e.group_id AND cs.name = e.subj
+  JOIN canonu co ON co.group_id = e.group_id AND co.name = e.obj
+),
+ment AS MATERIALIZED (
+  SELECT DISTINCT m.group_id,
+         md5(m.url || '|' || m.para_idx) AS episode_uuid,
+         cu.uuid AS entity_uuid
+  FROM mentions_g m
+  JOIN canon c ON c.group_id = m.group_id AND c.base = m.base
+  JOIN canonu cu ON cu.group_id = m.group_id AND cu.name = c.canon_name
+)
+SELECT 'edge_src_missing' AS "check",
+       CAST(sum(CASE WHEN k.uuid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM erefs LEFT JOIN kept k ON k.uuid = erefs.src_uuid
+UNION ALL
+SELECT 'edge_dst_missing',
+       CAST(sum(CASE WHEN k.uuid IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM erefs LEFT JOIN kept k ON k.uuid = erefs.dst_uuid
+UNION ALL
+SELECT 'mention_entity_missing',
+       CAST(sum(CASE WHEN k.uuid IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM ment LEFT JOIN kept k ON k.uuid = ment.entity_uuid
+UNION ALL
+SELECT 'mention_episode_missing', CAST(0 AS BIGINT),
+       CAST(count(*) AS BIGINT)
+FROM ment"""
+    return _kg_sql(body, with_eds=True)
+
+
+def _sql_ann_range() -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS q_id, {_DUCK_QZ} AS qemb
+           FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS c_id, {_DUCK_QZ} AS emb
+      FROM embeddings WHERE vec_id >= 8)
+SELECT q.q_id, c.c_id,
+       CAST(list_inner_product(c.emb, q.qemb) AS BIGINT) AS score_q
+FROM c, q
+WHERE CAST(list_inner_product(c.emb, q.qemb) AS BIGINT) >= {ANN_RANGE_MIN_Q}"""
+
+
 def _sql_kg_cooccurrence() -> str:
     body = """
 SELECT pr.group_id, pr.name_a, pr.name_b,
@@ -3367,6 +3489,9 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_shared_employer": _sql_kg_shared_employer,
     "kg_clustering": _sql_kg_clustering,
     "kg_kcore": _sql_kg_kcore,
+    "kg_predicate_stats": _sql_kg_predicate_stats,
+    "kg_integrity": _sql_kg_integrity,
+    "ann_range": _sql_ann_range,
     "kg_degree_hist": _sql_kg_degree_hist,
     "kg_entity_cards": _sql_kg_entity_cards,
     "kg_cooccurrence": _sql_kg_cooccurrence,

@@ -72,3 +72,20 @@ def test_ivf_cells_partition_candidates(spark, sf_dir):
     assert assigned.select("c_id").distinct().count() == c.count()
     n_cells = assigned.select("cell_id").distinct().count()
     assert 2 <= n_cells <= IVF_CELLS
+
+
+def test_range_search_threshold_boundary(spark):
+    """Exact integer threshold: score == min_score_q is included, one
+    unit below is excluded — no float boundary flicker."""
+    from graphiti_spark.operators.ann import range_search
+
+    q = spark.createDataFrame(
+        [(0, [1000, 0])], "q_id long, qemb array<bigint>"
+    )
+    c = spark.createDataFrame(
+        [(10, [100, 0]), (11, [99, 0]), (12, [-100, 0])],
+        "c_id long, emb array<bigint>",
+    )
+    got = {(r["q_id"], r["c_id"]): r["score_q"]
+           for r in range_search(q, c, min_score_q=100_000).collect()}
+    assert got == {(0, 10): 100000}

@@ -289,3 +289,29 @@ def test_entity_cards_counts_and_top_pred(spark):
     b = rows["berlin"]
     assert (b["n_subj"], b["n_obj"]) == (0, 2)
     assert b["top_pred"] == "BASED_IN"
+
+
+def test_predicate_stats_functionality(spark):
+    """CEO_OF is functional (every fact a distinct subject); WORKS_AT with
+    repeated subjects is not; invalidated facts counted separately."""
+    from datetime import datetime
+
+    from graphiti_spark.operators.centrality import predicate_stats
+
+    t = datetime(2020, 1, 1)
+    df = spark.createDataFrame(
+        [
+            ("g", "a", "CEO_OF", "x", t, None),
+            ("g", "b", "CEO_OF", "y", t, None),
+            ("g", "a", "WORKS_AT", "x", t, None),
+            ("g", "a", "WORKS_AT", "y", t, t),
+        ],
+        "group_id string, subj string, pred string, obj string, "
+        "valid_at timestamp, invalid_at timestamp",
+    )
+    rows = {r["pred"]: r.asDict() for r in predicate_stats(df).collect()}
+    ceo = rows["CEO_OF"]
+    assert (ceo["n_facts"], ceo["n_subjects"], ceo["func_u"]) == (2, 2, 1000000)
+    w = rows["WORKS_AT"]
+    assert (w["n_facts"], w["n_subjects"], w["n_valid"]) == (2, 1, 1)
+    assert w["func_u"] == 500000 and w["inv_func_u"] == 1000000

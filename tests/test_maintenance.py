@@ -84,3 +84,28 @@ def test_pii_scrub_counts_and_redacts(spark):
     red = "mail <EMAIL> and <IP> plus <PHONE>"
     assert got[1].redacted_md5 == hashlib.md5(red.encode()).hexdigest()
     assert got[2].redacted_md5 == hashlib.md5(b"no pii here").hexdigest()
+
+
+def test_integrity_audit_counts(spark):
+    from graphiti_spark.operators.maintenance import integrity_audit
+
+    nodes = spark.createDataFrame([("n1",), ("n2",)], "uuid string")
+    episodes = spark.createDataFrame([("e1",)], "uuid string")
+    edges = spark.createDataFrame(
+        [("n1", "n2"), ("n1", "nX"), ("nY", "n2")],
+        "source_node_uuid string, target_node_uuid string",
+    )
+    mentions = spark.createDataFrame(
+        [("e1", "n1"), ("e1", "nZ"), ("eQ", "n2")],
+        "episode_uuid string, entity_uuid string",
+    )
+    got = {
+        r["check"]: (r["n_bad"], r["n_total"])
+        for r in integrity_audit(nodes, edges, mentions, episodes).collect()
+    }
+    assert got == {
+        "edge_src_missing": (1, 3),
+        "edge_dst_missing": (1, 3),
+        "mention_entity_missing": (1, 3),
+        "mention_episode_missing": (1, 3),
+    }
