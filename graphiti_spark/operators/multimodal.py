@@ -432,3 +432,106 @@ def audio_dup_groups(fps: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_clips"),
         F.min("content_id").alias("canonical_id"),
     )
+
+
+def _scene_frame(scene_seed: int, k: int, w: int, h: int) -> np.ndarray:
+    """Frame k of a scene: the scene's block image under a slow exposure
+    drift (+2 luma per frame). Same content, ~2-luma per-step delta —
+    far below any cut, which swaps the whole block structure (~30+ luma
+    mean delta). The margin is what separates in-scene motion from a
+    hard cut for the detector."""
+    base = _synth_pixels(scene_seed, w, h).astype(np.int64)
+    return np.clip(base + 2 * k, 0, 255).astype(np.uint8)
+
+
+def synth_clips(spark, n: int = 24) -> DataFrame:
+    """Deterministic scene-cut corpus: each clip is 1-3 'scenes' of a
+    panning block image, concatenated with HARD cuts (a completely
+    different block image) at known frame positions. Real Y4M payloads
+    throughout. Clip i has 1 + i % 3 scenes of 4 frames each, so the
+    ground-truth cut positions are frames 4 and 8 (when present)."""
+    rows = []
+    for i in range(n):
+        w, h = 64 + 2 * (i % 4), 48 + 2 * (i % 4)
+        n_scenes = 1 + i % 3
+        frames = []
+        for s in range(n_scenes):
+            for k in range(4):
+                frames.append(_scene_frame(9000 + i * 10 + s, k, w, h))
+        rows.append(
+            (f"c{i:04d}", "video", bytearray(y4m_encode(frames, fps=(10, 1))),
+             "video/x-yuv4mpeg", w, h, int(1000.0 * len(frames) / 10))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+DIFF_SCHEMA = "content_id string, frame_idx long, diff_u long"
+
+
+def frame_diffs(media: DataFrame) -> DataFrame:
+    """Per-transition luma difference table: for every consecutive frame
+    pair of every decodable video, the mean absolute luma delta in
+    milli-units (integer — sum of |ΔY| * 1000 div n_pixels). This is the
+    decode-dependent half of scene-cut detection; the relational half
+    (thresholding, scene counting) runs JVM-side / in the oracle over
+    this table. One demux per clip inside mapInPandas; output is skinny
+    (id, idx, long) rows — frames never leave the Python worker."""
+    vids = media.where(F.col("modality") == "video").select(
+        "content_id", "payload"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, idxs, diffs = [], [], []
+            for cid, p in zip(pdf["content_id"], pdf["payload"]):
+                try:
+                    decoded, _ = y4m_decode(bytes(p))
+                except ValueError:
+                    continue  # opaque container: no frame access
+                prev = None
+                for k, fr in enumerate(decoded):
+                    luma = (
+                        299 * fr[:, :, 0].astype(np.int64)
+                        + 587 * fr[:, :, 1].astype(np.int64)
+                        + 114 * fr[:, :, 2].astype(np.int64)
+                    ) // 1000
+                    if prev is not None:
+                        d = int(
+                            np.abs(luma - prev).sum() * 1000 // luma.size
+                        )
+                        ids.append(cid)
+                        idxs.append(k)
+                        diffs.append(d)
+                    prev = luma
+            yield pd.DataFrame(
+                {
+                    "content_id": ids,
+                    "frame_idx": np.array(idxs, dtype=np.int64),
+                    "diff_u": np.array(diffs, dtype=np.int64),
+                }
+            )
+
+    return vids.mapInPandas(gen, schema=DIFF_SCHEMA)
+
+
+SCENE_CUT_MIN_U = 20_000  # 20 luma levels mean delta — far above pan noise
+
+
+def scene_cuts(diffs: DataFrame, min_diff_u: int = SCENE_CUT_MIN_U) -> DataFrame:
+    """Hard-cut detection + per-clip scene count over the frame-diff
+    table: a cut is a transition whose mean luma delta clears
+    `min_diff_u`. Returns one row per clip: (content_id, n_transitions,
+    n_cuts, n_scenes, first_cut_frame) — the shot-segmentation summary a
+    video curation pipeline keys on. Pure groupBy over the skinny diff
+    table (codegen'd; no Python)."""
+    is_cut = (F.col("diff_u") >= min_diff_u).cast("long")
+    return diffs.groupBy("content_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.sum(is_cut).cast("long").alias("n_cuts"),
+        (F.sum(is_cut) + 1).cast("long").alias("n_scenes"),
+        F.min(F.when(F.col("diff_u") >= min_diff_u, F.col("frame_idx")))
+        .cast("long")
+        .alias("first_cut_frame"),
+    )

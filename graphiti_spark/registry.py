@@ -1665,6 +1665,44 @@ FROM f a JOIN f b ON a.content_id < b.content_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 3"""
 
 
+def media_scene_path(sf_dir: str) -> str:
+    import os
+
+    from .registry_search import ORACLE_SCRATCH
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    return f"{ORACLE_SCRATCH}/{tag}/media_scene_diffs.parquet"
+
+
+def q_media_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video shot segmentation over the deterministic scene corpus: REAL
+    Y4M demux -> per-transition mean luma delta (integer milli-units) ->
+    threshold + per-clip scene rollup. The decode-dependent diff table is
+    persisted to the oracle scratch (persisted-feature-table pattern);
+    the oracle verifies the thresholding/rollup, pytest pins the decode
+    and the planted cut positions (frames 4 and 8)."""
+    from .operators.multimodal import frame_diffs, scene_cuts, synth_clips
+
+    path = media_scene_path(sf_dir)
+    diffs = frame_diffs(synth_clips(spark, MEDIA_N // 2))
+    diffs.write.mode("overwrite").parquet(path)
+    return scene_cuts(spark.read.parquet(path))
+
+
+def _sql_media_scene_cuts() -> str:
+    from .operators.multimodal import SCENE_CUT_MIN_U
+    from .registry_search import _oracle_sf_dir
+
+    return f"""
+WITH d AS (SELECT * FROM read_parquet('{media_scene_path(_oracle_sf_dir())}/*.parquet'))
+SELECT content_id,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       CAST(sum(CASE WHEN diff_u >= {SCENE_CUT_MIN_U} THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       CAST(sum(CASE WHEN diff_u >= {SCENE_CUT_MIN_U} THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_scenes,
+       CAST(min(CASE WHEN diff_u >= {SCENE_CUT_MIN_U} THEN frame_idx END) AS BIGINT) AS first_cut_frame
+FROM d GROUP BY 1"""
+
+
 def media_audio_fp_path(sf_dir: str) -> str:
     import os
 
@@ -1784,6 +1822,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt_funnel": q_evt_funnel,
     "media_phash_pairs": q_media_phash_pairs,
     "media_audio_dedup": q_media_audio_dedup,
+    "media_scene_cuts": q_media_scene_cuts,
 }
 
 
@@ -3512,6 +3551,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "evt_anomaly": _sql_evt_anomaly,
     "media_phash_pairs": _sql_media_phash_pairs,
     "media_audio_dedup": _sql_media_audio_dedup,
+    "media_scene_cuts": _sql_media_scene_cuts,
 }
 
 

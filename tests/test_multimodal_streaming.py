@@ -236,3 +236,30 @@ def test_audio_fingerprint_dedup_groups_planted_dups(spark):
     assert set(dup_groups.canonical_id) == {a for a, _ in planted}
     # all non-planted clips are singletons: base identities are distinct
     assert (groups.n_clips <= 2).all()
+
+
+def test_scene_cuts_planted_positions(spark):
+    """Clips have 1-3 scenes of 4 frames: cuts land exactly at frames 4
+    and 8; in-scene panning never clears the threshold (margin check)."""
+    from graphiti_spark.operators.multimodal import (
+        SCENE_CUT_MIN_U,
+        frame_diffs,
+        scene_cuts,
+        synth_clips,
+    )
+
+    clips = synth_clips(spark, 9)
+    diffs = frame_diffs(clips).toPandas()
+    # margin: every in-scene transition is far below, every cut far above
+    in_scene = diffs[~diffs["frame_idx"].isin([4, 8])]
+    cuts = diffs[diffs["frame_idx"].isin([4, 8])]
+    assert in_scene["diff_u"].max() < SCENE_CUT_MIN_U // 2
+    assert (cuts["diff_u"] > 2 * SCENE_CUT_MIN_U).all()
+    out = {r["content_id"]: r.asDict()
+           for r in scene_cuts(frame_diffs(clips)).collect()}
+    for i in range(9):
+        want_scenes = 1 + i % 3
+        got = out[f"c{i:04d}"]
+        assert got["n_scenes"] == want_scenes
+        assert got["n_transitions"] == want_scenes * 4 - 1
+        assert got["first_cut_frame"] == (4 if want_scenes > 1 else None)

@@ -94,6 +94,9 @@ ALLOWED_NLJ = {
     # the cosine leg of RRF crosses the same 8-row query slice; the bm25
     # leg's query table is already recognized as driver-local
     "search_rrf": "cosine leg crosses the 8-row query slice",
+    # radius search is the same brute-force shape as ann_topk: the
+    # broadcast build side is the pushed-filter-pruned 8-query slice
+    "ann_range": "fixed-score dual of ann_topk: 8-query slice x corpus",
 }
 
 
