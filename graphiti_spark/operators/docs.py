@@ -1120,3 +1120,73 @@ def dsir_weights(
             F.expr("sum(ratio_u) div count(1)").alias("weight_u"),
         )
     )
+
+
+def bigram_lm_scores(docs: DataFrame) -> DataFrame:
+    """Bigram-LM document scoring with a HELD-OUT split — one rung closer
+    to the production perplexity filter than unigram_lm_scores: the LM
+    (bigram + history counts, add-one smoothed over the train vocab) is
+    trained on even doc_ids only, so odd documents genuinely contain
+    unseen bigrams and the smoothing path is exercised, exactly like
+    scoring a fresh crawl snapshot against last month's LM.
+
+    Integer-exact per-bigram conditional probability:
+
+        p_u(w2|w1) = 1e6 * (cb(w1,w2) + 1) div (cu(w1) + V)
+
+    (cb/cu from the train slice, V = train vocab size); the doc score is
+    the tf-weighted average of p_u and n_unseen counts bigram tokens the
+    LM never saw. All arithmetic is long division — bit-identical in the
+    DuckDB oracle.
+
+    Plan shape: bigrams come from a zip_with over the token array (no
+    window, no shuffle to form pairs); counts are two vocab-bounded
+    groupBys; scoring joins the corpus bigram tf table to the LM on the
+    bigram key (hot bigrams = well-spread keys; AQE skew join covers the
+    'of the' head) and the V/1-row normalizer is a broadcast cross join.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.expr(r"regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("ts"),
+    )
+    bigs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(ts, 1, greatest(size(ts) - 1, 0)),"
+                " slice(ts, 2, greatest(size(ts) - 1, 0)),"
+                " (a, b) -> struct(a as w1, b as w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    train = bigs.where(F.col("doc_id") % 2 == 0)
+    cb = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cu = (
+        toks.where(F.col("doc_id") % 2 == 0)
+        .select(F.explode("ts").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    v = cu.agg(F.count(F.lit(1)).alias("v"))
+    dt = bigs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    scored = (
+        dt.join(cb, ["w1", "w2"], "left")
+        .join(cu, "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "tf",
+            F.col("cb").isNull().alias("unseen"),
+            F.expr(
+                "1000000L * (coalesce(cb, 0L) + 1)"
+                " div (coalesce(cu, 0L) + v)"
+            ).alias("p_u"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.sum(F.when(F.col("unseen"), F.col("tf")).otherwise(0))
+        .cast("long")
+        .alias("n_unseen"),
+        F.expr("sum(tf * p_u) div greatest(sum(tf), 1L)").alias("avg_p_u"),
+    )

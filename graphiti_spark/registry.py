@@ -1157,6 +1157,14 @@ def q_doc_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rag_chunks(docs.read_documents(spark, sf_dir))
 
 
+def q_doc_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity-filter scoring with a held-out split (LM from
+    even doc_ids, scored over all — unseen-bigram smoothing exercised)."""
+    from .operators.docs import bigram_lm_scores
+
+    return bigram_lm_scores(docs.read_documents(spark, sf_dir))
+
+
 def q_doc_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style hashed-unigram importance weights against the English
     slice as the target distribution (integer-quantized log-ratio
@@ -1777,6 +1785,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt_attribution": q_evt_attribution,
     "doc_rag_chunks": q_doc_rag_chunks,
     "doc_dsir": q_doc_dsir,
+    "doc_bigram_lm": q_doc_bigram_lm,
     "evt_transitions": q_evt_transitions,
     "evt_anomaly": q_evt_anomaly,
     "kg_entity_timeline": q_kg_entity_timeline,
@@ -3412,6 +3421,41 @@ SELECT tb.doc_id, CAST(count(*) AS BIGINT) AS n_toks,
 FROM tb JOIN lm USING (bucket) GROUP BY 1"""
 
 
+def _sql_doc_bigram_lm() -> str:
+    return r"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+  FROM documents
+),
+bigs AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(ts[1 : len(ts) - 1]) AS w1,
+         unnest(ts[2 : len(ts)]) AS w2
+  FROM toks WHERE len(ts) >= 2
+),
+cb AS (SELECT w1, w2, count(*) AS cb FROM bigs WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+cu AS MATERIALIZED (
+  SELECT w1, count(*) AS cu FROM (
+    SELECT unnest(ts) AS w1 FROM toks WHERE doc_id % 2 = 0
+  ) GROUP BY 1
+),
+v AS (SELECT count(*) AS v FROM cu),
+dt AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bigs GROUP BY 1, 2, 3),
+scored AS (
+  SELECT d.doc_id, d.tf, (c.cb IS NULL) AS unseen,
+         (1000000 * (coalesce(c.cb, 0) + 1))
+           // (coalesce(u.cu, 0) + v.v) AS p_u
+  FROM dt d
+  LEFT JOIN cb c ON c.w1 = d.w1 AND c.w2 = d.w2
+  LEFT JOIN cu u ON u.w1 = d.w1
+  CROSS JOIN v
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN unseen THEN tf ELSE 0 END) AS BIGINT) AS n_unseen,
+       CAST(sum(tf * p_u) // greatest(sum(tf), 1) AS BIGINT) AS avg_p_u
+FROM scored GROUP BY 1"""
+
+
 def _sql_evt_transitions() -> str:
     return """
 WITH steps AS (
@@ -3547,6 +3591,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "evt_funnel": _sql_evt_funnel,
     "doc_rag_chunks": _sql_doc_rag_chunks,
     "doc_dsir": _sql_doc_dsir,
+    "doc_bigram_lm": _sql_doc_bigram_lm,
     "evt_transitions": _sql_evt_transitions,
     "evt_anomaly": _sql_evt_anomaly,
     "media_phash_pairs": _sql_media_phash_pairs,

@@ -226,3 +226,51 @@ def sessionize_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def enrich_mentions_stream(
+    mentions: DataFrame,
+    episodes: DataFrame,
+    watermark: str = "2 days",
+    slack_hours: int = 24,
+) -> DataFrame:
+    """Stream-stream inner join: a live mention stream enriched with the
+    episode stream it references — the streaming analogue of the batch
+    provenance join (mentions ⋈ episodes), for deployments where
+    extraction workers and crawl-segment metadata arrive on SEPARATE
+    topics and out of order.
+
+    Both sides carry an event-time watermark and the join condition
+    bounds |mention.valid_at - episode.ep_valid_at| <= slack_hours, so
+    the state store holds only the slack window of each side (unbounded
+    buffering is the classic stream-stream join failure; the range
+    condition is what lets Spark evict). Equality keys
+    (group_id, episode_uuid) make the state lookup hash-partitioned —
+    one shuffle per side on the same key.
+
+    mentions: (group_id, episode_uuid, name, valid_at)
+    episodes: (group_id, uuid, content, valid_at)
+    """
+    m = mentions.withWatermark("valid_at", watermark)
+    e = episodes.select(
+        F.col("group_id").alias("ep_group_id"),
+        F.col("uuid").alias("ep_uuid"),
+        F.col("content").alias("episode_content"),
+        F.col("valid_at").alias("ep_valid_at"),
+    ).withWatermark("ep_valid_at", watermark)
+    cond = (
+        (m["group_id"] == e["ep_group_id"])
+        & (m["episode_uuid"] == e["ep_uuid"])
+        & (
+            e["ep_valid_at"]
+            >= m["valid_at"] - F.expr(f"INTERVAL {slack_hours} HOURS")
+        )
+        & (
+            e["ep_valid_at"]
+            <= m["valid_at"] + F.expr(f"INTERVAL {slack_hours} HOURS")
+        )
+    )
+    return m.join(e, cond, "inner").select(
+        "group_id", "episode_uuid", "name", "valid_at",
+        "episode_content", "ep_valid_at",
+    )

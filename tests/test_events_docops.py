@@ -537,3 +537,24 @@ def test_daily_anomalies_spike_flag(spark):
     # total 8 over 3 days; day3: 1e6*6*3//8 = 2.25e6 -> spike
     assert got[3] == (2250000, True)
     assert got[1] == (375000, False)
+
+
+def test_bigram_lm_heldout_unseen(spark):
+    """LM trains on even doc_ids only: a bigram that appears solely in an
+    odd doc is 'unseen' and gets the fully-smoothed probability; a
+    train-frequent bigram scores strictly higher."""
+    from graphiti_spark.operators.docs import bigram_lm_scores
+
+    docs = _docs2(
+        spark,
+        [
+            ("alpha beta alpha beta alpha beta", "en"),  # doc 0 (train)
+            ("alpha beta gamma delta", "en"),  # doc 1 (held out)
+            ("alpha beta", "en"),  # doc 2 (train)
+        ],
+    )
+    rows = {r["doc_id"]: r.asDict() for r in bigram_lm_scores(docs).collect()}
+    # doc 1 bigrams: (alpha,beta) seen, (beta,gamma) & (gamma,delta) unseen
+    assert rows[1]["n_bigrams"] == 3 and rows[1]["n_unseen"] == 2
+    assert rows[0]["n_unseen"] == 0
+    assert rows[0]["avg_p_u"] > rows[1]["avg_p_u"]

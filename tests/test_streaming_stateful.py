@@ -214,3 +214,57 @@ def test_sessionize_stream_gap_and_timeout(spark, tmp_path):
     )
     # u3's 20:00 session is still open (timeout 20:30 > final watermark)
     assert len(got) == 3
+
+
+def test_enrich_mentions_stream_cross_batch_join(spark, tmp_path):
+    """Stream-stream join buffers state across micro-batches: a mention
+    arriving one batch AFTER its episode (and vice versa) still joins;
+    a mention outside the event-time slack never does."""
+    from graphiti_spark.streaming.stateful import enrich_mentions_stream
+
+    d = str(tmp_path)
+    M = "group_id string, episode_uuid string, name string, valid_at timestamp"
+    E = "group_id string, uuid string, content string, valid_at timestamp"
+    # batch1: episode ep1 + mention of ep2 (episode not yet arrived)
+    spark.createDataFrame(
+        [("g1", "ep2", "Alice", datetime(2024, 1, 1, 10))], M
+    ).coalesce(1).write.parquet(f"{d}/m/b1")
+    spark.createDataFrame(
+        [("g1", "ep1", "text one", datetime(2024, 1, 1, 9))], E
+    ).coalesce(1).write.parquet(f"{d}/e/b1")
+    # batch2: mention of ep1 (late), episode ep2, and a mention whose
+    # event time is 3 days from its episode -> outside the 24h slack
+    spark.createDataFrame(
+        [
+            ("g1", "ep1", "Bob", datetime(2024, 1, 1, 11)),
+            ("g1", "ep1", "Zed", datetime(2024, 1, 4, 9)),
+        ],
+        M,
+    ).coalesce(1).write.parquet(f"{d}/m/b2")
+    spark.createDataFrame(
+        [("g1", "ep2", "text two", datetime(2024, 1, 1, 10, 30))], E
+    ).coalesce(1).write.parquet(f"{d}/e/b2")
+
+    ms = (
+        spark.readStream.schema(M)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/m/*")
+    )
+    es = (
+        spark.readStream.schema(E)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/e/*")
+    )
+    q = (
+        enrich_mentions_stream(ms, es)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched")
+        .option("checkpointLocation", f"{d}/ckpt_join")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    out = spark.table("enriched").toPandas()
+    got = {(r["name"], r["episode_content"]) for _, r in out.iterrows()}
+    assert got == {("Alice", "text two"), ("Bob", "text one")}
