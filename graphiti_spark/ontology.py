@@ -68,6 +68,10 @@ class Ontology:
     contra: dict[str, tuple[str, int]] = field(
         default_factory=lambda: dict(CONTRA_CLASS)
     )
+    # predicates declared single-valued per subject: concurrent multiple
+    # objects are consistency violations (operators/maintenance.
+    # functional_violations sweeps for them post-build)
+    functional: tuple[str, ...] = ("WORKS_AT", "BASED_IN", "LEADS")
 
     def synonym_class_sql(self, col: str = "pred") -> str:
         """CASE expression mapping a predicate column to its dedup class

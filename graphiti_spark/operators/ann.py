@@ -288,3 +288,50 @@ def range_search(
         .where(F.col("score_q") >= min_score_q)
         .select("q_id", "c_id", "score_q")
     )
+
+
+def contrastive_pairs(
+    vectors: DataFrame,
+    n_cells: int = 8,
+    pos_q: int = 900_000,
+    neg_q: int = 400_000,
+) -> DataFrame:
+    """Contrastive training-pair export for embedding-model finetuning:
+    within each IVF cell, pairs scoring >= pos_q are positives (near
+    duplicates / paraphrases) and pairs scoring <= neg_q are HARD
+    negatives — same coarse region of the space (the model cannot
+    separate them by cluster alone), which is precisely what makes a
+    negative worth training on. Mid-band pairs are dropped (ambiguous
+    labels poison contrastive losses).
+
+    Same scale shape as embcos_dedup_pairs: cluster -> same-cell
+    self-join -> exact integer verification; the cell id is the shuffle
+    key, no all-pairs join ever forms. vectors: (id, emb array<bigint>)
+    milli-quantized. Returns (id_a, id_b, score_q, label)."""
+    cand = vectors.select(F.col("id").alias("c_id"), "emb")
+    cents = train_centroids(cand, n_cells=n_cells)
+    assigned = assign_cells(cand, cents)
+    a = assigned.select(
+        "cell_id", F.col("c_id").alias("id_a"), F.col("emb").alias("emb_a")
+    )
+    b = assigned.select(
+        "cell_id", F.col("c_id").alias("id_b"), F.col("emb").alias("emb_b")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    )
+    scored = (
+        a.join(b, "cell_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("score_q", dot)
+    )
+    return scored.where(
+        (F.col("score_q") >= pos_q) | (F.col("score_q") <= neg_q)
+    ).select(
+        "id_a",
+        "id_b",
+        "score_q",
+        F.when(F.col("score_q") >= pos_q, F.lit("pos"))
+        .otherwise(F.lit("neg"))
+        .alias("label"),
+    )

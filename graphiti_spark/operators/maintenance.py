@@ -175,3 +175,34 @@ def integrity_audit(
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def functional_violations(
+    triples: DataFrame, functional_preds: tuple[str, ...]
+) -> DataFrame:
+    """Consistency audit for declared-functional predicates: subjects
+    holding 2+ CONCURRENTLY-VALID objects under a predicate the ontology
+    declares single-valued (a person 'works at' one employer at a time,
+    an org is 'based in' one place). The reference resolves exactly this
+    at write time through contradiction invalidation
+    (edge_operations.py:234-305); this is the batch sweep that finds what
+    slipped through — the KG-QA report a production graph reviews after
+    every build.
+
+    Output: (group_id, pred, subj, n_objects, objs) with the object set
+    rendered sorted so the row is deterministic. One groupBy on
+    (group, pred, subj) over the filtered skinny projection.
+    """
+    cur = triples.where(
+        F.col("invalid_at").isNull() & F.col("pred").isin(*functional_preds)
+    )
+    return (
+        cur.groupBy("group_id", "pred", "subj")
+        .agg(
+            F.countDistinct("obj").cast("long").alias("n_objects"),
+            F.array_join(F.array_sort(F.collect_set("obj")), ",").alias(
+                "objs"
+            ),
+        )
+        .where(F.col("n_objects") >= 2)
+    )

@@ -626,6 +626,64 @@ WHERE CAST(list_inner_product(a.emb, b.emb) AS BIGINT) >= {EMBCOS_MIN_Q}"""
     )
 
 
+CONTRA_POS_Q, CONTRA_NEG_Q = 900_000, 400_000
+
+
+def q_emb_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive pair export over the twin-planted embedding corpus:
+    same-IVF-cell positives (score >= 0.9) and hard negatives
+    (score <= 0.4), mid-band dropped — the training-data product of the
+    dedup stack."""
+    emb = ann.read_embeddings(spark, sf_dir)
+    base = emb.select(
+        F.col("vec_id").cast("long").alias("id"), F.expr(_QZ).alias("emb")
+    )
+    pert = base.select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.expr(
+            "transform(emb, (x, i) -> x + CASE"
+            " WHEN i = cast(id % 64 as int) THEN 50L"
+            " WHEN i = cast((id * 7 + 3) % 64 as int) THEN -50L"
+            " ELSE 0L END)"
+        ).alias("emb"),
+    )
+    return ann.contrastive_pairs(
+        base.unionByName(pert),
+        n_cells=IVF_CELLS,
+        pos_q=CONTRA_POS_Q,
+        neg_q=CONTRA_NEG_Q,
+    )
+
+
+def _sql_emb_contrastive() -> str:
+    parts = [f"""
+base AS (SELECT CAST(vec_id AS BIGINT) AS id, {_DUCK_QZ} AS emb FROM embeddings),
+pert AS (
+  SELECT id + 1000000 AS id,
+         list(CASE WHEN pos - 1 = id % 64 THEN v + 50
+                   WHEN pos - 1 = (id * 7 + 3) % 64 THEN v - 50
+                   ELSE v END ORDER BY pos) AS emb
+  FROM (SELECT id, unnest(emb) AS v, generate_subscripts(emb, 1) AS pos FROM base)
+  GROUP BY id
+),
+cand AS (SELECT id AS c_id, emb FROM base UNION ALL SELECT id AS c_id, emb FROM pert)"""]
+    km_parts, last_asg, _ = _kmeans_sql_parts(IVF_CELLS, IVF_ITERS)
+    parts += km_parts
+    return (
+        "WITH " + ",".join(p.strip() for p in parts)
+        + f"""
+SELECT id_a, id_b, score_q,
+       CASE WHEN score_q >= {CONTRA_POS_Q} THEN 'pos' ELSE 'neg' END AS label
+FROM (
+  SELECT a.c_id AS id_a, b.c_id AS id_b,
+         CAST(list_inner_product(a.emb, b.emb) AS BIGINT) AS score_q
+  FROM {last_asg} a JOIN {last_asg} b
+    ON a.cell_id = b.cell_id AND a.c_id < b.c_id
+)
+WHERE score_q >= {CONTRA_POS_Q} OR score_q <= {CONTRA_NEG_Q}"""
+    )
+
+
 def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ deterministic perturbed copies of the first 50 docs
     (doc_id + 1_000_000, one appended sentence) — the fixture that makes
@@ -1365,6 +1423,17 @@ def q_kg_entity_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_cards(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_functional_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-build consistency sweep: subjects with 2+ concurrently-valid
+    objects under ontology-declared single-valued predicates."""
+    from .operators.maintenance import functional_violations
+    from .ontology import DEFAULT
+
+    return functional_violations(
+        q_kg_triples(spark, sf_dir), DEFAULT.functional
+    )
+
+
 def q_kg_predicate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-predicate ontology-induction stats (counts, distinct
     subj/obj, integer functionality ratios)."""
@@ -1799,6 +1868,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "doc_embcos_dedup": q_doc_embcos_dedup,
+    "emb_contrastive": q_emb_contrastive,
     "doc_unigram_lm": q_doc_unigram_lm,
     "doc_tfidf_terms": q_doc_tfidf_terms,
     "doc_substring_dup": q_doc_substring_dup,
@@ -1813,6 +1883,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_clustering": q_kg_clustering,
     "kg_kcore": q_kg_kcore,
     "kg_predicate_stats": q_kg_predicate_stats,
+    "kg_functional_violations": q_kg_functional_violations,
     "kg_integrity": q_kg_integrity,
     "ann_range": q_ann_range,
     "kg_degree_hist": q_kg_degree_hist,
@@ -3024,6 +3095,22 @@ FROM cards c JOIN top t ON t.group_id = c.group_id AND t.name = c.name"""
     return _kg_sql(body, with_eds=True)
 
 
+def _sql_kg_functional_violations() -> str:
+    from .ontology import DEFAULT
+
+    preds = ", ".join(f"'{p}'" for p in sorted(DEFAULT.functional))
+    body = f"""
+, final AS ({_TRIPLES_SELECT})
+SELECT group_id, pred, subj,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_objects,
+       string_agg(DISTINCT obj, ',' ORDER BY obj) AS objs
+FROM final
+WHERE invalid_at IS NULL AND pred IN ({preds})
+GROUP BY 1, 2, 3
+HAVING count(DISTINCT obj) >= 2"""
+    return _kg_sql(body, with_eds=True)
+
+
 def _sql_kg_predicate_stats() -> str:
     body = f"""
 , final AS ({_TRIPLES_SELECT})
@@ -3559,6 +3646,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "ann_topk": _sql_ann_topk,
     "ann_ivf_topk": _sql_ann_ivf_topk,
     "doc_embcos_dedup": _sql_doc_embcos_dedup,
+    "emb_contrastive": _sql_emb_contrastive,
     "doc_unigram_lm": _sql_doc_unigram_lm,
     "doc_tfidf_terms": _sql_doc_tfidf_terms,
     "doc_substring_dup": _sql_doc_substring_dup,
@@ -3573,6 +3661,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_clustering": _sql_kg_clustering,
     "kg_kcore": _sql_kg_kcore,
     "kg_predicate_stats": _sql_kg_predicate_stats,
+    "kg_functional_violations": _sql_kg_functional_violations,
     "kg_integrity": _sql_kg_integrity,
     "ann_range": _sql_ann_range,
     "kg_degree_hist": _sql_kg_degree_hist,

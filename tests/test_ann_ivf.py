@@ -89,3 +89,25 @@ def test_range_search_threshold_boundary(spark):
     got = {(r["q_id"], r["c_id"]): r["score_q"]
            for r in range_search(q, c, min_score_q=100_000).collect()}
     assert got == {(0, 10): 100000}
+
+
+def test_contrastive_pairs_labels_and_midband(spark):
+    """Positives at/above pos_q, negatives at/below neg_q, mid-band pairs
+    dropped; all pairs come from the same cell (single cell here)."""
+    from graphiti_spark.operators.ann import contrastive_pairs
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [1000, 0]),
+            (2, [1000, 10]),   # ~ same direction -> pos vs 1
+            (3, [0, 1000]),    # orthogonal -> neg vs 1 and 2
+            (4, [700, 700]),   # mid-band vs 1 (700000): dropped
+        ],
+        "id long, emb array<bigint>",
+    )
+    out = {(r["id_a"], r["id_b"]): r["label"]
+           for r in contrastive_pairs(vecs, n_cells=1,
+                                      pos_q=900_000, neg_q=400_000).collect()}
+    assert out[(1, 2)] == "pos"
+    assert out[(1, 3)] == "neg" and out[(2, 3)] == "neg"
+    assert (1, 4) not in out  # 700000 is mid-band

@@ -109,3 +109,30 @@ def test_integrity_audit_counts(spark):
         "mention_entity_missing": (1, 3),
         "mention_episode_missing": (1, 3),
     }
+
+
+def test_functional_violations(spark):
+    """A subject with two concurrently-valid objects under a functional
+    predicate is reported (sorted object list); invalidated facts and
+    non-functional predicates are ignored."""
+    from datetime import datetime
+
+    from graphiti_spark.operators.maintenance import functional_violations
+
+    t = datetime(2020, 1, 1)
+    df = spark.createDataFrame(
+        [
+            ("g", "alice", "WORKS_AT", "zcorp", t, None),
+            ("g", "alice", "WORKS_AT", "acme", t, None),
+            ("g", "bob", "WORKS_AT", "acme", t, None),
+            ("g", "bob", "WORKS_AT", "zcorp", t, t),  # invalidated
+            ("g", "alice", "VISITED", "rome", t, None),
+            ("g", "alice", "VISITED", "paris", t, None),  # not functional
+        ],
+        "group_id string, subj string, pred string, obj string, "
+        "valid_at timestamp, invalid_at timestamp",
+    )
+    rows = functional_violations(df, ("WORKS_AT", "BASED_IN")).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["subj"], r["n_objects"], r["objs"]) == ("alice", 2, "acme,zcorp")
