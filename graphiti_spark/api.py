@@ -194,8 +194,11 @@ class GraphitiSpark:
         return self._t().edges.where(F.col("uuid").isin(uuids))
 
     def get_episodes_by_uuids(self, uuids: list[str]) -> DataFrame:
-        """S6 (nodes.py:162-211): point/keyed episode lookup."""
-        return self._t().episodes.where(F.col("uuid").isin(uuids))
+        """S6 (nodes.py:162-211): point/keyed episode lookup — served
+        from episode_facts so each row carries entity_edges (the
+        reference's EpisodicNode.entity_edges, nodes.py:137-140, filled
+        by graphiti.py:467 after edge resolution)."""
+        return self._t().episode_facts.where(F.col("uuid").isin(uuids))
 
     def get_edges_by_node_uuid(self, node_uuid: str) -> DataFrame:
         """S8 (edges.py:342-365): all fact edges touching a node,

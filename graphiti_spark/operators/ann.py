@@ -93,21 +93,31 @@ def train_centroids(
     the data on any engine, which is what puts IVF under the exact-match
     DuckDB oracle gate instead of a recall-only pytest.
 
-    Seeds: strided picks over the c_id order (row 1 + i*stride). The
-    global row_number is the one non-scalable step — at crawl scale you
-    seed from a bounded deterministic sample (min-k by hash) instead; the
+    Seeds: the n_cells candidates with the SMALLEST md5(c_id) — a bounded
+    deterministic sample. `orderBy(hash).limit(n_cells)` compiles to
+    TakeOrderedAndProject: each partition keeps its local top-n_cells and
+    the driver merges n_partitions * n_cells tiny rows — no global sort,
+    no unpartitioned window, no count() pre-pass; the seed stage costs one
+    scan at any corpus size. cell_id = rank in hash order, assigned by a
+    one-row collect_list over the already-bounded n_cells seeds. The
     iteration itself is a broadcast-centroids scan + an n_cells x dim
     integer aggregation, both trivially scalable.
     """
-    w = Window.orderBy("c_id")
-    n = cand_q.count()
-    s = max(1, n // n_cells)
+    seeds = (
+        cand_q.select(
+            F.md5(F.col("c_id").cast("string")).alias("h"), F.col("emb")
+        )
+        .orderBy("h")
+        .limit(n_cells)
+    )
     cents = (
-        cand_q.withColumn("rn", F.row_number().over(w))
-        .where(((F.col("rn") - 1) % s == 0) & (F.col("rn") <= 1 + (n_cells - 1) * s))
+        seeds.agg(
+            F.expr("array_sort(collect_list(struct(h, emb)))").alias("s")
+        )
+        .select(F.posexplode("s").alias("cell_id", "x"))
         .select(
-            (((F.col("rn") - 1) / s).cast("int")).alias("cell_id"),
-            F.col("emb").alias("centroid"),
+            F.col("cell_id").cast("int").alias("cell_id"),
+            F.col("x.emb").alias("centroid"),
         )
     )
     for _ in range(n_iter):
@@ -190,8 +200,28 @@ def ivf_topk_trained(
     )
 
 
+def _cap_cells(assigned: DataFrame, max_cell: int) -> DataFrame:
+    """Drop cells whose population exceeds max_cell BEFORE any same-cell
+    self-join forms — the quadratic-blowup guard, mirroring max_bucket in
+    operators/dedup.minhash_candidates. A degenerate cell (boilerplate
+    embeddings, a hot centroid) would otherwise contribute O(n^2) pairs;
+    capping bounds every cell's pair count at max_cell^2 / 2 regardless
+    of corpus size. The size pass is one skinny groupBy on the join key
+    already being shuffled."""
+    ok = (
+        assigned.groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") <= max_cell)
+        .select("cell_id")
+    )
+    return assigned.join(ok, "cell_id")
+
+
 def embcos_dedup_pairs(
-    vectors: DataFrame, n_cells: int = 8, min_score_q: int = 900_000
+    vectors: DataFrame,
+    n_cells: int = 8,
+    min_score_q: int = 900_000,
+    max_cell: int = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate detection, the ANN-blocked dedup
     family of the training-data pipeline (alongside MinHash/SimHash/
@@ -200,14 +230,15 @@ def embcos_dedup_pairs(
     exact integer dot product >= min_score_q — never an all-pairs join.
     At 100 TB the cell id is the partition key: each verification
     self-join is partition-local after one shuffle on cell_id, and cell
-    population is bounded by the trainer's balance (cap cells or sub-split
-    hot cells exactly like the LSH bucket caps in operators/dedup.py).
+    population is hard-bounded by max_cell (_cap_cells) exactly like the
+    LSH bucket caps in operators/dedup.py — a degenerate hot cell is
+    dropped, never joined.
 
     vectors: (id long, emb array<bigint>) milli-quantized.
     Returns (id_a, id_b, score_q), id_a < id_b."""
     cand = vectors.select(F.col("id").alias("c_id"), "emb")
     cents = train_centroids(cand, n_cells=n_cells)
-    assigned = assign_cells(cand, cents)
+    assigned = _cap_cells(assign_cells(cand, cents), max_cell)
     a = assigned.select(
         "cell_id", F.col("c_id").alias("id_a"), F.col("emb").alias("emb_a")
     )
@@ -295,6 +326,7 @@ def contrastive_pairs(
     n_cells: int = 8,
     pos_q: int = 900_000,
     neg_q: int = 400_000,
+    max_cell: int = 100_000,
 ) -> DataFrame:
     """Contrastive training-pair export for embedding-model finetuning:
     within each IVF cell, pairs scoring >= pos_q are positives (near
@@ -304,13 +336,14 @@ def contrastive_pairs(
     negative worth training on. Mid-band pairs are dropped (ambiguous
     labels poison contrastive losses).
 
-    Same scale shape as embcos_dedup_pairs: cluster -> same-cell
-    self-join -> exact integer verification; the cell id is the shuffle
-    key, no all-pairs join ever forms. vectors: (id, emb array<bigint>)
+    Same scale shape as embcos_dedup_pairs: cluster -> cap hot cells
+    (_cap_cells, max_cell population bound) -> same-cell self-join ->
+    exact integer verification; the cell id is the shuffle key, no
+    all-pairs join ever forms. vectors: (id, emb array<bigint>)
     milli-quantized. Returns (id_a, id_b, score_q, label)."""
     cand = vectors.select(F.col("id").alias("c_id"), "emb")
     cents = train_centroids(cand, n_cells=n_cells)
-    assigned = assign_cells(cand, cents)
+    assigned = _cap_cells(assign_cells(cand, cents), max_cell)
     a = assigned.select(
         "cell_id", F.col("c_id").alias("id_a"), F.col("emb").alias("emb_a")
     )

@@ -747,14 +747,23 @@ def bpe_pair_counts(docs: DataFrame, top_n: int = 20) -> DataFrame:
         "cnt",
     )
     agg = pairs.groupBy("pair").agg(F.sum("cnt").alias("total"))
-    w = Window.orderBy(F.col("total").desc(), "pair")
+    # top-k via orderBy().limit() -> TakeOrderedAndProject (partition-
+    # local heaps + tiny driver merge), then rank the <= top_n survivors
+    # in one bounded collect_list — never a global single-partition
+    # window sort over the pair table
+    top = agg.orderBy(F.col("total").desc(), "pair").limit(top_n)
     return (
-        agg.select(
-            "pair",
-            F.col("total").cast("long").alias("total"),
-            F.row_number().over(w).cast("long").alias("rank"),
+        top.agg(
+            F.expr(
+                "array_sort(collect_list(struct(-total AS nt, pair, total)))"
+            ).alias("s")
         )
-        .where(F.col("rank") <= top_n)
+        .select(F.posexplode("s").alias("i", "x"))
+        .select(
+            F.col("x.pair").alias("pair"),
+            F.col("x.total").cast("long").alias("total"),
+            (F.col("i") + 1).cast("long").alias("rank"),
+        )
     )
 
 
@@ -936,14 +945,14 @@ def pack_blocks(docs: DataFrame, block_tokens: int = 2048) -> DataFrame:
     and the first/last block it lands in — the exact mapping a shard
     writer materializes.
 
-    Scale: the global running offset is a distributed two-level prefix
+    Scale: the global running offset is a distributed THREE-level prefix
     sum, NOT one giant single-partition window — docs prefix-sum within
     doc_id chunks of {PACK_CHUNK} (partitioned window), chunk totals
-    prefix-sum in a second window over the ~corpus/{PACK_CHUNK}-row chunk
-    table (the only unpartitioned stage, reduced 65536x), then a join
-    back on the chunk key. At 1e12 docs the chunk table is ~1.5e7 rows —
-    window-able on one task — while the doc-level work stays fully
-    parallel."""
+    prefix-sum within superchunks of {PACK_CHUNK} chunks (partitioned
+    window), and only the superchunk totals — corpus/{PACK_CHUNK}^2 rows,
+    ~233 rows at 1e12 docs — flow through the one unpartitioned window
+    (allowed in tools/plan_audit.py ALLOWED_GLOBAL_WINDOW with this
+    bound). The doc-level work stays fully parallel throughout."""
     n = (
         docs.select(
             "doc_id",
@@ -957,11 +966,24 @@ def pack_blocks(docs: DataFrame, block_tokens: int = 2048) -> DataFrame:
     intra = n.withColumn(
         "intra", F.sum("n_tokens").over(w_intra) - F.col("n_tokens")
     )
-    totals = n.groupBy("chunk").agg(F.sum("n_tokens").alias("tot"))
-    w_chunk = Window.orderBy("chunk")
-    offs = totals.withColumn(
-        "chunk_off", F.sum("tot").over(w_chunk) - F.col("tot")
-    ).select("chunk", "chunk_off")
+    totals = n.groupBy("chunk").agg(F.sum("n_tokens").alias("tot")).withColumn(
+        "sup", F.expr(f"chunk div {PACK_CHUNK}")
+    )
+    w_sup_intra = Window.partitionBy("sup").orderBy("chunk")
+    chunk_in_sup = totals.withColumn(
+        "sup_intra", F.sum("tot").over(w_sup_intra) - F.col("tot")
+    )
+    sup_totals = totals.groupBy("sup").agg(F.sum("tot").alias("stot"))
+    w_sup = Window.orderBy("sup")
+    sup_offs = sup_totals.withColumn(
+        "sup_off", F.sum("stot").over(w_sup) - F.col("stot")
+    ).select("sup", "sup_off")
+    offs = (
+        chunk_in_sup.join(sup_offs, "sup")
+        .select(
+            "chunk", (F.col("sup_off") + F.col("sup_intra")).alias("chunk_off")
+        )
+    )
     return (
         intra.join(offs, "chunk")
         .select(

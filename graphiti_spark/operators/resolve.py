@@ -231,7 +231,7 @@ def _local_components(spark, pairs) -> DataFrame:
     return spark.createDataFrame(rows, ["id", "component"])
 
 
-LOCAL_CC_THRESHOLD = 1_000_000
+LOCAL_CC_THRESHOLD = 100_000
 
 
 def connected_components(
@@ -242,12 +242,15 @@ def connected_components(
     diameter; alias-resolution graphs are star-shaped so this converges in
     1-2 rounds; checkpointing via localCheckpoint truncates lineage."""
     # adaptive small-graph cutover: the match-edge list is tiny relative
-    # to the corpus (distinct colliding names only) — ONE limit-collect
-    # action decides and, when small, already holds the data; the
-    # distributed fixpoint below is the arbitrarily-large-graph path
+    # to the corpus (distinct colliding names only). The probe is COUNT
+    # FIRST (a limit-bounded scalar — the driver never sees a Row),
+    # collect SECOND only when the graph is confirmed small; above the
+    # threshold the distributed fixpoint below is the common path and
+    # nothing beyond the scalar ever reaches the driver.
     edges = edges.persist()
-    pairs = edges.select("src", "dst").limit(LOCAL_CC_THRESHOLD + 1).collect()
-    if len(pairs) <= LOCAL_CC_THRESHOLD:
+    n_probe = edges.select("src", "dst").limit(LOCAL_CC_THRESHOLD + 1).count()
+    if n_probe <= LOCAL_CC_THRESHOLD:
+        pairs = edges.select("src", "dst").collect()
         local = _local_components(edges.sparkSession, pairs)
         edges.unpersist()
         return vertices.join(local, "id", "left").select(

@@ -176,6 +176,31 @@ class GraphTables:
     def _build_mention_edges(self) -> DataFrame:
         return build_mention_edges(self.mentions_raw, self.uuid_map)
 
+    def _build_episode_facts(self) -> DataFrame:
+        # episodes.entity_edges (reference nodes.py:137-140, set by
+        # graphiti.py:467 after edge resolution): the per-episode list of
+        # resolved fact-edge uuids, inverted from the edges' provenance
+        # arrays. One explode of the skinny (uuid, episodes) projection +
+        # one groupBy on episode_uuid (partial-agg'd), left-joined so
+        # fact-free episodes keep an empty list.
+        ef = (
+            self.edges.select("uuid", F.explode("episodes").alias("episode_uuid"))
+            .groupBy("episode_uuid")
+            .agg(F.array_sort(F.collect_set("uuid")).alias("entity_edges"))
+        )
+        return (
+            self.episodes.join(
+                ef, self.episodes["uuid"] == ef["episode_uuid"], "left"
+            )
+            .drop("episode_uuid")
+            .withColumn(
+                "entity_edges",
+                F.coalesce(
+                    F.col("entity_edges"), F.array().cast("array<string>")
+                ),
+            )
+        )
+
     def _build_nodes_emb(self) -> DataFrame:
         # name_embedding materialized at BUILD time, exactly once per
         # graph (reference stores node.name_embedding at ingest —
@@ -209,12 +234,17 @@ class GraphTables:
             "mention_edges",
             "nodes_emb",
             "edges_emb",
+            "episode_facts",
         }
     )
 
     # derived read-side indexes dropped when their base table is
     # overridden (API mutation paths assign t.nodes / t.edges directly)
-    _DERIVED = {"nodes": ("nodes_emb",), "edges": ("edges_emb",)}
+    _DERIVED = {
+        "nodes": ("nodes_emb",),
+        "edges": ("edges_emb", "episode_facts"),
+        "episodes": ("episode_facts",),
+    }
 
     def __getattr__(self, name: str):
         # only reached when `name` is not in the instance dict: compute the

@@ -73,6 +73,24 @@ def q_kg_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_episode_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """episodes.entity_edges materialized (reference nodes.py:137-140;
+    set by graphiti.py:467 after edge resolution): per episode, the
+    sorted list of resolved fact-edge uuids whose provenance includes
+    it, inverted from the edges' episodes arrays (one explode + one
+    partial-agg'd groupBy on the skinny uuid projection). Fact-free
+    episodes keep an empty list — the left join is part of the
+    contract."""
+    t = _graph(spark, sf_dir)
+    return t.episode_facts.select(
+        "uuid",
+        "url",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("entity_edges").cast("long").alias("n_facts"),
+        F.array_join("entity_edges", ",").alias("fact_uuids"),
+    )
+
+
 def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical entity nodes after resolution (X5/X7 + A8)."""
     t = _graph(spark, sf_dir)
@@ -505,16 +523,18 @@ _DUCK_QZ = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) 
 
 def _kmeans_sql_parts(n_cells: int, iters: int) -> tuple[list[str], str, str]:
     """SQL mirror of operators/ann.train_centroids + assign_cells over an
-    in-scope CTE `cand(c_id, emb)`: strided seeds, `iters` exact
-    integer-sum Lloyd rounds, final assignment. Returns (cte_parts,
-    last_assignment_cte, last_centroid_cte) — shared by the ann_ivf_topk
-    and doc_embcos_dedup oracles."""
+    in-scope CTE `cand(c_id, emb)`: min-n_cells-by-md5(c_id) seeds (the
+    bounded deterministic sample — Spark side is a TakeOrderedAndProject,
+    never a global sort), `iters` exact integer-sum Lloyd rounds, final
+    assignment. Returns (cte_parts, last_assignment_cte,
+    last_centroid_cte) — shared by the ann_ivf_topk and doc_embcos_dedup
+    oracles."""
     parts = [f"""
-prm AS (SELECT greatest(count(*) // {n_cells}, 1) AS s FROM cand),
 cent0 AS (
-  SELECT CAST((rn - 1) // s AS INT) AS cell_id, emb AS centroid
-  FROM (SELECT emb, row_number() OVER (ORDER BY c_id) AS rn FROM cand) r, prm
-  WHERE (rn - 1) % s = 0 AND rn <= 1 + {n_cells - 1} * s
+  SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INT) AS cell_id,
+         emb AS centroid
+  FROM (SELECT md5(CAST(c_id AS VARCHAR)) AS h, emb FROM cand
+        ORDER BY h LIMIT {n_cells})
 )"""]
     for i in range(1, iters + 2):
         parts.append(f"""
@@ -571,6 +591,15 @@ SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, score_q FROM (
 
 
 EMBCOS_MIN_Q = 900_000  # 0.9 cosine at milli-quantization (~1e6 scale)
+EMBCOS_MAX_CELL = 100_000  # per-cell population cap (quadratic guard)
+
+
+def _sql_cell_cap(last_asg: str, max_cell: int = EMBCOS_MAX_CELL) -> str:
+    """SQL mirror of operators/ann._cap_cells: cells above max_cell are
+    excluded before the same-cell self-join."""
+    return f"""
+okcell AS (SELECT cell_id FROM {last_asg} GROUP BY 1
+           HAVING count(*) <= {max_cell})"""
 
 
 def q_doc_embcos_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -594,7 +623,10 @@ def q_doc_embcos_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("emb"),
     )
     pairs = ann.embcos_dedup_pairs(
-        base.unionByName(pert), n_cells=IVF_CELLS, min_score_q=EMBCOS_MIN_Q
+        base.unionByName(pert),
+        n_cells=IVF_CELLS,
+        min_score_q=EMBCOS_MIN_Q,
+        max_cell=EMBCOS_MAX_CELL,
     )
     return pairs.select(
         "id_a", "id_b", F.col("score_q").cast("long").alias("score_q")
@@ -615,12 +647,13 @@ pert AS (
 cand AS (SELECT id AS c_id, emb FROM base UNION ALL SELECT id AS c_id, emb FROM pert)"""]
     km_parts, last_asg, _ = _kmeans_sql_parts(IVF_CELLS, IVF_ITERS)
     parts += km_parts
+    parts.append(_sql_cell_cap(last_asg))
     return (
         "WITH " + ",".join(p.strip() for p in parts)
         + f"""
 SELECT a.c_id AS id_a, b.c_id AS id_b,
        CAST(list_inner_product(a.emb, b.emb) AS BIGINT) AS score_q
-FROM {last_asg} a JOIN {last_asg} b
+FROM {last_asg} a JOIN okcell USING (cell_id) JOIN {last_asg} b
   ON a.cell_id = b.cell_id AND a.c_id < b.c_id
 WHERE CAST(list_inner_product(a.emb, b.emb) AS BIGINT) >= {EMBCOS_MIN_Q}"""
     )
@@ -652,6 +685,7 @@ def q_emb_contrastive(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=IVF_CELLS,
         pos_q=CONTRA_POS_Q,
         neg_q=CONTRA_NEG_Q,
+        max_cell=EMBCOS_MAX_CELL,
     )
 
 
@@ -669,6 +703,7 @@ pert AS (
 cand AS (SELECT id AS c_id, emb FROM base UNION ALL SELECT id AS c_id, emb FROM pert)"""]
     km_parts, last_asg, _ = _kmeans_sql_parts(IVF_CELLS, IVF_ITERS)
     parts += km_parts
+    parts.append(_sql_cell_cap(last_asg))
     return (
         "WITH " + ",".join(p.strip() for p in parts)
         + f"""
@@ -677,7 +712,7 @@ SELECT id_a, id_b, score_q,
 FROM (
   SELECT a.c_id AS id_a, b.c_id AS id_b,
          CAST(list_inner_product(a.emb, b.emb) AS BIGINT) AS score_q
-  FROM {last_asg} a JOIN {last_asg} b
+  FROM {last_asg} a JOIN okcell USING (cell_id) JOIN {last_asg} b
     ON a.cell_id = b.cell_id AND a.c_id < b.c_id
 )
 WHERE score_q >= {CONTRA_POS_Q} OR score_q <= {CONTRA_NEG_Q}"""
@@ -1511,10 +1546,9 @@ def q_kg_fact_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary head: top 50 terms by frequency with rank — the
     Zipf sanity table a curation run eyeballs. Explode shuffles once on
-    the term key (map-side combined); the rank window runs over the
-    vocab-sized aggregate, never the corpus."""
-    from pyspark.sql import Window
-
+    the term key (map-side combined); ranking is a TakeOrderedAndProject
+    top-50 plus a 50-row collect_list — never a window over the
+    vocabulary."""
     d = docs.read_documents(spark, sf_dir)
     terms = d.select(
         F.explode(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias(
@@ -1522,14 +1556,22 @@ def q_doc_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.col("cnt").desc(), "term")
+    # TakeOrderedAndProject top-50, then rank the 50 survivors in one
+    # bounded collect_list — no global single-partition window over the
+    # vocabulary
+    top = counts.orderBy(F.col("cnt").desc(), "term").limit(50)
     return (
-        counts.select(
-            "term",
-            F.col("cnt").cast("long").alias("cnt"),
-            F.row_number().over(w).cast("long").alias("rank"),
+        top.agg(
+            F.expr("array_sort(collect_list(struct(-cnt AS nc, term, cnt)))").alias(
+                "s"
+            )
         )
-        .where(F.col("rank") <= 50)
+        .select(F.posexplode("s").alias("i", "x"))
+        .select(
+            F.col("x.term").alias("term"),
+            F.col("x.cnt").cast("long").alias("cnt"),
+            (F.col("i") + 1).cast("long").alias("rank"),
+        )
     )
 
 
@@ -1834,6 +1876,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triples": q_kg_triples,
     "kg_contradictions": q_kg_contradictions,
     "kg_episodes": q_kg_episodes,
+    "kg_episode_facts": q_kg_episode_facts,
     "kg_nodes": q_kg_nodes,
     "kg_mentions": q_kg_mentions,
     "kg_node_summaries": q_kg_node_summaries,
@@ -2021,6 +2064,49 @@ SELECT md5(url || '|' || (i - 1)) AS uuid, url, CAST(i - 1 AS BIGINT) AS chunk_i
        group_id, length(content) AS n_chars, warc_ts AS valid_at
 FROM chunks WHERE length(content) > 0"""
     )
+
+
+def _sql_kg_episode_facts() -> str:
+    """SQL mirror of q_kg_episode_facts: raw extracted triples map to
+    their FINAL deduped edge via the same dedup key materialize_edges
+    groups on — (group_id, subj, synonym-class(pred), obj) — then the
+    (episode, edge uuid) pairs aggregate per episode; episodes without
+    facts come from the chunk base through the left join."""
+    body = """
+, rawk AS (
+  SELECT episode_uuid, group_id, subj, obj,
+         (CASE pred WHEN 'EMPLOYED_AT' THEN 'WORKS_AT' ELSE pred END) AS predk
+  FROM raw
+),
+edsk AS (
+  SELECT group_id, subj, obj,
+         (CASE pred WHEN 'EMPLOYED_AT' THEN 'WORKS_AT' ELSE pred END) AS predk,
+         uuid
+  FROM eds
+),
+ep_pairs AS (
+  SELECT DISTINCT r.episode_uuid, e.uuid AS edge_uuid
+  FROM rawk r JOIN edsk e USING (group_id, subj, predk, obj)
+),
+epf AS (
+  SELECT episode_uuid, count(*) AS n_facts,
+         string_agg(edge_uuid, ',' ORDER BY edge_uuid) AS fact_uuids
+  FROM ep_pairs GROUP BY 1
+),
+chunks AS (
+  SELECT md5(url || '|' || (i - 1)) AS uuid, url, CAST(i - 1 AS BIGINT) AS chunk_idx
+  FROM (
+    SELECT url,
+           unnest(string_split(clean_text, chr(10) || chr(10))) AS content,
+           generate_subscripts(string_split(clean_text, chr(10) || chr(10)), 1) AS i
+    FROM pages_g
+  ) WHERE length(content) > 0
+)
+SELECT c.uuid, c.url, c.chunk_idx,
+       CAST(coalesce(f.n_facts, 0) AS BIGINT) AS n_facts,
+       coalesce(f.fact_uuids, '') AS fact_uuids
+FROM chunks c LEFT JOIN epf f ON f.episode_uuid = c.uuid"""
+    return _kg_sql(body, with_eds=True)
 
 
 def _sql_kg_nodes() -> str:
@@ -3617,6 +3703,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_triples": _sql_kg_triples,
     "kg_contradictions": _sql_kg_contradictions,
     "kg_episodes": _sql_kg_episodes,
+    "kg_episode_facts": _sql_kg_episode_facts,
     "kg_nodes": _sql_kg_nodes,
     "kg_mentions": _sql_kg_mentions,
     "kg_node_summaries": _sql_kg_node_summaries,

@@ -43,14 +43,18 @@ def q_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = search.make_queries_df(spark, DOC_QUERIES)
     ft = search.bm25_topk(docs, qs, "doc_id", "text", k=20)
     # orderBy().limit() -> TakeOrderedAndProject (per-partition top-k +
-    # driver merge), then rank only the 20 survivors — never a global
-    # single-partition window sort over the whole corpus
+    # driver merge), then rank only the 20 survivors via one bounded
+    # collect_list — never a global single-partition window sort
     top20 = docs.select("doc_id").orderBy(F.desc("doc_id")).limit(20)
-    w = Window.orderBy(F.desc("doc_id"))
     recency = (
-        top20.withColumn("rank", F.row_number().over(w))
+        top20.agg(F.expr("array_sort(collect_list(-doc_id))").alias("s"))
+        .select(F.posexplode("s").alias("i", "nd"))
         .crossJoin(qs.select("query_id"))
-        .select("query_id", F.col("rank").cast("long").alias("rank"), "doc_id")
+        .select(
+            "query_id",
+            (F.col("i") + 1).cast("long").alias("rank"),
+            (-F.col("nd")).alias("doc_id"),
+        )
     )
     fused = search.rrf([ft.select("query_id", "rank", "doc_id"), recency], "doc_id")
     return fused.where(F.col("rank") <= 10).select(

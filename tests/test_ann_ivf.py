@@ -29,8 +29,8 @@ def test_ivf_trained_recall_vs_brute_force(spark, sf_dir):
     """Recall grows monotonically with probes and reaches 1.0 at full
     probe (every cell scanned == brute force). The testdata embeddings
     are RANDOM (no cluster structure), the worst case for IVF — measured
-    recall at 2/8 probes is 0.50 on sf0.001 (vs 0.25 for random cell
-    pruning), 0.775 at 4, 1.0 at 8."""
+    recall with the min-k-by-hash seeding at 2/8 probes is 0.475 on
+    sf0.001 (vs 0.25 for random cell pruning), 0.675 at 4, 1.0 at 8."""
     q, c = _split(spark, sf_dir)
     exact = ann.brute_force_topk(
         q.select("q_id", F.col("emb").alias("qe")),
@@ -49,7 +49,7 @@ def test_ivf_trained_recall_vs_brute_force(spark, sf_dir):
 
     r2, r4, r8 = recall(IVF_PROBE), recall(4), recall(IVF_CELLS)
     assert r2 >= 0.45, f"2-probe recall {r2}"
-    assert r4 >= r2 and r4 >= 0.7, f"4-probe recall {r4}"
+    assert r4 >= r2 and r4 >= 0.65, f"4-probe recall {r4}"
     assert r8 == 1.0, f"full-probe must equal brute force, got {r8}"
 
 
@@ -72,6 +72,40 @@ def test_ivf_cells_partition_candidates(spark, sf_dir):
     assert assigned.select("c_id").distinct().count() == c.count()
     n_cells = assigned.select("cell_id").distinct().count()
     assert 2 <= n_cells <= IVF_CELLS
+
+
+def test_cell_cap_bounds_degenerate_cell(spark):
+    """Per-cell population cap (_cap_cells): a degenerate hot cell —
+    40 near-identical vectors that all land in one cell — is DROPPED
+    before the self-join when it exceeds max_cell, so the pair count is
+    bounded by the surviving cells, never quadratic in the hot cell.
+    This is the embedding-family analogue of minhash_candidates'
+    max_bucket guard (operators/dedup.py)."""
+    from graphiti_spark.operators.ann import contrastive_pairs, embcos_dedup_pairs
+
+    # seed ids chosen against the min-md5(c_id) seeding: md5('363') =
+    # '0041...' (global min -> the cool seed), md5('27') = '02e7...'
+    # (min over the hot block -> the hot seed), so the two directions
+    # each anchor a cell deterministically
+    hot = [(i, [1_000_000 + i, 0]) for i in range(40)]  # one dense direction
+    cool = [(363, [0, 1_000_000]), (365, [0, 999_000])]  # a small second cell
+    vecs = spark.createDataFrame(hot + cool, "id long, emb array<bigint>")
+
+    uncapped = embcos_dedup_pairs(vecs, n_cells=2, min_score_q=900_000,
+                                  max_cell=100_000)
+    assert uncapped.count() > 40 * 39 / 4  # hot cell dominates uncapped
+
+    capped = embcos_dedup_pairs(vecs, n_cells=2, min_score_q=900_000,
+                                max_cell=10)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert got == {(363, 365)}  # hot cell dropped, small cell survives
+
+    capped_c = contrastive_pairs(vecs, n_cells=2, pos_q=900_000,
+                                 neg_q=400_000, max_cell=10)
+    ids = {r["id_a"] for r in capped_c.collect()} | {
+        r["id_b"] for r in capped_c.collect()
+    }
+    assert ids <= {363, 365}  # no pair touches the dropped hot cell
 
 
 def test_range_search_threshold_boundary(spark):

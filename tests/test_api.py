@@ -158,6 +158,24 @@ def test_get_by_uuids_and_node_edges(g):
     ).all()
 
 
+def test_episode_entity_edges(g):
+    """episodes.entity_edges (reference nodes.py:137-140, filled by
+    graphiti.py:467): every fact edge's provenance episode lists that
+    edge back, sorted; episodes with no facts carry an empty list."""
+    edge = g.tables.edges.where(F.size("episodes") > 0).limit(1).collect()[0]
+    ep_uuid = edge["episodes"][0]
+    got = g.get_episodes_by_uuids([ep_uuid]).collect()
+    assert len(got) == 1
+    ee = got[0]["entity_edges"]
+    assert edge["uuid"] in ee
+    assert ee == sorted(ee)
+    # a fact-free episode (no extracted triples) still resolves, with []
+    ef = g.tables.episode_facts
+    empty = ef.where(F.size("entity_edges") == 0).limit(1).collect()
+    if empty:
+        assert empty[0]["entity_edges"] == []
+
+
 def test_summaries_are_content_derived(g):
     rows = g.tables.nodes.where(F.size(F.col("labels")) > 0).limit(20).toPandas()
     # at least one node's summary carries an actual fact sentence beyond

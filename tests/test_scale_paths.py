@@ -58,6 +58,32 @@ def test_sort_merge_plan_is_chosen_without_broadcast(no_broadcast, sf_dir):
     assert "BroadcastHashJoin" not in plan
 
 
+def test_distributed_cc_branch_matches_local(spark, monkeypatch):
+    """The distributed min-label fixpoint (taken when the match-edge list
+    exceeds LOCAL_CC_THRESHOLD — the 100 TB common path) produces the
+    same components as the small-graph driver path. Forced here by
+    dropping the threshold to 0 so the probe count always overflows."""
+    from graphiti_spark.operators import resolve
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e"), ("f", "f")], ["src", "dst"]
+    )
+    verts = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("e",), ("f",), ("g",)], ["id"]
+    )
+    expected = {
+        r["id"]: r["component"]
+        for r in resolve.connected_components(edges, verts).collect()
+    }
+    monkeypatch.setattr(resolve, "LOCAL_CC_THRESHOLD", 0)
+    got = {
+        r["id"]: r["component"]
+        for r in resolve.connected_components(edges, verts).collect()
+    }
+    assert got == expected
+    assert got["c"] == "a" and got["e"] == "d" and got["g"] == "g"
+
+
 def test_results_identical_with_and_without_broadcast(spark, sf_dir):
     base = _signature(triples_view(build_graph(spark, sf_dir)))
     old = {k: spark.conf.get(k, None) for k in _THRESHOLDS}

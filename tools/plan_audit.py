@@ -9,6 +9,9 @@ anti-patterns that kill 100x scale-ups:
   FlatMapGroupsInPandas are fine)
 - single-partition exchanges (Exchange SinglePartition) that are NOT the
   final merge of a TakeOrderedAndProject/top-k or a one-row scalar agg
+- global unpartitioned windows (Window with an empty PARTITION BY) — a
+  whole-input single-partition sort, the classic 100x scale-killer; a
+  bounded global top-k must be TakeOrderedAndProject instead
 
 Usage: python tools/plan_audit.py [sf_dir] [query ...]
 Writes PLANS.md (summary table + per-query flags) and prints the table.
@@ -67,6 +70,25 @@ def _nlj_counts(plan: str) -> tuple[int, int]:
     return bad, benign
 
 
+def _global_windows(plan: str) -> int:
+    """Count Window operators whose partition spec is EMPTY — the whole
+    input flows through one task. Formatted explain OMITS an empty
+    partition list from windowspecdefinition, so the reliable signal is
+    the FIRST windowspecdefinition argument already carrying a sort
+    direction (`col ASC NULLS FIRST, ...`); a partitioned window's first
+    argument is a bare partition column. Block bodies stop at the blank
+    line before the next `(N) Op` header."""
+    n = 0
+    for m in re.finditer(
+        r"^\(\d+\) Window(?:Exec)?\n((?:^[^(\n].*\n)*)", plan, re.M
+    ):
+        block = m.group(1)
+        am = re.search(r"windowspecdefinition\(([^,]*),", block)
+        if am and re.search(r"\b(?:ASC|DESC)\b", am.group(1)):
+            n += 1
+    return n
+
+
 def audit_plan(plan: str) -> dict[str, int]:
     nlj_bad, nlj_benign = _nlj_counts(plan)
     flags = {
@@ -77,6 +99,7 @@ def audit_plan(plan: str) -> dict[str, int]:
         "single_part_exchange": len(
             re.findall(r"Exchange SinglePartition", plan)
         ),
+        "global_window": _global_windows(plan),
         "broadcast_joins": _op(plan, "BroadcastHashJoin"),
         "sortmerge_joins": _op(plan, "SortMergeJoin"),
     }
@@ -97,6 +120,15 @@ ALLOWED_NLJ = {
     # radius search is the same brute-force shape as ann_topk: the
     # broadcast build side is the pushed-filter-pruned 8-query slice
     "ann_range": "fixed-score dual of ann_topk: 8-query slice x corpus",
+}
+
+# Queries allowed exactly ONE unpartitioned window, with the size bound
+# that makes it benign:
+ALLOWED_GLOBAL_WINDOW = {
+    # three-level distributed prefix sum: the only unpartitioned window
+    # runs over the SUPERCHUNK totals — corpus/65536^2 rows (~233 rows at
+    # 1e12 docs), not the corpus (operators/docs.py pack_blocks)
+    "doc_pack": "prefix-sum top level: corpus/65536^2 superchunk rows",
 }
 
 
@@ -130,12 +162,27 @@ def main() -> int:
         f["single_part_suspicious"] = max(
             0, f.pop("single_part_exchange") - topk
         )
-        bad = f["cartesian"] + f["nested_loop"] + f["py_row_udf"]
+        allowed_notes = []
+        if (
+            f["global_window"] == 1
+            and name in ALLOWED_GLOBAL_WINDOW
+        ):
+            f["global_window_allowed"] = 1
+            f["global_window"] = 0
+            allowed_notes.append(ALLOWED_GLOBAL_WINDOW[name])
+        else:
+            f["global_window_allowed"] = 0
+        bad = (
+            f["cartesian"] + f["nested_loop"] + f["py_row_udf"]
+            + f["global_window"]
+        )
         if bad and name in ALLOWED_NLJ and bad == f["nested_loop"] == 1:
             f["nlj_local"] += 1
             f["nested_loop"] = 0
             bad = 0
             verdict = f"ok (allowed: {ALLOWED_NLJ[name]})"
+        elif allowed_notes:
+            verdict = "FLAG" if bad else f"ok (allowed: {allowed_notes[0]})"
         else:
             verdict = "FLAG" if bad else "ok"
         rows.append((name, f, verdict))
@@ -145,7 +192,8 @@ def main() -> int:
             f"{name:>22}: {verdict:4}"
             f" cart={f['cartesian']} nlj={f['nested_loop']}"
             f" nlj_local={f['nlj_local']}"
-            f" pyrow={f['py_row_udf']} 1part?={f['single_part_suspicious']}"
+            f" pyrow={f['py_row_udf']} gwin={f['global_window']}"
+            f" 1part?={f['single_part_suspicious']}"
             f" bhj={f['broadcast_joins']} smj={f['sortmerge_joins']}"
         )
 
@@ -159,17 +207,20 @@ def main() -> int:
         "3-5-row query/centroid table (the intended 'score K queries",
         "against the corpus' plan — benign), `pyrow` row-at-a-time Python",
         "UDF (BatchEvalPython — the engine's rule is Arrow-batched only),",
+        "`gwin` global unpartitioned windows (whole input through one",
+        "task; size-bounded allowances listed in ALLOWED_GLOBAL_WINDOW),",
         "`1part?` single-partition exchanges not explained by a global",
         "top-k merge, `bhj`/`smj` join counts.",
         "",
-        "| query | verdict | cart | nlj | nlj-local | pyrow | 1part? | bhj | smj |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "| query | verdict | cart | nlj | nlj-local | pyrow | gwin | 1part? | bhj | smj |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for name, f, verdict in rows:
         lines.append(
             f"| {name} | {verdict} | {f['cartesian']} | {f['nested_loop']} |"
             f" {f['nlj_local']} |"
-            f" {f['py_row_udf']} | {f['single_part_suspicious']} |"
+            f" {f['py_row_udf']} | {f['global_window']} |"
+            f" {f['single_part_suspicious']} |"
             f" {f['broadcast_joins']} | {f['sortmerge_joins']} |"
         )
     n_flag = sum(1 for _, _, v in rows if v == "FLAG")
@@ -177,7 +228,8 @@ def main() -> int:
     lines += [
         "",
         f"**{len(rows)} queries audited, {n_flag} flagged,"
-        f" {n_allowed} allowed-by-design (see ALLOWED_NLJ in the tool).**",
+        f" {n_allowed} allowed-by-design (see ALLOWED_NLJ /"
+        f" ALLOWED_GLOBAL_WINDOW in the tool).**",
         "",
     ]
     if details:
