@@ -46,6 +46,7 @@ def run_bench(sf_dir: str, cpus: int, names: list[str]) -> dict:
     from graphiti_spark import registry
     from graphiti_spark.session import get_spark
 
+    host_state = _host_state()  # captured BEFORE any work starts
     spark = get_spark(
         app_name=f"bench-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
     )
@@ -111,10 +112,34 @@ def run_bench(sf_dir: str, cpus: int, names: list[str]) -> dict:
         "sf": sf_dir,
         "cpus": cpus,
         "n_triples": n_triples,
+        "host_state": host_state,
         **tput,
     }
     spark.stop()
     return out
+
+
+def _host_state() -> dict:
+    """Host-noise provenance recorded with every bench artifact: a run
+    started while another job's caches are hot (e.g. seconds after the
+    10-minute correctness gate) reads up to 2.5x slower purely from
+    cache/LLC pressure. load1 at bench START makes round-over-round
+    numbers interpretable — compare runs at similar load, or re-run on a
+    quiet host (load1 < ~2) before citing a regression."""
+    state: dict = {}
+    try:
+        state["load1"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    state["mem_available_mb"] = int(line.split()[1]) // 1024
+                    break
+    except OSError:
+        pass
+    return state
 
 
 SCALING_SNIPPET = """

@@ -70,6 +70,10 @@ PLACES = [
     "Paris", "Berlin", "Oslo", "Lisbon", "Madrid",
     "Vienna", "Prague", "Dublin", "Zurich", "Athens",
 ]
+MONTHS = [
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December",
+]
 
 HONORIFIC = "Professor "
 ORG_SUFFIX = " Inc"
@@ -271,16 +275,67 @@ def render_json(d: int) -> str:
 
 
 def rel_fields(d: int) -> dict:
+    """Relative-time paragraph fields. `form` cycles through the X4
+    relative-expression surface forms the reference's date-extraction
+    prompt enumerates (temporal_operations.py:32-68 +
+    prompts/extract_edge_dates.py:66-81): "N days ago", "last
+    week/month/year" (all resolved AGAINST the episode reference
+    timestamp) and an explicit "since <month> <year>" anchor."""
     return {
         "person": PERSONS[(d * 11 + 3) % len(PERSONS)],
         "place": PLACES[(d * 7 + 1) % len(PLACES)],
+        "org": ORGS[(d * 5 + 2) % len(ORGS)],
         "days": 1 + d % 5,
+        "form": d % 5,
+        "month": 1 + d % 12,
+        "myear": 2016 + d % 8,
     }
 
 
 def render_rel(d: int) -> str:
     r = rel_fields(d)
+    f = r["form"]
+    if f == 1:
+        return f"Last week, {r['person']} visited {r['place']}."
+    if f == 2:
+        return f"Last month, {r['person']} visited {r['place']}."
+    if f == 3:
+        return f"Last year, {r['person']} visited {r['place']}."
+    if f == 4:
+        return (
+            f"{r['person']} has led {r['org']} since "
+            f"{MONTHS[r['month'] - 1]} {r['myear']}."
+        )
     return f"{r['days']} days ago, {r['person']} visited {r['place']}."
+
+
+def minus_months(ts: datetime, n: int) -> datetime:
+    """Month subtraction with end-of-month clamping — bit-identical to
+    Spark's `ts - make_interval(0, n)` and DuckDB's `ts - INTERVAL n
+    MONTH` (both clamp the day to the target month's length; verified
+    2024-03-31 - 1 month == 2024-02-29 on both engines)."""
+    import calendar
+
+    m = ts.year * 12 + (ts.month - 1) - n
+    y, mo = divmod(m, 12)
+    mo += 1
+    return ts.replace(year=y, month=mo,
+                      day=min(ts.day, calendar.monthrange(y, mo)[1]))
+
+
+def rel_valid_at(d: int, warc: datetime) -> datetime:
+    """Ground-truth valid_at of the relative-time paragraph's triple."""
+    r = rel_fields(d)
+    f = r["form"]
+    if f == 1:
+        return warc - timedelta(days=7)
+    if f == 2:
+        return minus_months(warc, 1)
+    if f == 3:
+        return minus_months(warc, 12)
+    if f == 4:
+        return datetime(r["myear"], r["month"], 1)
+    return warc - timedelta(days=r["days"])
 
 
 # --------------------------------------------------------------------------
@@ -365,6 +420,7 @@ def sql_pages_cte() -> str:
     persons = _sql_array("p", PERSONS)
     orgs = _sql_array("o", ORGS)
     places = _sql_array("l", PLACES)
+    months = _sql_array("m", MONTHS)
     np, no, nl = len(PERSONS), len(ORGS), len(PLACES)
     return f"""
 sent_g AS (
@@ -437,12 +493,23 @@ rfields AS (
   SELECT d.doc_id,
          ({persons})[1 + (d.doc_id*11 + 3) % {np}] AS rperson,
          ({places})[1 + (d.doc_id*7 + 1) % {nl}] AS rplace,
-         1 + d.doc_id % 5 AS rdays
+         ({orgs})[1 + (d.doc_id*5 + 2) % {no}] AS rorg,
+         1 + d.doc_id % 5 AS rdays,
+         d.doc_id % 5 AS rform,
+         1 + d.doc_id % 12 AS rmonth,
+         2016 + d.doc_id % 8 AS ryear
   FROM documents d WHERE d.doc_id % 6 = 1
 ),
 rpara AS (
   SELECT doc_id,
-         CAST(rdays AS VARCHAR) || ' days ago, ' || rperson || ' visited ' || rplace || '.' AS para
+         CASE rform
+           WHEN 1 THEN 'Last week, ' || rperson || ' visited ' || rplace || '.'
+           WHEN 2 THEN 'Last month, ' || rperson || ' visited ' || rplace || '.'
+           WHEN 3 THEN 'Last year, ' || rperson || ' visited ' || rplace || '.'
+           WHEN 4 THEN rperson || ' has led ' || rorg || ' since '
+                       || ({months})[rmonth] || ' ' || ryear || '.'
+           ELSE CAST(rdays AS VARCHAR) || ' days ago, ' || rperson || ' visited ' || rplace || '.'
+         END AS para
   FROM rfields
 ),
 pages_g AS MATERIALIZED (
@@ -528,9 +595,17 @@ triples_g AS MATERIALIZED (
            + (CASE WHEN r.doc_id % 5 = 2 THEN 1 ELSE 0 END)
            + (CASE WHEN r.doc_id % 7 = 3 THEN 1 ELSE 0 END) AS para_idx,
          rp.para AS fact,
-         r.rperson AS subj, r.rperson AS subj_base, 'VISITED' AS pred,
-         r.rplace AS obj, r.rplace AS obj_base,
-         p.warc_ts - INTERVAL 1 DAY * r.rdays AS valid_at,
+         r.rperson AS subj, r.rperson AS subj_base,
+         CASE WHEN r.rform = 4 THEN 'LEADS' ELSE 'VISITED' END AS pred,
+         CASE WHEN r.rform = 4 THEN r.rorg ELSE r.rplace END AS obj,
+         CASE WHEN r.rform = 4 THEN r.rorg ELSE r.rplace END AS obj_base,
+         CASE r.rform
+           WHEN 1 THEN p.warc_ts - INTERVAL 1 WEEK
+           WHEN 2 THEN p.warc_ts - INTERVAL 1 MONTH
+           WHEN 3 THEN p.warc_ts - INTERVAL 1 YEAR
+           WHEN 4 THEN make_timestamp(r.ryear, r.rmonth, 1, 0, 0, 0)
+           ELSE p.warc_ts - INTERVAL 1 DAY * r.rdays
+         END AS valid_at,
          p.url, p.group_id, p.warc_ts
   FROM rfields r JOIN rpara rp ON rp.doc_id = r.doc_id
   JOIN pages_g p ON p.doc_id = r.doc_id
@@ -581,7 +656,10 @@ mentions_g AS MATERIALIZED (
            + (CASE WHEN r.doc_id % 7 = 3 THEN 1 ELSE 0 END) AS para_idx,
          v.name, v.base
   FROM rfields r JOIN pages_g p ON p.doc_id = r.doc_id,
-  LATERAL (SELECT * FROM (VALUES (r.rperson, r.rperson), (r.rplace, r.rplace)) AS x(name, base)) v
+  LATERAL (SELECT * FROM (VALUES
+    (r.rperson, r.rperson),
+    (CASE WHEN r.rform = 4 THEN r.rorg ELSE r.rplace END,
+     CASE WHEN r.rform = 4 THEN r.rorg ELSE r.rplace END)) AS x(name, base)) v
 )"""
 
 
@@ -681,13 +759,16 @@ def golden_triples(documents) -> "pandas.DataFrame":  # noqa: F821
                     "doc_id": d, "k": -3, "sent_idx": 0,
                     "para_idx": rel_para_idx(d),
                     "url": page_url(d, r.source), "group_id": r.source,
-                    "subj": rel["person"], "pred": "VISITED",
-                    "obj": rel["place"],
+                    "subj": rel["person"],
+                    "pred": "LEADS" if rel["form"] == 4 else "VISITED",
+                    "obj": rel["org"] if rel["form"] == 4 else rel["place"],
                     "fact": render_rel(d),
-                    # X4: relative expression resolved against the
-                    # episode's reference time (warc_ts), not a date in
-                    # the text (temporal_operations.py:32-68)
-                    "valid_at": warc - timedelta(days=rel["days"]),
+                    # X4: relative expressions ("N days ago", "last
+                    # week/month/year") resolved against the episode's
+                    # reference time (warc_ts); the explicit "since
+                    # <month> <year>" anchor overrides
+                    # (temporal_operations.py:32-68)
+                    "valid_at": rel_valid_at(d, warc),
                     "warc_ts": warc,
                 }
             )
@@ -734,7 +815,8 @@ def golden_mentions(documents) -> "pandas.DataFrame":  # noqa: F821
                 )
         if has_rel(d):
             rel = rel_fields(d)
-            for name in (rel["person"], rel["place"]):
+            second = rel["org"] if rel["form"] == 4 else rel["place"]
+            for name in (rel["person"], second):
                 rows.append(
                     {
                         "doc_id": d, "para_idx": rel_para_idx(d),

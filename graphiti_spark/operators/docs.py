@@ -27,10 +27,42 @@ BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 PUNCT = r"[^A-Za-z0-9\s]"
 
 EN_STOP = r"\b(the|and|of|is|in|to|a|for|on|with)\b"
-DE_STOP = r"\b(der|die|das|und|ist|nicht|ein|zu)\b"
-FR_STOP = r"\b(le|la|les|et|est|une|dans|pour)\b"
-ES_STOP = r"\b(el|los|las|de|que|y|en|un|para)\b"
 CJK = r"[\x{4e00}-\x{9fff}]"
+
+# Char-trigram language profiles (Cavnar & Trenkle 1994 "N-Gram-Based
+# Text Categorization" — the fastText-free classic): per language, its
+# most DISTINCTIVE frequent trigrams derived from top function words /
+# morphology (public linguistic knowledge), weighted to favor
+# language-unique trigrams over ones shared across Romance/Germanic
+# neighbors. Scores accumulate per occurrence over the (lowercased,
+# letter-only, space-padded) first LANGID_PREFIX chars; zh is scored on
+# CJK character hits (no whitespace tokenization in CJK). The single
+# source of truth for BOTH the Spark scorer (lang_id) and the DuckDB
+# oracle mirror (sql_lang_id_cte).
+LANG_TRIGRAMS: dict[str, list[tuple[str, int]]] = {
+    "en": [("the", 3), (" th", 2), ("and", 2), ("ing", 2), (" of", 2),
+           ("ion", 1), ("tio", 2), (" is", 1), ("ed ", 1), (" wa", 1)],
+    "de": [("der", 2), ("die", 2), ("und", 3), ("ein", 2), ("ich", 2),
+           ("sch", 2), ("cht", 2), ("ung", 3), (" zu", 2), ("gen", 1)],
+    "fr": [(" le", 2), ("les", 2), ("ent", 1), ("que", 1), ("ais", 2),
+           ("ons", 2), ("eur", 1), ("est", 1), (" ét", 3), ("aux", 2)],
+    "es": [(" el", 2), ("los", 2), ("ado", 2), ("que", 1), ("ión", 3),
+           ("nte", 1), ("una", 2), (" y ", 3), ("ar ", 1), ("año", 2)],
+    "it": [(" di", 2), ("che", 2), ("zio", 3), ("ell", 2), ("are", 1),
+           ("ato", 2), ("gli", 3), ("ità", 3), (" il", 3), ("non", 1)],
+    "pt": [("ção", 3), ("ão ", 3), ("da ", 2), ("uma", 2), ("não", 3),
+           ("com", 1), ("os ", 1), ("em ", 1), ("lho", 2), ("ões", 3)],
+    "nl": [("het", 3), ("een", 2), ("van", 3), ("aar", 2), ("ijk", 3),
+           ("ij ", 2), ("oor", 2), ("iet", 1), ("aat", 1), ("zij", 3)],
+    "sv": [("och", 3), ("att", 2), ("det", 2), ("för", 3), ("som", 2),
+           ("lig", 1), ("än ", 2), ("ång", 2), ("kt ", 1), ("js ", 1)],
+    "pl": [("nie", 2), ("rze", 2), ("cze", 2), ("ych", 3), ("ego", 3),
+           ("owa", 2), ("ści", 3), ("prz", 3), (" w ", 3), ("ać ", 2)],
+    "tr": [("lar", 2), ("ler", 2), ("bir", 3), ("iyo", 3), ("ını", 3),
+           ("ünü", 2), ("ğı ", 3), ("tır", 2), ("yor", 3), ("mek", 2)],
+}
+LANG_PRIORITY = ["zh"] + list(LANG_TRIGRAMS)  # deterministic tie-break
+LANGID_PREFIX = 1000  # chars scored per doc (langid needs a prefix only)
 
 # the Gopher "must contain >= 2 of" stopword set (Rae et al. 2021 §A1.1)
 GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
@@ -164,34 +196,94 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
-    """Stopword-hit language ID over the corpus's declared language set
-    (en/de/fr/es + CJK char-class detection for zh, else 'und').
+_LANGID_NORM = (
+    f"substr(' ' || regexp_replace(lower(text), '[^\\\\p{{L}}]+', ' '),"
+    f" 1, {LANGID_PREFIX})"
+)
 
-    zh is scored on character hits (no whitespace tokenization in CJK),
-    the others on distinctive-stopword hits; priority order breaks ties
-    deterministically. All legs are single regexp_counts in one narrow
-    projection — whole-stage-codegen'd, no shuffle."""
-    low = F.lower("text")
+
+def _trigram_score_expr(prof: list[tuple[str, int]]) -> str:
+    """Spark SQL: accumulated profile weight over every overlapping char
+    trigram of the normalized prefix `_t` — one aggregate-over-sequence
+    inside whole-stage codegen (no explode, no shuffle; the CASE chain
+    compiles to a jump table)."""
+    whens = " ".join(f"WHEN '{g}' THEN {w}L" for g, w in prof)
+    return (
+        "IF(length(_t) < 3, 0L,"
+        " aggregate(transform(sequence(1, length(_t) - 2),"
+        f" i -> CASE substr(_t, i, 3) {whens} ELSE 0L END),"
+        " 0L, (a, x) -> a + x))"
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Char-trigram-profile language ID (Cavnar & Trenkle 1994) over 10
+    alphabetic languages + CJK char-class detection for zh, else 'und'.
+
+    Each language scores the sum of its profile weights over every
+    overlapping trigram of the normalized first {LANGID_PREFIX} chars
+    (lowercased, non-letters collapsed to single spaces, space-padded so
+    word-boundary trigrams like ' th' fire). zh is scored on CJK
+    character hits. The winner is the max score with a fixed priority
+    order breaking ties deterministically; all-zero -> 'und'. Everything
+    is ONE narrow whole-stage-codegen'd projection: prefix-bounded
+    per-row work, no shuffle, no UDF — the plan is a pure map at any
+    corpus size."""
     h = docs.select(
         "doc_id",
         F.col("lang").alias("lang_declared"),
-        F.regexp_count(low, F.lit(EN_STOP)).alias("en_hits"),
-        F.regexp_count(low, F.lit(DE_STOP)).alias("de_hits"),
-        F.regexp_count(low, F.lit(FR_STOP)).alias("fr_hits"),
-        F.regexp_count(low, F.lit(ES_STOP)).alias("es_hits"),
-        F.regexp_count("text", F.lit(CJK)).alias("zh_hits"),
+        F.expr(_LANGID_NORM).alias("_t"),
+        F.regexp_count("text", F.lit(CJK)).alias("zh_score"),
+    ).select(
+        "doc_id",
+        "lang_declared",
+        "zh_score",
+        *[
+            F.expr(_trigram_score_expr(prof)).alias(f"{lg}_score")
+            for lg, prof in LANG_TRIGRAMS.items()
+        ],
     )
-    return h.withColumn(
+    all_scores = ", ".join(f"{lg}_score" for lg in LANG_PRIORITY)
+    pick = " ".join(
+        f"WHEN {lg}_score = _m THEN '{lg}'" for lg in LANG_PRIORITY
+    )
+    return h.withColumn("_m", F.expr(f"greatest({all_scores})")).withColumn(
         "lang_guess",
-        F.expr(
-            "CASE WHEN zh_hits > greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'zh' "
-            "WHEN en_hits >= greatest(de_hits, fr_hits, es_hits) AND en_hits > 0 THEN 'en' "
-            "WHEN de_hits >= greatest(fr_hits, es_hits) AND de_hits > 0 THEN 'de' "
-            "WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr' "
-            "WHEN es_hits > 0 THEN 'es' ELSE 'und' END"
-        ),
+        F.expr(f"CASE WHEN _m = 0 THEN 'und' {pick} END"),
+    ).drop("_m")
+
+
+def sql_lang_id_cte() -> str:
+    """DuckDB mirror of lang_id over the `documents` view — generated
+    from the SAME LANG_TRIGRAMS table, so Spark and the oracle can never
+    drift. Returns a full SELECT (doc_id, lang_declared, *_score,
+    lang_guess)."""
+
+    def case(prof):
+        whens = " ".join(f"WHEN '{g}' THEN {w}" for g, w in prof)
+        return f"CASE t[i:i+2] {whens} ELSE 0 END"
+
+    score_cols = ",\n         ".join(
+        f"CAST(coalesce(list_sum(list_transform(range(1, greatest(len(t) - 1, 1)),"
+        f" i -> {case(prof)})), 0) AS BIGINT) AS {lg}_score"
+        for lg, prof in LANG_TRIGRAMS.items()
     )
+    all_scores = ", ".join(f"{lg}_score" for lg in LANG_PRIORITY)
+    pick = " ".join(f"WHEN {lg}_score = m THEN '{lg}'" for lg in LANG_PRIORITY)
+    return f"""
+SELECT doc_id, lang_declared, zh_score, {", ".join(f"{lg}_score" for lg in LANG_TRIGRAMS)},
+       CASE WHEN m = 0 THEN 'und' {pick} END AS lang_guess
+FROM (
+  SELECT *, greatest({all_scores}) AS m
+  FROM (
+    SELECT doc_id, lang AS lang_declared,
+           substr(' ' || regexp_replace(lower(text), '[^\\p{{L}}]+', ' ', 'g'),
+                  1, {LANGID_PREFIX}) AS t,
+           len(regexp_extract_all(text, '{CJK}')) AS zh_score
+    FROM documents
+  ) n
+  CROSS JOIN LATERAL (SELECT {score_cols}) s
+) z"""
 
 
 def gopher_rules(docs: DataFrame) -> DataFrame:

@@ -34,10 +34,10 @@ SENT_SPLIT = r"(?<=\.)\s+"
 
 # sentence-initial function words a capitalized-span detector must drop
 STOP_SPANS = frozenset(
-    {"Since", "The", "A", "An", "On", "In", "At", "By", "From", "To", "He",
-     "She", "They", "It", "We", "However", "Meanwhile", "January", "February",
-     "March", "April", "May", "June", "July", "August", "September",
-     "October", "November", "December"}
+    {"Since", "Last", "The", "A", "An", "On", "In", "At", "By", "From", "To",
+     "He", "She", "They", "It", "We", "However", "Meanwhile", "January",
+     "February", "March", "April", "May", "June", "July", "August",
+     "September", "October", "November", "December"}
 )
 
 # role table now lives in the user-extensible Ontology (ontology.py);
@@ -84,14 +84,46 @@ _TEXT_PATTERNS: list[tuple[str, str, int, int, str | None]] = [
         "to_timestamp(regexp_extract(sentence, '{p}', 3), 'yyyy-MM-dd')",
     ),
     (
-        # X4 relative-time rule (temporal_operations.py:32-68): "N days
-        # ago" resolves against the episode's reference timestamp
-        # (valid_at = warc_ts for crawl pages) — explicit dates override,
-        # relative expressions subtract from the reference
+        # X4 relative-time rules (temporal_operations.py:32-68,
+        # prompts/extract_edge_dates.py:66-81): relative expressions ("N
+        # days ago", "last week/month/year") resolve against the
+        # episode's reference timestamp (valid_at = warc_ts for crawl
+        # pages) — explicit dates override, present-tense facts keep the
+        # reference time itself (the no-valid-expr patterns above)
         _sql_lit(rf"^(\d+) days ago, {NAME_G} visited {NAME_G}\.$"),
         "VISITED", 2, 3,
         "valid_at - make_interval(0, 0, 0,"
         " cast(regexp_extract(sentence, '{p}', 1) as int))",
+    ),
+    (
+        _sql_lit(rf"^Last week, {NAME_G} visited {NAME_G}\.$"),
+        "VISITED", 1, 2,
+        "valid_at - make_interval(0, 0, 1)",
+    ),
+    (
+        # month/year subtraction clamps to the target month's end —
+        # identical on Spark and DuckDB (2024-03-31 - 1 month ==
+        # 2024-02-29 on both; pinned in tests/test_extraction_golden.py)
+        _sql_lit(rf"^Last month, {NAME_G} visited {NAME_G}\.$"),
+        "VISITED", 1, 2,
+        "valid_at - make_interval(0, 1)",
+    ),
+    (
+        _sql_lit(rf"^Last year, {NAME_G} visited {NAME_G}\.$"),
+        "VISITED", 1, 2,
+        "valid_at - make_interval(1)",
+    ),
+    (
+        # explicit "since <month-name> <year>" anchor: overrides the
+        # reference time entirely (month name mapped via array_position —
+        # no locale-dependent datetime parsing in the oracle path)
+        _sql_lit(rf"^{NAME_G} has led {NAME_G} since ([A-Z][a-z]+) (\d{{4}})\.$"),
+        "LEADS", 1, 2,
+        "make_timestamp(cast(regexp_extract(sentence, '{p}', 4) as int),"
+        " cast(array_position(array('January', 'February', 'March', 'April',"
+        " 'May', 'June', 'July', 'August', 'September', 'October',"
+        " 'November', 'December'), regexp_extract(sentence, '{p}', 3)) as int),"
+        " 1, 0, 0, 0)",
     ),
 ]
 

@@ -310,12 +310,15 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram-profile language ID (Cavnar & Trenkle) over 10
+    alphabetic languages + CJK detection — the fastText-free classifier;
+    per-language scores + the argmax guess, all one codegen projection."""
     out = docs.lang_id(docs.read_documents(spark, sf_dir))
-    hit_cols = ["en_hits", "de_hits", "fr_hits", "es_hits", "zh_hits"]
+    score_cols = ["zh_score"] + [f"{lg}_score" for lg in docs.LANG_TRIGRAMS]
     return out.select(
         "doc_id",
         "lang_declared",
-        *[F.col(c).cast("long").alias(c) for c in hit_cols],
+        *[F.col(c).cast("long").alias(c) for c in score_cols],
         "lang_guess",
     )
 
@@ -2393,10 +2396,6 @@ FROM aug"""
 _BPE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 _EN_SQL = r"\b(the|and|of|is|in|to|a|for|on|with)\b"
-_DE_SQL = r"\b(der|die|das|und|ist|nicht|ein|zu)\b"
-_FR_SQL = r"\b(le|la|les|et|est|une|dans|pour)\b"
-_ES_SQL = r"\b(el|los|las|de|que|y|en|un|para)\b"
-_CJK_SQL = r"[\x{4e00}-\x{9fff}]"
 
 
 def _sql_doc_tokens() -> str:
@@ -2488,23 +2487,10 @@ FROM scored"""
 
 
 def _sql_doc_langid() -> str:
-    return f"""
-WITH h AS (
-  SELECT doc_id, lang AS lang_declared,
-         len(regexp_extract_all(lower(text), '{_EN_SQL}')) AS en_hits,
-         len(regexp_extract_all(lower(text), '{_DE_SQL}')) AS de_hits,
-         len(regexp_extract_all(lower(text), '{_FR_SQL}')) AS fr_hits,
-         len(regexp_extract_all(lower(text), '{_ES_SQL}')) AS es_hits,
-         len(regexp_extract_all(text, '{_CJK_SQL}')) AS zh_hits
-  FROM documents
-)
-SELECT *,
-       CASE WHEN zh_hits > greatest(en_hits, de_hits, fr_hits, es_hits) THEN 'zh'
-            WHEN en_hits >= greatest(de_hits, fr_hits, es_hits) AND en_hits > 0 THEN 'en'
-            WHEN de_hits >= greatest(fr_hits, es_hits) AND de_hits > 0 THEN 'de'
-            WHEN fr_hits >= es_hits AND fr_hits > 0 THEN 'fr'
-            WHEN es_hits > 0 THEN 'es' ELSE 'und' END AS lang_guess
-FROM h"""
+    # generated from the same LANG_TRIGRAMS table as the Spark scorer
+    from .operators.docs import sql_lang_id_cte
+
+    return sql_lang_id_cte()
 
 
 _GOPHER_STOPS_SQL = " + ".join(

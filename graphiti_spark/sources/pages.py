@@ -88,12 +88,21 @@ def _extra_paras_expr() -> str:
         " || date_format(date_add(date'2024-01-01', cast((doc_id*17) % 365 as int)), 'yyyy-MM-dd')"
         " || '\"}'"
     )
+    M = _arr(corpus.MONTHS)
+    relp = f"element_at({P}, cast(1 + (doc_id*11 + 3) % {np_} as int))"
+    rell = f"element_at({L}, cast(1 + (doc_id*7 + 1) % {nl_} as int))"
+    relo = f"element_at({O}, cast(1 + (doc_id*5 + 2) % {no_} as int))"
     rel = (
-        "cast(1 + doc_id % 5 as string) || ' days ago, '"
-        f" || element_at({P}, cast(1 + (doc_id*11 + 3) % {np_} as int))"
-        " || ' visited '"
-        f" || element_at({L}, cast(1 + (doc_id*7 + 1) % {nl_} as int))"
-        " || '.'"
+        "CASE doc_id % 5"
+        f" WHEN 1 THEN 'Last week, ' || {relp} || ' visited ' || {rell} || '.'"
+        f" WHEN 2 THEN 'Last month, ' || {relp} || ' visited ' || {rell} || '.'"
+        f" WHEN 3 THEN 'Last year, ' || {relp} || ' visited ' || {rell} || '.'"
+        f" WHEN 4 THEN {relp} || ' has led ' || {relo} || ' since '"
+        f" || element_at({M}, cast(1 + doc_id % 12 as int))"
+        " || ' ' || cast(2016 + doc_id % 8 as string) || '.'"
+        f" ELSE cast(1 + doc_id % 5 as string) || ' days ago, ' || {relp}"
+        f" || ' visited ' || {rell} || '.'"
+        " END"
     )
     return (
         f"IF(doc_id % 5 = 2, '\\n\\n' || {msg}, '')"

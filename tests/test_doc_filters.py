@@ -48,17 +48,52 @@ def test_repetition_stats_counts(spark):
 
 
 def test_lang_id_legs(spark):
+    """Char-trigram profile scorer: one natural sentence per supported
+    language classifies correctly."""
     rows = [
-        "the cat is on the mat and it is fine",
-        "der hund ist nicht zu klein und das ist gut",
-        "le chat est dans la maison pour une nuit",
-        "el perro que corre en un parque para los gatos",
+        "the cat was sitting on the mat and the information is fine",
+        "der hund ist nicht zu klein und das ist eine gute entscheidung",
+        "le chat est dans les maisons et il était pour une nuit",
+        "el perro que corre en un parque y los gatos del año pasado",
         "中文文本测试内容",
-        "zzz qqq xxx",
+        "la organizzazione degli investimenti che sono stati fatti in italia",
+        "a situação não vai mudar com uma decisão da administração",
+        "het bedrijf van een zijn aandeelhouders is belangrijk voor ons",
+        "och det är viktigt för att kunna se något som fungerar",
+        "nie ma przyczyny żeby tych zmian nie wprowadzić do tego prawa",
+        "bir şey söylemek istiyorum ve bunu yapacaklar diyor",
     ]
     df = lang_id(_docs(spark, rows))
     got = {r["doc_id"]: r["lang_guess"] for r in df.collect()}
-    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "zh", 5: "und"}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "zh", 5: "it",
+                   6: "pt", 7: "nl", 8: "sv", 9: "pl", 10: "tr"}
+
+
+def test_lang_id_mixed_short_ambiguous(spark):
+    """Edge inputs: gibberish and empty -> 'und'; a SHORT fragment with
+    one distinctive trigram still resolves; a MIXED document goes to the
+    majority language; ties break on the fixed priority order (scores
+    equal -> first of LANG_PRIORITY wins)."""
+    rows = [
+        "zzz qqq xxx",                                # no profile hits
+        "",                                           # empty
+        "the",                                        # short but distinctive
+        # mixed de/en, German majority (2 German sentences, 1 English)
+        "und der wagen ist schnell. und die entscheidung ist richtig. "
+        "the cat is here.",
+        "xyzzy klmno pqrst uvwxy",                    # letters, no trigram hits
+    ]
+    df = lang_id(_docs(spark, rows))
+    got = {r["doc_id"]: r["lang_guess"] for r in df.collect()}
+    assert got[0] == "und" and got[1] == "und" and got[4] == "und"
+    assert got[2] == "en"
+    assert got[3] == "de"
+    # deterministic ordering contract: equal max scores pick the first
+    # language in LANG_PRIORITY — pin with a crafted exact tie (one 'en'
+    # trigram of weight 2, one 'de' trigram of weight 2)
+    tie = lang_id(_docs(spark, ["xingxx xeinxx"])).collect()[0]
+    assert tie["en_score"] == tie["de_score"] == 2
+    assert tie["lang_guess"] == "en"  # en precedes de in LANG_PRIORITY
 
 
 def test_decontaminate_semantics(spark):

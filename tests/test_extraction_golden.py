@@ -68,6 +68,40 @@ def test_mentions_cover_all_participants(graph, docs_pdf):
         assert need <= names
 
 
+def test_relative_time_forms(spark):
+    """X4 relative-time rules (temporal_operations.py:32-68): each
+    surface form resolves as the reference prescribes — "N days ago" /
+    "last week/month/year" against the episode reference timestamp
+    (incl. end-of-month clamping: Mar 31 - 1 month = Feb 29), the
+    explicit "since <month> <year>" anchor overriding it, and plain
+    present tense keeping the reference time itself."""
+    import datetime
+
+    from graphiti_spark.operators.extract import extract_triples
+
+    ref = datetime.datetime(2024, 3, 31, 10, 30)
+    sents = [
+        "3 days ago, Alice Johnson visited Paris.",
+        "Last week, Alice Johnson visited Berlin.",
+        "Last month, Alice Johnson visited Oslo.",
+        "Last year, Alice Johnson visited Lisbon.",
+        "Alice Johnson has led Acme Corp since March 2021.",
+        "Alice Johnson works at Acme Corp.",  # present tense -> ref time
+    ]
+    eps = spark.createDataFrame(
+        [(f"e{i}", "g", s, ref, "text") for i, s in enumerate(sents)],
+        "uuid string, group_id string, content string,"
+        " valid_at timestamp, source string",
+    )
+    got = {r["fact"]: r["valid_at"] for r in extract_triples(eps).collect()}
+    assert got[sents[0]] == ref - datetime.timedelta(days=3)
+    assert got[sents[1]] == ref - datetime.timedelta(days=7)
+    assert got[sents[2]] == datetime.datetime(2024, 2, 29, 10, 30)  # clamped
+    assert got[sents[3]] == datetime.datetime(2023, 3, 31, 10, 30)
+    assert got[sents[4]] == datetime.datetime(2021, 3, 1)
+    assert got[sents[5]] == ref
+
+
 def test_no_title_or_noise_mentions(graph):
     """Titles and the noise paragraph are all-lowercase: chunks 0 and 1
     must contribute zero mentions."""

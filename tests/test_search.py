@@ -55,6 +55,28 @@ def _emb_frames(spark, sf_dir):
     return q, c
 
 
+def test_bm25_saturation_ordering(spark):
+    """BM25's k1 tf-saturation + b length normalization is
+    ORDER-CHANGING vs raw tf*idf (the scoring family Lucene applies to
+    the reference's fulltext queries, search_utils.py:146-197): a short
+    doc with ONE query-term occurrence outranks a long doc with THREE,
+    because the long doc pays the length penalty and the repeated term
+    saturates. Raw tf*idf would rank the long doc first — this pins the
+    saturated form, not just 'some score'."""
+    long_doc = "cat cat cat " + " ".join(f"w{i}" for i in range(50))
+    corpus = spark.createDataFrame(
+        [(1, long_doc), (2, "cat dog")], ["doc_id", "body"]
+    )
+    qs = search.make_queries_df(spark, ["cat"])
+    out = search.bm25_topk(corpus, qs, "doc_id", "body", k=2).toPandas()
+    ranked = out.sort_values("rank")["doc_id"].tolist()
+    assert ranked == [2, 1]  # raw tf*idf would give [1, 2]
+    # saturation bound: tf->inf gains approach (k1+1)/1x, so the tf=3
+    # score is strictly less than 3x the tf=1 score would be at equal dl
+    s = {r["doc_id"]: r["score_u"] for _, r in out.iterrows()}
+    assert s[1] < 3 * s[2]
+
+
 def test_cosine_topk_matches_numpy(spark, sf_dir):
     q, c = _emb_frames(spark, sf_dir)
     got = search.cosine_topk(c, q, "uuid", "vec", k=5, min_score=-1.0).toPandas()
