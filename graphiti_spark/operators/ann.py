@@ -76,6 +76,25 @@ def ivf_assign(candidates: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def suggest_n_cells(n_vectors: int, max_cell_target: int = 100_000) -> int:
+    """IVF cell-count sizing for a corpus of `n_vectors`: the classic
+    sqrt(N) rule (balances probe cost ~N/cells against centroid-table
+    cost ~cells), floored so the EXPECTED cell population stays under
+    max_cell_target (the _cap_cells bound — cells should rarely trip the
+    cap under a balanced trainer). The test-scale default n_cells=8 is
+    simply suggest_n_cells at the oracle corpus size; at 1e9 vectors
+    this returns ~31623 cells (~31.6k vectors/cell expected). Pure
+    driver-side arithmetic — callers pass the result in, keeping
+    train_centroids free of count() actions."""
+    import math
+
+    if n_vectors <= 0:
+        return 1
+    by_sqrt = int(math.isqrt(n_vectors)) or 1
+    by_cap = -(-n_vectors // max_cell_target)  # ceil
+    return max(1, min(n_vectors, max(by_sqrt, by_cap)))
+
+
 def train_centroids(
     cand_q: DataFrame, n_cells: int = 8, n_iter: int = 2
 ) -> DataFrame:

@@ -60,6 +60,155 @@ def q_kg_contradictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_triple_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-embedding training export (TransE/DistMult-style): every
+    canonical (subj, pred, obj) positive plus ONE deterministic
+    tail-corrupted negative — obj replaced by the group's node at index
+    md5(subj|pred|obj) % n_nodes (skipping a collision with the true
+    tail by +1 mod n). Negative sampling is THE data product KG-embedding
+    trainers consume; determinism (hash-indexed, not random) is what
+    puts it under the exact-match oracle gate. Plan: nodes rank once per
+    group (partitioned window over the entity table), edges join the
+    rank table on (group_id, idx) — one co-partitioned join, both sides
+    keyed by group, no broadcast assumptions at entity scale."""
+    t = _graph(spark, sf_dir)
+    tri = triples_view(t).select("group_id", "subj", "pred", "obj")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("group_id").orderBy("name")
+    nodes = (
+        t.nodes.select("group_id", "name").distinct()
+        .withColumn("idx", F.row_number().over(w) - 1)
+    )
+    counts = nodes.groupBy("group_id").agg(F.count(F.lit(1)).alias("n_nodes"))
+    key = F.expr(
+        "cast(conv(substr(md5(subj || '|' || pred || '|' || obj), 1, 15), 16, 10)"
+        " as bigint)"
+    )
+    edges = tri.join(counts, "group_id").withColumn(
+        "idx", (key % F.col("n_nodes")).cast("int")
+    )
+    neg = (
+        edges.join(nodes, ["group_id", "idx"])
+        .withColumn(
+            "neg_obj",
+            F.col("name"),
+        )
+    )
+    # collision with the true tail -> deterministic +1 mod n re-pick
+    coll = (
+        neg.where(F.col("neg_obj") == F.col("obj"))
+        .select(
+            "group_id", "subj", "pred", "obj",
+            ((F.col("idx") + 1) % F.col("n_nodes")).cast("int").alias("idx"),
+        )
+        .join(nodes, ["group_id", "idx"])
+        .withColumn("neg_obj", F.col("name"))
+    )
+    keep = ["group_id", "subj", "pred", "obj", "neg_obj"]
+    fixed = (
+        neg.where(F.col("neg_obj") != F.col("obj"))
+        .select(*keep)
+        .unionByName(coll.select(*keep))
+    )
+    pos = tri.select(
+        "group_id", "subj", "pred", "obj", F.lit("pos").alias("label")
+    )
+    negs = fixed.select(
+        "group_id", "subj", "pred",
+        F.col("neg_obj").alias("obj"), F.lit("neg").alias("label"),
+    )
+    return pos.unionByName(negs)
+
+
+def _sql_kg_triple_negatives() -> str:
+    body = """
+, final AS (SELECT DISTINCT e.group_id, e.subj, e.pred, e.obj FROM eds e),
+names AS (
+  SELECT group_id, name,
+         row_number() OVER (PARTITION BY group_id ORDER BY name) - 1 AS idx
+  FROM (SELECT DISTINCT group_id, canon_name AS name FROM canon)
+),
+cnt AS (SELECT group_id, count(*) AS n_nodes FROM names GROUP BY 1),
+keyed AS (
+  SELECT f.*, c.n_nodes,
+         CAST(('0x' || substr(md5(f.subj || '|' || f.pred || '|' || f.obj), 1, 15))::UBIGINT
+              % c.n_nodes AS INT) AS idx
+  FROM final f JOIN cnt c USING (group_id)
+),
+pick AS (
+  SELECT k.group_id, k.subj, k.pred, k.obj,
+         CASE WHEN n1.name = k.obj THEN n2.name ELSE n1.name END AS neg_obj
+  FROM keyed k
+  JOIN names n1 ON n1.group_id = k.group_id AND n1.idx = k.idx
+  JOIN names n2 ON n2.group_id = k.group_id
+              AND n2.idx = (k.idx + 1) % k.n_nodes
+)
+SELECT group_id, subj, pred, obj, 'pos' AS label FROM final
+UNION ALL
+SELECT group_id, subj, pred, neg_obj AS obj, 'neg' AS label FROM pick"""
+    return _kg_sql(body, with_eds=True)
+
+
+SNAP_T1, SNAP_T2 = "2024-01-05 00:00:00", "2024-01-20 00:00:00"
+
+
+def q_kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal snapshot DIFF between two as-of times — the 'what changed
+    in the graph this week' product of the bi-temporal model (W3/W4 +
+    J10): an edge is active at T iff valid_at <= T < coalesce(invalid_at,
+    +inf); edges whose activity flips between T1 and T2 emit one row
+    ('added' or 'removed'). No join, no shuffle beyond the base edge
+    read: both memberships evaluate in ONE projection over the canonical
+    edge table and the flip test is a filter — the plan a 100 TB history
+    table wants (partition-pruned by valid_at, then map-only)."""
+    t = _graph(spark, sf_dir)
+    tri = triples_view(t)
+    a1 = (
+        (F.col("valid_at") <= F.lit(SNAP_T1).cast("timestamp"))
+        & (F.col("invalid_at").isNull()
+           | (F.col("invalid_at") > F.lit(SNAP_T1).cast("timestamp")))
+    )
+    a2 = (
+        (F.col("valid_at") <= F.lit(SNAP_T2).cast("timestamp"))
+        & (F.col("invalid_at").isNull()
+           | (F.col("invalid_at") > F.lit(SNAP_T2).cast("timestamp")))
+    )
+    return (
+        tri.withColumn("_a1", a1).withColumn("_a2", a2)
+        .where(F.col("_a1") != F.col("_a2"))
+        .select(
+            "group_id",
+            "subj",
+            "pred",
+            "obj",
+            F.when(F.col("_a2"), F.lit("added"))
+            .otherwise(F.lit("removed"))
+            .alias("change"),
+            "valid_at",
+            "invalid_at",
+        )
+    )
+
+
+def _sql_kg_snapshot_diff() -> str:
+    body = f"""
+, final AS ({_TRIPLES_SELECT}),
+flags AS (
+  SELECT *,
+         (valid_at <= TIMESTAMP '{SNAP_T1}'
+          AND (invalid_at IS NULL OR invalid_at > TIMESTAMP '{SNAP_T1}')) AS a1,
+         (valid_at <= TIMESTAMP '{SNAP_T2}'
+          AND (invalid_at IS NULL OR invalid_at > TIMESTAMP '{SNAP_T2}')) AS a2
+  FROM final
+)
+SELECT group_id, subj, pred, obj,
+       CASE WHEN a2 THEN 'added' ELSE 'removed' END AS change,
+       valid_at, invalid_at
+FROM flags WHERE a1 <> a2"""
+    return _kg_sql(body, with_eds=True)
+
+
 def q_kg_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clean+chunk stage output (S12): one row per episode chunk."""
     t = _graph(spark, sf_dir)
@@ -433,6 +582,61 @@ def q_doc_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(c).cast("long").alias(c) for c in ("n_emails", "n_phones", "n_ips")],
         "redacted_md5",
     )
+
+
+_URL_VARIANTS_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS id,
+       'https://' || source || '.example.com/doc/' || doc_id AS url
+FROM documents
+UNION ALL
+SELECT doc_id + 1000000,
+       'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM:443/doc/' || doc_id
+         || '/?utm_source=feed&gclid=x123#frag'
+FROM documents WHERE doc_id < 50
+UNION ALL
+SELECT doc_id + 2000000,
+       'https://' || source || '.example.com/doc/' || doc_id || '?b=2&a=1'
+FROM documents WHERE doc_id >= 50 AND doc_id < 60"""
+
+
+def q_doc_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + url-level dedup (operators/urls.py) — the
+    crawl-frontier first pass: scheme/host case, www, default ports,
+    fragments, trailing slashes and tracking params collapse; surviving
+    params sort. Fixture: every document's url ∪ a full-noise variant of
+    the first 50 (case+www+:443+utm+fragment — canonicalizes INTO the
+    base url's group) ∪ an unordered-params variant of the next 10
+    (params survive sorted — its own group). One codegen projection +
+    one skinny groupBy on the canonical string."""
+    from .operators import urls as urls_mod
+
+    d = docs_mod.read_documents(spark, sf_dir).select("doc_id", "source")
+    base = d.select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.expr("'https://' || source || '.example.com/doc/' || doc_id").alias("url"),
+    )
+    var1 = d.where("doc_id < 50").select(
+        (F.col("doc_id") + 1_000_000).cast("long").alias("id"),
+        F.expr(
+            "'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM:443/doc/'"
+            " || doc_id || '/?utm_source=feed&gclid=x123#frag'"
+        ).alias("url"),
+    )
+    var2 = d.where("doc_id >= 50 AND doc_id < 60").select(
+        (F.col("doc_id") + 2_000_000).cast("long").alias("id"),
+        F.expr(
+            "'https://' || source || '.example.com/doc/' || doc_id || '?b=2&a=1'"
+        ).alias("url"),
+    )
+    return urls_mod.url_dup_groups(
+        base.unionByName(var1).unionByName(var2)
+    )
+
+
+def _sql_doc_url_dedup() -> str:
+    from .operators.urls import sql_url_dup_groups
+
+    return sql_url_dup_groups(_URL_VARIANTS_SQL)
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1880,6 +2084,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_contradictions": q_kg_contradictions,
     "kg_episodes": q_kg_episodes,
     "kg_episode_facts": q_kg_episode_facts,
+    "kg_snapshot_diff": q_kg_snapshot_diff,
+    "kg_triple_negatives": q_kg_triple_negatives,
     "kg_nodes": q_kg_nodes,
     "kg_mentions": q_kg_mentions,
     "kg_node_summaries": q_kg_node_summaries,
@@ -1889,6 +2095,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_community_attach": q_kg_community_attach,
     "kg_community_members": q_kg_community_members,
     "doc_para_dedup": q_doc_para_dedup,
+    "doc_url_dedup": q_doc_url_dedup,
     "doc_pii": q_doc_pii,
     "doc_tokens": q_doc_tokens,
     "doc_length_deciles": q_doc_length_deciles,
@@ -3690,6 +3897,8 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_contradictions": _sql_kg_contradictions,
     "kg_episodes": _sql_kg_episodes,
     "kg_episode_facts": _sql_kg_episode_facts,
+    "kg_snapshot_diff": _sql_kg_snapshot_diff,
+    "kg_triple_negatives": _sql_kg_triple_negatives,
     "kg_nodes": _sql_kg_nodes,
     "kg_mentions": _sql_kg_mentions,
     "kg_node_summaries": _sql_kg_node_summaries,
@@ -3699,6 +3908,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_community_attach": _sql_kg_community_attach,
     "kg_community_members": _sql_kg_community_members,
     "doc_para_dedup": _sql_doc_para_dedup,
+    "doc_url_dedup": _sql_doc_url_dedup,
     "doc_pii": _sql_doc_pii,
     "doc_tokens": _sql_doc_tokens,
     "doc_length_deciles": _sql_doc_length_deciles,

@@ -74,6 +74,19 @@ def test_ivf_cells_partition_candidates(spark, sf_dir):
     assert 2 <= n_cells <= IVF_CELLS
 
 
+def test_suggest_n_cells_sizing():
+    """sqrt(N) rule with an expected-population floor: cells grow with
+    the corpus so the per-cell self-join work stays bounded."""
+    from graphiti_spark.operators.ann import suggest_n_cells
+
+    assert suggest_n_cells(0) == 1
+    assert suggest_n_cells(64) == 8  # the test-scale default
+    assert suggest_n_cells(1_000_000) == 1000
+    n = suggest_n_cells(10**9)
+    assert 10**9 / n <= 100_000 * 1.01  # expected population under cap
+    assert suggest_n_cells(10) <= 10
+
+
 def test_cell_cap_bounds_degenerate_cell(spark):
     """Per-cell population cap (_cap_cells): a degenerate hot cell —
     40 near-identical vectors that all land in one cell — is DROPPED
