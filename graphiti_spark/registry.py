@@ -866,6 +866,97 @@ WHERE CAST(list_inner_product(a.emb, b.emb) AS BIGINT) >= {EMBCOS_MIN_Q}"""
     )
 
 
+def q_doc_embcos_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION for the EMBEDDING family (SemDeDup-style):
+    verified embedding-cosine near-dup pairs close transitively
+    (connected components, min-label survivor) and every affected vector
+    gets a (canonical_id, keep) assignment — completing the
+    pairs -> drop-list story that doc_dup_clusters provides for MinHash.
+    The pair graph is tiny relative to the corpus (only planted twins
+    pass the 0.9 gate), so the CC runs on the skinny edge list only."""
+    from .operators.resolve import connected_components
+
+    pairs = q_doc_embcos_dedup(spark, sf_dir)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(edges, verts)
+    return comp.select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.col("component").cast("long").alias("canonical_id"),
+        F.when(F.col("id") == F.col("component"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("keep"),
+    )
+
+
+def _sql_doc_embcos_clusters() -> str:
+    base = _sql_doc_embcos_dedup()
+    rounds = []
+    for k in range(1, 7):  # 6 min-propagation rounds >= twin-graph diameter
+        prev = f"c{k - 1}"
+        rounds.append(f"""
+c{k} AS MATERIALIZED (
+  SELECT l.id, least(l.comp, coalesce(min(n.comp), l.comp)) AS comp
+  FROM {prev} l
+  LEFT JOIN e2 ON e2.a = l.id
+  LEFT JOIN {prev} n ON n.id = e2.b
+  GROUP BY l.id, l.comp
+)""")
+    return f"""
+WITH pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({base}) q),
+e2 AS (SELECT id_a AS a, id_b AS b FROM pairs
+       UNION ALL SELECT id_b, id_a FROM pairs),
+v AS (SELECT DISTINCT a AS id FROM e2),
+c0 AS (SELECT id, id AS comp FROM v),{",".join(rounds)}
+SELECT id AS vec_id, comp AS canonical_id,
+       CAST(CASE WHEN id = comp THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM c6"""
+
+
+SPLIT_VAL_PCT, SPLIT_TEST_PCT = 5, 5  # % of corpus per held-out split
+
+
+def q_doc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — the LAST stage of every
+    training-data pipeline: split by hash of the document identity (NOT
+    by position, so the assignment is stable under corpus reshuffles /
+    re-ingest), stratified per language so small strata keep their
+    proportions. bucket = first 15 hex digits of md5(lang|doc_id) mod
+    100 — pure projection, no shuffle, identical in any engine."""
+    d = docs_mod.read_documents(spark, sf_dir)
+    bucket = F.expr(
+        "cast(conv(substr(md5(lang || '|' || doc_id), 1, 15), 16, 10)"
+        " as bigint) % 100"
+    )
+    return d.withColumn("_b", bucket).select(
+        "doc_id",
+        "lang",
+        F.col("_b").cast("long").alias("bucket"),
+        F.when(F.col("_b") < SPLIT_VAL_PCT, F.lit("val"))
+        .when(F.col("_b") < SPLIT_VAL_PCT + SPLIT_TEST_PCT, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def _sql_doc_split() -> str:
+    return f"""
+SELECT doc_id, lang, CAST(b AS BIGINT) AS bucket,
+       CASE WHEN b < {SPLIT_VAL_PCT} THEN 'val'
+            WHEN b < {SPLIT_VAL_PCT + SPLIT_TEST_PCT} THEN 'test'
+            ELSE 'train' END AS split
+FROM (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(lang || '|' || doc_id), 1, 15))::UBIGINT % 100 AS b
+  FROM documents
+)"""
+
+
 CONTRA_POS_Q, CONTRA_NEG_Q = 900_000, 400_000
 
 
@@ -2121,6 +2212,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "doc_embcos_dedup": q_doc_embcos_dedup,
+    "doc_embcos_clusters": q_doc_embcos_clusters,
+    "doc_split": q_doc_split,
     "emb_contrastive": q_emb_contrastive,
     "doc_unigram_lm": q_doc_unigram_lm,
     "doc_tfidf_terms": q_doc_tfidf_terms,
@@ -3929,6 +4022,8 @@ ORACLES: dict[str, Callable[[], str]] = {
     "ann_topk": _sql_ann_topk,
     "ann_ivf_topk": _sql_ann_ivf_topk,
     "doc_embcos_dedup": _sql_doc_embcos_dedup,
+    "doc_embcos_clusters": _sql_doc_embcos_clusters,
+    "doc_split": _sql_doc_split,
     "emb_contrastive": _sql_emb_contrastive,
     "doc_unigram_lm": _sql_doc_unigram_lm,
     "doc_tfidf_terms": _sql_doc_tfidf_terms,
