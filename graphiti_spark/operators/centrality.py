@@ -593,3 +593,89 @@ def predicate_stats(triples: DataFrame) -> DataFrame:
             "inv_func_u"
         ),
     )
+
+
+def personalized_pagerank(
+    triples: DataFrame,
+    seed_prefix: str = "A",
+    iters: int = 3,
+    damp_pct: int = DAMP_PCT,
+) -> DataFrame:
+    """Personalized PageRank from a seed set — the graph-proximity
+    retrieval feature: all teleport mass returns to the SEEDS, so ranks
+    measure closeness to the query entities rather than global
+    importance (the retrieval-side sibling of `pagerank`; the reference
+    reranks by node distance from an origin set, search_utils.py — PPR
+    is the smooth multi-hop form of that signal).
+
+        ppr_0(v)   = 1e6 div n_seeds                 (v in seeds, else 0)
+        ppr_i+1(v) = [v in seeds] * (1e6 - damp*1e4) div n_seeds
+                     + damp * sum_{u->v} (ppr_i(u) div outdeg(u)) div 100
+
+    Exact integer micro-units throughout (bit-identical in Spark `div`
+    and DuckDB `//`); only rows with ppr_u > 0 are kept.
+
+    Scale shape (100 TB): the rank vector is SPARSE — its support grows
+    one hop outward from the seeds per iteration, so each iteration
+    joins a frontier-sized rank table onto the edge list (co-partitioned
+    on (group_id, name), same key every round) instead of touching the
+    full vertex set the way global PageRank must. Per-iteration
+    localCheckpoint truncates the iterative-plan lineage. Zero-rank rows
+    are pruned each round (identical semantics: they contribute nothing).
+    """
+    e = (
+        triples.select(
+            "group_id", F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        e.select("group_id", F.col("src").alias("name"))
+        .unionByName(e.select("group_id", F.col("dst").alias("name")))
+        .distinct()
+    )
+    seeds = verts.where(F.col("name").startswith(seed_prefix))
+    ns = seeds.groupBy("group_id").agg(F.count(F.lit(1)).alias("n_s"))
+    outdeg = e.groupBy("group_id", "src").agg(F.count(F.lit(1)).alias("outdeg"))
+    base_u = (R0_U * (100 - damp_pct)) // 100
+    tele = (
+        seeds.join(ns, "group_id")
+        .select("group_id", "name", F.expr(f"{base_u}L div n_s").alias("tele_u"))
+        .localCheckpoint(eager=True)
+    )
+    r = seeds.join(ns, "group_id").select(
+        "group_id", "name", F.expr(f"{R0_U}L div n_s").alias("ppr_u")
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(outdeg, ["group_id", "src"])
+            .join(
+                r.select("group_id", F.col("name").alias("src"), "ppr_u"),
+                ["group_id", "src"],
+            )
+            .groupBy("group_id", F.col("dst").alias("name"))
+            .agg(F.sum(F.expr("ppr_u div outdeg")).alias("s"))
+        )
+        r = (
+            tele.join(contrib, ["group_id", "name"], "full_outer")
+            .select(
+                "group_id",
+                "name",
+                F.expr(
+                    f"coalesce(tele_u, 0L)"
+                    f" + ({damp_pct}L * coalesce(s, 0L)) div 100"
+                ).alias("ppr_u"),
+            )
+            .where(F.col("ppr_u") > 0)
+            .localCheckpoint(eager=True)
+        )
+    return r.select(
+        "group_id",
+        "name",
+        F.col("ppr_u").cast("long").alias("ppr_u"),
+        F.when(F.col("name").startswith(seed_prefix), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_seed"),
+    )

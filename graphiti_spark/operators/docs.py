@@ -1304,3 +1304,89 @@ def bigram_lm_scores(docs: DataFrame) -> DataFrame:
         .alias("n_unseen"),
         F.expr("sum(tf * p_u) div greatest(sum(tf), 1L)").alias("avg_p_u"),
     )
+
+
+def quality_classifier(docs: DataFrame, holdout_pct: int = 10) -> DataFrame:
+    """Trained bag-of-words quality classifier — the deterministic,
+    oracle-exact stand-in for the fastText/linear quality models real
+    curation pipelines train (e.g. the GPT-3/LLaMA "looks like a
+    reference page" filters): learn per-token class-association weights
+    from a labeled subset, score every document with them.
+
+    Labels come from the corpus itself (Gopher-rule keep/drop — the
+    standard bootstrap when no human labels exist), the train set is the
+    same stable md5(lang|doc_id) hash split `doc_split` uses (the first
+    `holdout_pct` buckets are held OUT of training so val/test stay
+    unseen), and the model is add-1-smoothed P(keep | token) in integer
+    micro-units:
+
+        w_u(tok)   = ((c1 + 1) * 1e6) div (c1 + c0 + 2)
+        score_u(d) = sum_tok tf * w_u  div  n_tokens(d)   (unseen: 500000)
+        pred       = score_u >= 500000
+
+    Every step is exact integer arithmetic — bit-identical in Spark
+    `div` and DuckDB `//`.
+
+    Scale shape (100 TB): one (doc, tok) partial-agg shuffle, one
+    vocab-sized groupBy(tok) for the class counts, the weight table
+    joined back on the token key (vocab-sized — AQE broadcasts it or
+    skew-splits hot stopword keys), one final groupBy(doc_id). The same
+    plan family as `unigram_lm_scores`; no iteration, no driver state.
+    """
+    labels = gopher_rules(docs).select(
+        "doc_id", F.col("keep").cast("long").alias("label")
+    )
+    bucket = F.expr(
+        "cast(conv(substr(md5(lang || '|' || doc_id), 1, 15), 16, 10)"
+        " as bigint) % 100"
+    )
+    train_ids = (
+        docs.withColumn("_b", bucket)
+        .where(F.col("_b") >= holdout_pct)
+        .select("doc_id")
+    )
+    dt = _doc_tokens(docs).groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    cls = (
+        dt.join(train_ids, "doc_id")
+        .join(labels, "doc_id")
+        .groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("label") == 1, F.col("tf")).otherwise(0)).alias(
+                "c1"
+            ),
+            F.sum(F.when(F.col("label") == 0, F.col("tf")).otherwise(0)).alias(
+                "c0"
+            ),
+        )
+    )
+    w = cls.select(
+        "tok", F.expr("(c1 + 1) * 1000000L div (c1 + c0 + 2)").alias("w_u")
+    )
+    scored = (
+        dt.join(w, "tok", "left")
+        .select(
+            "doc_id",
+            "tf",
+            F.coalesce("w_u", F.lit(500_000)).alias("w_u"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.expr("sum(tf * w_u) div sum(tf)").alias("score_u"),
+        )
+    )
+    return (
+        labels.join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "label",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("score_u", F.lit(500_000)).cast("long").alias("score_u"),
+            F.when(F.coalesce("score_u", F.lit(500_000)) >= 500_000, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("pred"),
+        )
+    )

@@ -1626,6 +1626,37 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(q_kg_triples(spark, sf_dir), iters=3)
 
 
+def q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the 'A'-prefixed seed entities (same
+    seed convention as the BFS queries): teleport mass returns to the
+    seeds only, so ranks measure graph proximity to the query set — the
+    smooth multi-hop form of the reference's node-distance rerank. Exact
+    integer micro-units, sparse frontier-growing rank vector."""
+    from .operators.centrality import personalized_pagerank
+
+    return personalized_pagerank(q_kg_triples(spark, sf_dir), seed_prefix="A")
+
+
+def q_kg_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-style horn-rule mining: p1(x,y) ∧ p2(y,z) ⇒ p3(x,z) with
+    path-pair support and integer-confidence, hub middles fan-capped
+    deterministically (operators/rules.py)."""
+    from .operators.rules import mine_rules
+
+    return mine_rules(q_kg_triples(spark, sf_dir))
+
+
+def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained bag-of-words quality classifier: add-1-smoothed
+    P(keep | token) weights learned on the Gopher-labeled train split
+    (same md5 hash buckets as doc_split, val/test held out), every doc
+    scored with them in integer micro-units."""
+    return docs_mod.quality_classifier(
+        docs.read_documents(spark, sf_dir),
+        holdout_pct=SPLIT_VAL_PCT + SPLIT_TEST_PCT,
+    )
+
+
 SNAP_PCT = 80  # old snapshot = first 80% of the crawl (warc_ts order)
 
 
@@ -2223,6 +2254,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_pack": q_doc_pack,
     "doc_mix_sample": q_doc_mix_sample,
     "kg_pagerank": q_kg_pagerank,
+    "kg_ppr": q_kg_ppr,
+    "kg_rules": q_kg_rules,
+    "doc_quality_classifier": q_doc_quality_classifier,
     "kg_snapshot_diff": q_kg_snapshot_diff,
     "kg_node_edges": q_kg_node_edges,
     "kg_shared_employer": q_kg_shared_employer,
@@ -3259,6 +3293,118 @@ LEFT JOIN idg ON idg.group_id = r.group_id AND idg.dst = r.name"""
     return _kg_sql(body, with_eds=True)
 
 
+PPR_ITERS = 3
+
+
+def _sql_kg_ppr() -> str:
+    base_u = (1_000_000 * (100 - 85)) // 100
+    rounds = []
+    for i in range(1, PPR_ITERS + 1):
+        prev = f"p{i - 1}"
+        rounds.append(f"""
+c{i} AS (
+  SELECT e.group_id, e.dst AS name,
+         CAST(sum({prev}.ppr_u // od.outdeg) AS BIGINT) AS s
+  FROM e
+  JOIN od ON od.group_id = e.group_id AND od.src = e.src
+  JOIN {prev} ON {prev}.group_id = e.group_id AND {prev}.name = e.src
+  GROUP BY 1, 2
+),
+p{i} AS MATERIALIZED (
+  SELECT coalesce(t.group_id, c.group_id) AS group_id,
+         coalesce(t.name, c.name) AS name,
+         coalesce(t.tele_u, 0) + (85 * coalesce(c.s, 0)) // 100 AS ppr_u
+  FROM tele t
+  FULL JOIN c{i} c ON c.group_id = t.group_id AND c.name = t.name
+)""")
+    body = f"""
+, e AS (SELECT DISTINCT group_id, subj AS src, obj AS dst FROM eds),
+v AS (SELECT group_id, src AS name FROM e
+      UNION SELECT group_id, dst FROM e),
+seeds AS (SELECT group_id, name FROM v WHERE name LIKE 'A%'),
+ns AS (SELECT group_id, count(*) AS n_s FROM seeds GROUP BY 1),
+od AS (SELECT group_id, src, count(*) AS outdeg FROM e GROUP BY 1, 2),
+tele AS (SELECT s.group_id, s.name, {base_u} // ns.n_s AS tele_u
+         FROM seeds s JOIN ns USING (group_id)),
+p0 AS (SELECT s.group_id, s.name, 1000000 // ns.n_s AS ppr_u
+       FROM seeds s JOIN ns USING (group_id)),{",".join(rounds)}
+SELECT group_id, name, CAST(ppr_u AS BIGINT) AS ppr_u,
+       CAST(CASE WHEN name LIKE 'A%' THEN 1 ELSE 0 END AS BIGINT) AS is_seed
+FROM p{PPR_ITERS} WHERE ppr_u > 0"""
+    return _kg_sql(body, with_eds=True)
+
+
+def _sql_kg_rules() -> str:
+    from .operators.rules import MAX_MID_FAN, MIN_SUPPORT
+
+    body = f"""
+, e AS (SELECT DISTINCT group_id, subj, pred, obj FROM eds),
+ind AS (SELECT group_id, obj AS mid, count(*) AS in_d FROM e GROUP BY 1, 2),
+outd AS (SELECT group_id, subj AS mid, count(*) AS out_d FROM e GROUP BY 1, 2),
+okm AS (SELECT i.group_id, i.mid FROM ind i
+        JOIN outd o ON o.group_id = i.group_id AND o.mid = i.mid
+        WHERE i.in_d * o.out_d <= {MAX_MID_FAN}),
+paths AS (
+  SELECT DISTINCT a.group_id, a.subj AS x, a.pred AS p1, b.pred AS p2,
+         b.obj AS z
+  FROM e a
+  JOIN okm ON okm.group_id = a.group_id AND okm.mid = a.obj
+  JOIN e b ON b.group_id = a.group_id AND b.subj = a.obj
+  WHERE a.subj != b.obj
+),
+sup AS (SELECT p.p1, p.p2, h.pred AS p3, count(*) AS support
+        FROM paths p
+        JOIN e h ON h.group_id = p.group_id AND h.subj = p.x AND h.obj = p.z
+        GROUP BY 1, 2, 3),
+bdy AS (SELECT p1, p2, count(*) AS body FROM paths GROUP BY 1, 2)
+SELECT s.p1, s.p2, s.p3, CAST(b.body AS BIGINT) AS body,
+       CAST(s.support AS BIGINT) AS support,
+       CAST(s.support * 1000000 // b.body AS BIGINT) AS conf_u
+FROM sup s JOIN bdy b USING (p1, p2) WHERE s.support >= {MIN_SUPPORT}"""
+    return _kg_sql(body, with_eds=True)
+
+
+def _sql_doc_quality_classifier() -> str:
+    holdout = SPLIT_VAL_PCT + SPLIT_TEST_PCT
+    gopher = _sql_doc_gopher()
+    return f"""
+WITH labels AS (
+  SELECT doc_id, CAST(keep AS BIGINT) AS label FROM ({gopher}) g
+),
+train AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5(lang || '|' || doc_id), 1, 15))::UBIGINT % 100
+             AS b
+    FROM documents
+  ) WHERE b >= {holdout}
+),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+dt AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+cls AS (
+  SELECT tok,
+         sum(CASE WHEN label = 1 THEN tf ELSE 0 END) AS c1,
+         sum(CASE WHEN label = 0 THEN tf ELSE 0 END) AS c0
+  FROM dt JOIN train USING (doc_id) JOIN labels USING (doc_id)
+  GROUP BY 1
+),
+w AS (SELECT tok, (c1 + 1) * 1000000 // (c1 + c0 + 2) AS w_u FROM cls),
+scored AS (
+  SELECT dt.doc_id, sum(tf) AS n_tokens,
+         sum(tf * coalesce(w.w_u, 500000)) // sum(tf) AS score_u
+  FROM dt LEFT JOIN w USING (tok) GROUP BY 1
+)
+SELECT l.doc_id, l.label,
+       CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(s.score_u, 500000) AS BIGINT) AS score_u,
+       CAST(CASE WHEN coalesce(s.score_u, 500000) >= 500000
+            THEN 1 ELSE 0 END AS BIGINT) AS pred
+FROM labels l LEFT JOIN scored s USING (doc_id)"""
+
+
 def _snapshot_ctes(filter_expr: str) -> str:
     """Second canon/eds/classed/inv chain over the page subset selected by
     `filter_expr` (a doc_id predicate), derived MECHANICALLY from
@@ -4033,6 +4179,9 @@ ORACLES: dict[str, Callable[[], str]] = {
     "doc_pack": _sql_doc_pack,
     "doc_mix_sample": _sql_doc_mix_sample,
     "kg_pagerank": _sql_kg_pagerank,
+    "kg_ppr": _sql_kg_ppr,
+    "kg_rules": _sql_kg_rules,
+    "doc_quality_classifier": _sql_doc_quality_classifier,
     "kg_snapshot_diff": _sql_kg_snapshot_diff,
     "kg_node_edges": _sql_kg_node_edges,
     "kg_shared_employer": _sql_kg_shared_employer,

@@ -315,3 +315,28 @@ def test_predicate_stats_functionality(spark):
     w = rows["WORKS_AT"]
     assert (w["n_facts"], w["n_subjects"], w["n_valid"]) == (2, 1, 1)
     assert w["func_u"] == 500000 and w["inv_func_u"] == 1000000
+
+
+def test_ppr_chain_recurrence(spark):
+    """Aa -> b -> c, single seed Aa: the integer recurrence is exact.
+    p3: Aa = 150000 (teleport only), b = 85*150000//100, c = 85*b//100."""
+    from graphiti_spark.operators.centrality import personalized_pagerank
+
+    out = personalized_pagerank(
+        _triples(spark, [("Aa", "b"), ("b", "c")]), seed_prefix="A"
+    )
+    rows = {r["name"]: r.asDict() for r in out.collect()}
+    assert set(rows) == {"Aa", "b", "c"}
+    assert rows["Aa"]["ppr_u"] == 150000 and rows["Aa"]["is_seed"] == 1
+    assert rows["b"]["ppr_u"] == (85 * 150000) // 100
+    assert rows["c"]["ppr_u"] == (85 * rows["b"]["ppr_u"]) // 100
+    assert rows["b"]["is_seed"] == 0
+
+
+def test_ppr_no_seeds_is_empty(spark):
+    from graphiti_spark.operators.centrality import personalized_pagerank
+
+    out = personalized_pagerank(
+        _triples(spark, [("x", "y")]), seed_prefix="Z"
+    )
+    assert out.count() == 0

@@ -156,3 +156,30 @@ def test_pack_blocks_contiguous_stream(spark):
     # the 3000-token doc spans many blocks
     big = got[2]
     assert big["end_block"] - big["start_block"] >= 180
+
+
+def test_quality_classifier_separates_classes(spark):
+    """holdout_pct=0 -> every doc trains; good/bad vocabularies are
+    disjoint, so each class's tokens carry its own label weight and
+    pred == label on both. The bad doc's score is exact: every token is
+    (c1=0, c0=1) -> w = 1e6 // 3."""
+    from graphiti_spark.operators.docs import quality_classifier
+
+    good = "the quick brown fox jumps over a lazy dog and that is fine " * 5
+    bad = "too short crummy snippet"
+    out = quality_classifier(_docs(spark, [good, bad]), holdout_pct=0)
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert rows[0]["label"] == 1 and rows[1]["label"] == 0
+    assert rows[0]["pred"] == 1 and rows[0]["score_u"] > 500_000
+    assert rows[1]["pred"] == 0
+    assert rows[1]["score_u"] == 1_000_000 // 3
+    assert rows[1]["n_tokens"] == 4
+
+
+def test_quality_classifier_empty_doc_neutral(spark):
+    from graphiti_spark.operators.docs import quality_classifier
+
+    out = quality_classifier(_docs(spark, ["", "#!?"]), holdout_pct=0)
+    for r in out.collect():
+        assert r["n_tokens"] == 0 and r["score_u"] == 500_000
+        assert r["pred"] == 1  # neutral score sits on the keep side
