@@ -679,6 +679,104 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M, PQ_CODES, PQ_ITERS, PQ_K = 16, 32, 2, 5
+EMB_DIM = 64
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN end-to-end under the exact gate: per-
+    subspace integer codebook training (one global TakeOrdered seed pass
+    shared by all m subspaces), code assignment, asymmetric-distance
+    top-k via per-query integer distance tables. The memory leg of the
+    ANN scale story: candidates are scored from m codes, never their
+    full vectors. Same query/candidate split as ann_topk so recall is
+    measurable against it (pytest pins it)."""
+    emb = ann.read_embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.expr(_QZ).alias("emb")
+    )
+    c = emb.where(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("c_id"), F.expr(_QZ).alias("emb")
+    )
+    out = ann.pq_topk(
+        q, c, dim=EMB_DIM, m=PQ_M, n_codes=PQ_CODES, n_iter=PQ_ITERS, k=PQ_K
+    )
+    return out.select(
+        "q_id",
+        F.col("rank").cast("long").alias("rank"),
+        "c_id",
+        F.col("adist2").cast("long").alias("adist2"),
+    )
+
+
+def _sql_ann_pq_topk() -> str:
+    ln = EMB_DIM // PQ_M
+
+    def d2(a: str, b: str) -> str:
+        return (
+            f"CAST(list_inner_product({a}, {a})"
+            f" - 2 * list_inner_product({a}, {b})"
+            f" + list_inner_product({b}, {b}) AS BIGINT)"
+        )
+
+    def sub(col: str) -> str:
+        return f"{col}[t.s * {ln} + 1 : t.s * {ln} + {ln}]"
+
+    parts = [
+        f"""
+cand AS (SELECT vec_id AS c_id, {_DUCK_QZ} AS emb FROM embeddings WHERE vec_id >= 8),
+qs AS (SELECT vec_id AS q_id, {_DUCK_QZ} AS emb FROM embeddings WHERE vec_id < 8),
+csub AS (SELECT c_id, t.s, {sub("emb")} AS sub FROM cand, range({PQ_M}) t(s)),
+seed AS (
+  SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INT) AS code, emb
+  FROM (SELECT md5(CAST(c_id AS VARCHAR)) AS h, emb FROM cand
+        ORDER BY h LIMIT {PQ_CODES})
+),
+pc0 AS (SELECT code, t.s, {sub("emb")} AS cent FROM seed, range({PQ_M}) t(s))"""
+    ]
+    for i in range(1, PQ_ITERS + 2):
+        parts.append(f"""
+pa{i} AS (
+  SELECT c_id, s, sub, code FROM (
+    SELECT cs.c_id, cs.s, cs.sub, ct.code,
+           row_number() OVER (PARTITION BY cs.c_id, cs.s
+                              ORDER BY {d2("cs.sub", "ct.cent")} ASC, ct.code) AS rn
+    FROM csub cs JOIN pc{i - 1} ct ON ct.s = cs.s
+  ) WHERE rn = 1
+)""")
+        if i <= PQ_ITERS:
+            parts.append(f"""
+pc{i} AS (
+  SELECT s, code, list(CAST(mv AS BIGINT) ORDER BY pos) AS cent FROM (
+    SELECT s, code, pos, sum(v) // count(*) AS mv
+    FROM (SELECT s, code, unnest(sub) AS v, generate_subscripts(sub, 1) AS pos
+          FROM pa{i})
+    GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+)""")
+    last_asg, last_cent = f"pa{PQ_ITERS + 1}", f"pc{PQ_ITERS}"
+    parts.append(f"""
+qsub AS (SELECT q_id, t.s, {sub("emb")} AS sub FROM qs, range({PQ_M}) t(s)),
+dtab AS (
+  SELECT q.q_id, ct.s, ct.code, {d2("q.sub", "ct.cent")} AS d2
+  FROM qsub q JOIN {last_cent} ct ON ct.s = q.s
+),
+approx AS (
+  SELECT d.q_id, a.c_id, CAST(sum(d.d2) AS BIGINT) AS adist2
+  FROM {last_asg} a JOIN dtab d ON d.s = a.s AND d.code = a.code
+  GROUP BY 1, 2
+)""")
+    return (
+        "WITH " + ",".join(p.strip() for p in parts)
+        + f"""
+SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, adist2 FROM (
+  SELECT q_id, c_id, adist2,
+         row_number() OVER (PARTITION BY q_id ORDER BY adist2 ASC, c_id) AS rank
+  FROM approx
+) WHERE rank <= {PQ_K}"""
+    )
+
+
 def q_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic clustering over the embedding corpus — deterministic k-means
     (the exact-integer trainer of the IVF path) assigning every vector to
@@ -2242,6 +2340,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_ngram_pairs": q_doc_ngram_pairs,
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "doc_embcos_dedup": q_doc_embcos_dedup,
     "doc_embcos_clusters": q_doc_embcos_clusters,
     "doc_split": q_doc_split,
@@ -4167,6 +4266,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "doc_ngram_pairs": _sql_doc_ngram_pairs,
     "ann_topk": _sql_ann_topk,
     "ann_ivf_topk": _sql_ann_ivf_topk,
+    "ann_pq_topk": _sql_ann_pq_topk,
     "doc_embcos_dedup": _sql_doc_embcos_dedup,
     "doc_embcos_clusters": _sql_doc_embcos_clusters,
     "doc_split": _sql_doc_split,

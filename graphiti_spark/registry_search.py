@@ -367,6 +367,78 @@ WHERE valid_at <= TIMESTAMP '{ASOF_TS}'
     return _kg_sql(body, with_eds=True)
 
 
+def q_kg_bfs_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel graph traversal: 2-hop BFS over ONLY the edges the
+    graph held true at ASOF_TS (valid_at <= t, not yet invalidated) —
+    the bi-temporal composition of `kg_asof_snapshot` and `kg_bfs`.
+    This is the query a point-in-time audit runs ("what was reachable
+    from X when the decision was made?"); contradiction-invalidated
+    edges fall out of the frontier, so depths can differ from the
+    present-time BFS. Same plan shape as kg_bfs: the validity filter is
+    a partition-prunable predicate pushed onto the edge scan, then each
+    hop is one co-partitioned join + min-agg."""
+    t = _graph(spark, sf_dir)
+    from . import registry
+
+    tv = registry.q_kg_triples(spark, sf_dir)
+    snap = search.asof_snapshot(tv, ASOF_TS)
+    edges = snap.select(
+        F.concat_ws("|", "group_id", "subj").alias("source_node_uuid"),
+        F.concat_ws("|", "group_id", "obj").alias("target_node_uuid"),
+    )
+    origins = (
+        t.nodes.where(F.col("name").startswith(BFS_SEED_PREFIX))
+        .select(F.concat_ws("|", "group_id", "name").alias("uuid"))
+        .withColumn("origin_uuid", F.col("uuid"))
+        .select("origin_uuid", "uuid")
+    )
+    out = search.bfs_nodes(edges, origins, max_depth=2)
+    return out.select(
+        "origin_uuid",
+        F.col("uuid").alias("node_key"),
+        F.col("depth").cast("long").alias("depth"),
+    )
+
+
+def _sql_kg_bfs_asof() -> str:
+    from .registry import _TRIPLES_SELECT, _kg_sql
+
+    seed = BFS_SEED_PREFIX
+    body = f"""
+, final AS ({_TRIPLES_SELECT}),
+live AS (
+  SELECT * FROM final
+  WHERE valid_at <= TIMESTAMP '{ASOF_TS}'
+    AND (invalid_at IS NULL OR invalid_at > TIMESTAMP '{ASOF_TS}')
+),
+pairs AS (
+  SELECT DISTINCT group_id || '|' || subj AS src, group_id || '|' || obj AS dst
+  FROM live
+),
+bidir AS (
+  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+),
+seeds AS (
+  SELECT DISTINCT c.group_id || '|' || c.canon_name AS id
+  FROM canon c WHERE c.canon_name LIKE '{seed}%'
+),
+d0 AS (SELECT id AS origin_uuid, id AS uuid, 0 AS depth FROM seeds),
+d1 AS (
+  SELECT d0.origin_uuid, b.dst AS uuid, 1 AS depth
+  FROM d0 JOIN bidir b ON b.src = d0.uuid
+),
+d2 AS (
+  SELECT d1.origin_uuid, b.dst AS uuid, 2 AS depth
+  FROM d1 JOIN bidir b ON b.src = d1.uuid
+),
+allhops AS (
+  SELECT * FROM d0 UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2
+)
+SELECT origin_uuid, uuid AS node_key, CAST(min(depth) AS BIGINT) AS depth
+FROM allhops GROUP BY 1, 2"""
+    return _kg_sql(body, with_eds=True)
+
+
 def _sql_kg_edge_date_filter() -> str:
     from .registry import _TRIPLES_SELECT, _kg_sql
 
@@ -1033,6 +1105,7 @@ SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_bfs": q_kg_bfs,
     "kg_edge_date_filter": q_kg_edge_date_filter,
     "kg_asof_snapshot": q_kg_asof_snapshot,
+    "kg_bfs_asof": q_kg_bfs_asof,
 }
 
 SEARCH_ORACLES: dict[str, Callable[[], str]] = {
@@ -1053,4 +1126,5 @@ SEARCH_ORACLES: dict[str, Callable[[], str]] = {
     "kg_bfs": _sql_kg_bfs,
     "kg_edge_date_filter": _sql_kg_edge_date_filter,
     "kg_asof_snapshot": _sql_kg_asof_snapshot,
+    "kg_bfs_asof": _sql_kg_bfs_asof,
 }
