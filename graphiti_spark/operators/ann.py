@@ -484,6 +484,124 @@ def pq_codebooks(
     return cents
 
 
+def cell_means(assigned: DataFrame) -> DataFrame:
+    """Exact integer MEAN centroid per IVF cell (sum div count —
+    truncation division, identical in Spark `div` and DuckDB `//`),
+    from an assign_cells output. The residual-encoding anchor of the
+    IVFADC path: train_centroids' sum-vectors carry direction (enough
+    for cosine assignment) but residuals need a point in the same
+    coordinate scale as the vectors themselves. One skinny
+    (cell, pos) aggregation — shuffles n_cells * dim longs total."""
+    return (
+        assigned.select("cell_id", F.posexplode("emb").alias("pos", "v"))
+        .groupBy("cell_id", "pos")
+        .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"))
+        .groupBy("cell_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list("
+                "named_struct('pos', pos, 'mv', sv div n))), x -> x.mv)"
+            ).alias("cmean")
+        )
+    )
+
+
+_RESID = "zip_with(emb, cmean, (x, y) -> x - y)"
+
+
+def ivfpq_topk(
+    q_q: DataFrame,
+    cand_q: DataFrame,
+    dim: int,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    ivf_iter: int = 2,
+    m: int = 4,
+    n_codes: int = 4,
+    pq_iter: int = 1,
+    k: int = 5,
+) -> DataFrame:
+    """IVFADC — the canonical billion-scale ANN recipe (Jegou et al.
+    2011, the index family behind FAISS IVFx,PQy): IVF coarse
+    quantization prunes WHICH vectors are scanned (n_probe of n_cells
+    inverted lists), and product quantization of the RESIDUAL
+    (vector minus its cell's mean centroid) shrinks WHAT is scanned
+    (dim ints -> m codes). Residual encoding is what makes the
+    composition better than either part: within a cell the residuals
+    are small and centered, so a shared m-subspace codebook covers
+    them far more finely than it covers raw vectors.
+
+    Scale shape at 1e9+ vectors: the corpus is represented by
+    (cell_id, m codes) — the inverted-list layout where cell_id is the
+    partition key, so each probe is a partition-pruned scan; scoring a
+    probed cell is a broadcast-hash join of the (q_id, cell_id, s,
+    code) distance tables (n_q * n_probe * m * n_codes tiny rows)
+    against the code lists, then a (q_id, c_id) sum-agg shuffling only
+    skinny longs. Training shuffles n_cells * dim + m * n_codes * dim
+    integers per round regardless of corpus size; seeds are bounded
+    TakeOrderedAndProject samples (never a global sort).
+
+    Everything is exact integer arithmetic (assignment cosine and
+    squared-L2 evaluate float64 over exact ints, deterministically),
+    so the full IVF+PQ composition sits under the DuckDB value-hash
+    oracle gate; recall vs brute force is pinned separately in pytest.
+    q_q: (q_id, emb), cand_q: (c_id, emb) — milli-quantized
+    array<bigint>. Returns (q_id, rank, c_id, adist2)."""
+    cents = train_centroids(cand_q, n_cells=n_cells, n_iter=ivf_iter)
+    assigned = assign_cells(cand_q, cents)
+    means = cell_means(assigned)
+    res = assigned.join(means, "cell_id").select(
+        "c_id", "cell_id", F.expr(_RESID).alias("emb")
+    )
+    res = res.localCheckpoint(eager=False)
+    cents_pq = pq_codebooks(
+        res.select("c_id", "emb"), dim, m=m, n_codes=n_codes, n_iter=pq_iter
+    )
+    codes = (
+        _pq_assign(_pq_subsplit(res, "c_id", dim, m), cents_pq)
+        .select("c_id", "s", "code")
+        .join(res.select("c_id", "cell_id"), "c_id")
+    )
+    qcells = (
+        q_q.crossJoin(F.broadcast(cents))
+        .withColumn("cscore", F.expr(_COS_INT))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.desc("cscore"), F.asc("cell_id")
+                )
+            ),
+        )
+        .where(F.col("rn") <= n_probe)
+        .select("q_id", "emb", "cell_id")
+    )
+    qres = qcells.join(means, "cell_id").select(
+        "q_id", "cell_id", F.expr(_RESID).alias("emb")
+    )
+    ln = dim // m
+    slices = F.expr(
+        f"transform(sequence(0, {m - 1}), s -> slice(emb, s * {ln} + 1, {ln}))"
+    )
+    qsubs = qres.select("q_id", "cell_id", F.posexplode(slices).alias("s", "sub"))
+    dtab = (
+        qsubs.join(F.broadcast(cents_pq), "s")
+        .withColumn("d2", F.expr(_L2_INT))
+        .select("q_id", "cell_id", "s", "code", "d2")
+    )
+    approx = (
+        codes.join(F.broadcast(dtab), ["cell_id", "s", "code"])
+        .groupBy("q_id", "c_id")
+        .agg(F.sum("d2").alias("adist2"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist2"), F.asc("c_id"))
+    return (
+        approx.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "adist2")
+    )
+
+
 def pq_topk(
     q_q: DataFrame,
     cand_q: DataFrame,

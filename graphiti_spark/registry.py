@@ -709,42 +709,49 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_ann_pq_topk() -> str:
-    ln = EMB_DIM // PQ_M
+def _duck_d2(a: str, b: str) -> str:
+    """Exact integer squared-L2 via three inner products (SQL mirror of
+    operators/ann._L2_INT)."""
+    return (
+        f"CAST(list_inner_product({a}, {a})"
+        f" - 2 * list_inner_product({a}, {b})"
+        f" + list_inner_product({b}, {b}) AS BIGINT)"
+    )
 
-    def d2(a: str, b: str) -> str:
-        return (
-            f"CAST(list_inner_product({a}, {a})"
-            f" - 2 * list_inner_product({a}, {b})"
-            f" + list_inner_product({b}, {b}) AS BIGINT)"
-        )
 
-    def sub(col: str) -> str:
-        return f"{col}[t.s * {ln} + 1 : t.s * {ln} + {ln}]"
-
+def _pq_sql_parts(
+    m: int, n_codes: int, iters: int, dim: int, src: str = "cand"
+) -> tuple[list[str], str, str]:
+    """SQL mirror of operators/ann.pq_codebooks + _pq_assign over an
+    in-scope CTE `src`(c_id, emb): one md5-bounded seed pass shared by
+    all m subspaces, `iters` exact integer-mean Lloyd rounds (sum //
+    count — truncation division on both engines), final code
+    assignment. Returns (cte_parts, last_assignment_cte,
+    last_centroid_cte) — shared by the ann_pq_topk and ann_ivfpq_topk
+    oracles."""
+    ln = dim // m
+    sub = f"emb[t.s * {ln} + 1 : t.s * {ln} + {ln}]"
     parts = [
         f"""
-cand AS (SELECT vec_id AS c_id, {_DUCK_QZ} AS emb FROM embeddings WHERE vec_id >= 8),
-qs AS (SELECT vec_id AS q_id, {_DUCK_QZ} AS emb FROM embeddings WHERE vec_id < 8),
-csub AS (SELECT c_id, t.s, {sub("emb")} AS sub FROM cand, range({PQ_M}) t(s)),
+csub AS (SELECT c_id, t.s, {sub} AS sub FROM {src}, range({m}) t(s)),
 seed AS (
   SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INT) AS code, emb
-  FROM (SELECT md5(CAST(c_id AS VARCHAR)) AS h, emb FROM cand
-        ORDER BY h LIMIT {PQ_CODES})
+  FROM (SELECT md5(CAST(c_id AS VARCHAR)) AS h, emb FROM {src}
+        ORDER BY h LIMIT {n_codes})
 ),
-pc0 AS (SELECT code, t.s, {sub("emb")} AS cent FROM seed, range({PQ_M}) t(s))"""
+pc0 AS (SELECT code, t.s, {sub} AS cent FROM seed, range({m}) t(s))"""
     ]
-    for i in range(1, PQ_ITERS + 2):
+    for i in range(1, iters + 2):
         parts.append(f"""
 pa{i} AS (
   SELECT c_id, s, sub, code FROM (
     SELECT cs.c_id, cs.s, cs.sub, ct.code,
            row_number() OVER (PARTITION BY cs.c_id, cs.s
-                              ORDER BY {d2("cs.sub", "ct.cent")} ASC, ct.code) AS rn
+                              ORDER BY {_duck_d2("cs.sub", "ct.cent")} ASC, ct.code) AS rn
     FROM csub cs JOIN pc{i - 1} ct ON ct.s = cs.s
   ) WHERE rn = 1
 )""")
-        if i <= PQ_ITERS:
+        if i <= iters:
             parts.append(f"""
 pc{i} AS (
   SELECT s, code, list(CAST(mv AS BIGINT) ORDER BY pos) AS cent FROM (
@@ -754,11 +761,23 @@ pc{i} AS (
     GROUP BY 1, 2, 3
   ) GROUP BY 1, 2
 )""")
-    last_asg, last_cent = f"pa{PQ_ITERS + 1}", f"pc{PQ_ITERS}"
+    return parts, f"pa{iters + 1}", f"pc{iters}"
+
+
+def _sql_ann_pq_topk() -> str:
+    ln = EMB_DIM // PQ_M
+    parts = [
+        f"""
+cand AS (SELECT vec_id AS c_id, {_DUCK_QZ} AS emb FROM embeddings WHERE vec_id >= 8),
+qs AS (SELECT vec_id AS q_id, {_DUCK_QZ} AS emb FROM embeddings WHERE vec_id < 8)"""
+    ]
+    pq_parts, last_asg, last_cent = _pq_sql_parts(PQ_M, PQ_CODES, PQ_ITERS, EMB_DIM)
+    parts += pq_parts
     parts.append(f"""
-qsub AS (SELECT q_id, t.s, {sub("emb")} AS sub FROM qs, range({PQ_M}) t(s)),
+qsub AS (SELECT q_id, t.s, emb[t.s * {ln} + 1 : t.s * {ln} + {ln}] AS sub
+         FROM qs, range({PQ_M}) t(s)),
 dtab AS (
-  SELECT q.q_id, ct.s, ct.code, {d2("q.sub", "ct.cent")} AS d2
+  SELECT q.q_id, ct.s, ct.code, {_duck_d2("q.sub", "ct.cent")} AS d2
   FROM qsub q JOIN {last_cent} ct ON ct.s = q.s
 ),
 approx AS (
@@ -774,6 +793,117 @@ SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, adist2 FROM (
          row_number() OVER (PARTITION BY q_id ORDER BY adist2 ASC, c_id) AS rank
   FROM approx
 ) WHERE rank <= {PQ_K}"""
+    )
+
+
+IVFPQ_M, IVFPQ_CODES, IVFPQ_ITERS, IVFPQ_K = 16, 32, 1, 5
+
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC end-to-end under the exact gate (operators/ann.ivfpq_topk):
+    coarse IVF training + n_probe cell pruning composed with product
+    quantization of the RESIDUALS (vector minus its cell's integer mean
+    centroid) and per-probed-cell asymmetric distance tables — the
+    canonical FAISS IVFx,PQy billion-scale layout. Same query/candidate
+    split as ann_topk so recall is measurable against it (pytest pins
+    it)."""
+    emb = ann.read_embeddings(spark, sf_dir)
+    q = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.expr(_QZ).alias("emb")
+    )
+    c = emb.where(F.col("vec_id") >= 8).select(
+        F.col("vec_id").alias("c_id"), F.expr(_QZ).alias("emb")
+    )
+    out = ann.ivfpq_topk(
+        q,
+        c,
+        dim=EMB_DIM,
+        n_cells=IVF_CELLS,
+        n_probe=IVF_PROBE,
+        ivf_iter=IVF_ITERS,
+        m=IVFPQ_M,
+        n_codes=IVFPQ_CODES,
+        pq_iter=IVFPQ_ITERS,
+        k=IVFPQ_K,
+    )
+    return out.select(
+        "q_id",
+        F.col("rank").cast("long").alias("rank"),
+        "c_id",
+        F.col("adist2").cast("long").alias("adist2"),
+    )
+
+
+def _sql_ann_ivfpq_topk() -> str:
+    cos = _duck_cos
+    parts = [
+        f"""
+cand AS (SELECT vec_id AS c_id, {_DUCK_QZ} AS emb FROM embeddings WHERE vec_id >= 8),
+qs AS (SELECT vec_id AS q_id, {_DUCK_QZ} AS emb FROM embeddings WHERE vec_id < 8)"""
+    ]
+    km_parts, last_asg, last_cent = _kmeans_sql_parts(IVF_CELLS, IVF_ITERS)
+    parts += km_parts
+    # residual encoding: integer mean centroid per cell (sum // count,
+    # truncation division on both engines), residual = emb - mean
+    parts.append(f"""
+cmean AS (
+  SELECT cell_id, pos, CAST(sum(v) // count(*) AS BIGINT) AS cv
+  FROM (SELECT cell_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS pos
+        FROM {last_asg})
+  GROUP BY 1, 2
+),
+res AS (
+  SELECT x.c_id, x.cell_id, list(CAST(x.v - mn.cv AS BIGINT) ORDER BY x.pos) AS emb
+  FROM (SELECT c_id, cell_id, unnest(emb) AS v, generate_subscripts(emb, 1) AS pos
+        FROM {last_asg}) x
+  JOIN cmean mn ON mn.cell_id = x.cell_id AND mn.pos = x.pos
+  GROUP BY 1, 2
+)""")
+    pq_parts, pq_asg, pq_cent = _pq_sql_parts(
+        IVFPQ_M, IVFPQ_CODES, IVFPQ_ITERS, EMB_DIM, src="res"
+    )
+    parts += pq_parts
+    ln = EMB_DIM // IVFPQ_M
+    parts.append(f"""
+codesc AS (
+  SELECT a.c_id, r.cell_id, a.s, a.code
+  FROM {pq_asg} a JOIN (SELECT c_id, cell_id FROM res) r ON r.c_id = a.c_id
+),
+probe AS (
+  SELECT q_id, emb AS qemb, cell_id FROM (
+    SELECT q.q_id, q.emb, ct.cell_id,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {cos("q.emb", "ct.centroid")} DESC, ct.cell_id) AS rn
+    FROM qs q CROSS JOIN {last_cent} ct
+  ) WHERE rn <= {IVF_PROBE}
+),
+qres AS (
+  SELECT x.q_id, x.cell_id, list(CAST(x.v - mn.cv AS BIGINT) ORDER BY x.pos) AS emb
+  FROM (SELECT q_id, cell_id, unnest(qemb) AS v, generate_subscripts(qemb, 1) AS pos
+        FROM probe) x
+  JOIN cmean mn ON mn.cell_id = x.cell_id AND mn.pos = x.pos
+  GROUP BY 1, 2
+),
+qsub AS (SELECT q_id, cell_id, t.s, emb[t.s * {ln} + 1 : t.s * {ln} + {ln}] AS sub
+         FROM qres, range({IVFPQ_M}) t(s)),
+dtab AS (
+  SELECT q.q_id, q.cell_id, ct.s, ct.code, {_duck_d2("q.sub", "ct.cent")} AS d2
+  FROM qsub q JOIN {pq_cent} ct ON ct.s = q.s
+),
+approx AS (
+  SELECT d.q_id, c.c_id, CAST(sum(d.d2) AS BIGINT) AS adist2
+  FROM codesc c
+  JOIN dtab d ON d.cell_id = c.cell_id AND d.s = c.s AND d.code = c.code
+  GROUP BY 1, 2
+)""")
+    return (
+        "WITH " + ",".join(p.strip() for p in parts)
+        + f"""
+SELECT q_id, CAST(rank AS BIGINT) AS rank, c_id, adist2 FROM (
+  SELECT q_id, c_id, adist2,
+         row_number() OVER (PARTITION BY q_id ORDER BY adist2 ASC, c_id) AS rank
+  FROM approx
+) WHERE rank <= {IVFPQ_K}"""
     )
 
 
@@ -2341,6 +2471,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "doc_embcos_dedup": q_doc_embcos_dedup,
     "doc_embcos_clusters": q_doc_embcos_clusters,
     "doc_split": q_doc_split,
@@ -4267,6 +4398,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "ann_topk": _sql_ann_topk,
     "ann_ivf_topk": _sql_ann_ivf_topk,
     "ann_pq_topk": _sql_ann_pq_topk,
+    "ann_ivfpq_topk": _sql_ann_ivfpq_topk,
     "doc_embcos_dedup": _sql_doc_embcos_dedup,
     "doc_embcos_clusters": _sql_doc_embcos_clusters,
     "doc_split": _sql_doc_split,
