@@ -639,6 +639,75 @@ def _sql_doc_url_dedup() -> str:
     return sql_url_dup_groups(_URL_VARIANTS_SQL)
 
 
+def q_doc_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token cardinality via an engine-neutral
+    HyperLogLog (operators/sketches.py): md5-hash map, 256 max-registers
+    per source (partial-agg friendly, mergeable), exact-integer harmonic
+    sum, one final float64 division. The exact count rides along for
+    audit; at 100 TB only the registers move."""
+    from .operators import sketches
+
+    d = docs_mod.read_documents(spark, sf_dir)
+    toks = d.select(
+        "source",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{docs_mod.WORD}', 0)")
+        ).alias("tok"),
+    )
+    return sketches.hll_distinct(toks, "source", "tok")
+
+
+def _sql_doc_hll_distinct() -> str:
+    from .operators.sketches import HLL_M, RHO_MAX
+
+    alpha = f"(0.7213e0 / (1 + 1.079e0 / {HLL_M}))"
+    shift = f"(CAST(1 AS BIGINT) << {RHO_MAX})"
+    return f"""
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT source AS g,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks
+),
+parts AS (SELECT g, h % {HLL_M} AS bucket, h // {HLL_M} AS w FROM hashed),
+regs AS (
+  SELECT g, bucket,
+         max(CASE WHEN w = 0 THEN {RHO_MAX}
+             ELSE {RHO_MAX} - length(bin(w)) END) AS M
+  FROM parts GROUP BY 1, 2
+),
+perg AS (
+  SELECT g,
+         CAST(sum(CAST(1 AS BIGINT) << ({RHO_MAX} - M)) AS BIGINT) AS s_present,
+         count(*) AS n_present,
+         sum(CASE WHEN M = 0 THEN 1 ELSE 0 END) AS zero_present
+  FROM regs GROUP BY 1
+),
+withraw AS (
+  SELECT g,
+         CAST(zero_present + ({HLL_M} - n_present) AS BIGINT) AS zeros,
+         {alpha} * {HLL_M} * {HLL_M} * CAST({shift} AS DOUBLE)
+           / CAST(s_present + ({HLL_M} - n_present) * {shift} AS DOUBLE) AS raw
+  FROM perg
+),
+est AS (
+  SELECT g, zeros,
+         CAST(CASE WHEN raw <= 2.5e0 * {HLL_M} AND zeros > 0
+              THEN floor({HLL_M} * ln({HLL_M} / CAST(zeros AS DOUBLE)))
+              ELSE floor(raw) END AS BIGINT) AS hll_q
+  FROM withraw
+),
+exact AS (
+  SELECT source AS g, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+  FROM toks GROUP BY 1
+)
+SELECT e.g AS source, e.zeros, e.hll_q, x.exact_distinct
+FROM est e JOIN exact x ON x.g = e.g"""
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = ann.read_embeddings(spark, sf_dir)
     q = emb.where(F.col("vec_id") < 8).select(
@@ -2472,6 +2541,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "doc_hll_distinct": q_doc_hll_distinct,
     "doc_embcos_dedup": q_doc_embcos_dedup,
     "doc_embcos_clusters": q_doc_embcos_clusters,
     "doc_split": q_doc_split,
@@ -4399,6 +4469,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "ann_ivf_topk": _sql_ann_ivf_topk,
     "ann_pq_topk": _sql_ann_pq_topk,
     "ann_ivfpq_topk": _sql_ann_ivfpq_topk,
+    "doc_hll_distinct": _sql_doc_hll_distinct,
     "doc_embcos_dedup": _sql_doc_embcos_dedup,
     "doc_embcos_clusters": _sql_doc_embcos_clusters,
     "doc_split": _sql_doc_split,
