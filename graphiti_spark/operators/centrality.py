@@ -474,6 +474,63 @@ def kcore(triples: DataFrame, k: int = 2, max_iter: int = 30) -> DataFrame:
     )
 
 
+def landmark_closeness(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_landmarks: int = 8,
+    max_depth: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Landmark-approximate closeness centrality (the Eppstein-Wang
+    sampling scheme): exact bounded BFS from a deterministic sample of
+    n_landmarks nodes, then closeness(v) ~ reached / sum(d(v, l)) over
+    the landmarks that reached v. Exact closeness is all-pairs shortest
+    paths — quadratic, unrunnable at web scale; k-landmark BFS is the
+    standard production estimator (k independent multi-source BFS
+    passes, each linear in edges).
+
+    Landmarks are the n_landmarks nodes with the smallest md5(key) — a
+    bounded TakeOrderedAndProject sample (the train_centroids seeding
+    discipline), never a global sort. The BFS reuses search.bfs_nodes:
+    per-hop dedup + visited anti-join, lineage truncated per hop, every
+    hop one co-partitioned join. The final score is exact integer
+    micro-units (reached * scale div sum_d), so the whole estimator
+    sits under the DuckDB value-hash gate.
+
+    edges: (source_node_uuid, target_node_uuid) directed canonical
+    edges (BFS treats them undirected). nodes: (uuid) node keys.
+    Returns (node_key, n_reached, sum_depth, closeness_q); landmarks'
+    zero self-distances are excluded, nodes reached by no landmark
+    don't appear (their estimate is undefined, not zero)."""
+    from .search import bfs_nodes
+
+    lms = (
+        nodes.select("uuid").distinct()
+        .withColumn("h", F.md5("uuid"))
+        .orderBy("h")
+        .limit(n_landmarks)
+    )
+    origins = lms.select(F.col("uuid").alias("origin_uuid"), "uuid")
+    dist = bfs_nodes(edges, origins, max_depth=max_depth).where(
+        F.col("depth") > 0
+    )
+    return (
+        dist.groupBy("uuid")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum("depth").alias("sum_depth"),
+        )
+        .select(
+            F.col("uuid").alias("node_key"),
+            F.col("n_reached").cast("long").alias("n_reached"),
+            F.col("sum_depth").cast("long").alias("sum_depth"),
+            F.expr(f"(n_reached * {scale}) div sum_depth")
+            .cast("long")
+            .alias("closeness_q"),
+        )
+    )
+
+
 def degree_histogram(triples: DataFrame) -> DataFrame:
     """Log2-bucketed degree distribution per group — the power-law
     diagnostic that decides skew handling (salting thresholds, AQE skew

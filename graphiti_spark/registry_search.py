@@ -344,6 +344,68 @@ SELECT origin_uuid, uuid AS node_key, CAST(min(depth) AS BIGINT) AS depth
 FROM allhops GROUP BY 1, 2"""
 
 
+N_LANDMARKS, CLOSENESS_DEPTH = 8, 3
+
+
+def q_kg_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-approximate closeness centrality over the canonical
+    entity graph (operators/centrality.landmark_closeness): bounded BFS
+    from the 8 smallest-md5 node keys, closeness = reached * 1e6 div
+    sum(depth) — the linear-cost estimator for the all-pairs quantity
+    no web-scale graph can afford exactly."""
+    t = _graph(spark, sf_dir)
+    from .operators.centrality import landmark_closeness
+    from .plans.pipeline import triples_view
+
+    tv = triples_view(t)
+    edges = tv.select(
+        F.concat_ws("|", "group_id", "subj").alias("source_node_uuid"),
+        F.concat_ws("|", "group_id", "obj").alias("target_node_uuid"),
+    )
+    nodes = t.nodes.select(
+        F.concat_ws("|", "group_id", "name").alias("uuid")
+    )
+    return landmark_closeness(
+        edges, nodes, n_landmarks=N_LANDMARKS, max_depth=CLOSENESS_DEPTH
+    )
+
+
+def _sql_kg_closeness() -> str:
+    hops = []
+    for d in range(1, CLOSENESS_DEPTH + 1):
+        hops.append(f"""
+d{d} AS (
+  SELECT d{d - 1}.origin_uuid, b.dst AS uuid, {d} AS depth
+  FROM d{d - 1} JOIN bidir b ON b.src = d{d - 1}.uuid
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM d{d}" for d in range(CLOSENESS_DEPTH + 1)
+    )
+    return f"""
+WITH {_kg_eds_sql().lstrip()},
+pairs AS (
+  SELECT DISTINCT group_id || '|' || subj AS src, group_id || '|' || obj AS dst
+  FROM eds
+),
+bidir AS (
+  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+),
+allnodes AS (
+  SELECT DISTINCT c.group_id || '|' || c.canon_name AS id FROM canon c
+),
+lms AS (SELECT id FROM allnodes ORDER BY md5(id) LIMIT {N_LANDMARKS}),
+d0 AS (SELECT id AS origin_uuid, id AS uuid, 0 AS depth FROM lms),
+{",".join(h.strip() for h in hops)},
+mind AS (
+  SELECT origin_uuid, uuid, min(depth) AS depth
+  FROM ({union}) GROUP BY 1, 2
+)
+SELECT uuid AS node_key, CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum(depth) AS BIGINT) AS sum_depth,
+       CAST((count(*) * 1000000) // sum(depth) AS BIGINT) AS closeness_q
+FROM mind WHERE depth > 0 GROUP BY 1"""
+
+
 ASOF_TS = "2024-01-01 12:00:00"
 
 
@@ -1106,6 +1168,7 @@ SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_edge_date_filter": q_kg_edge_date_filter,
     "kg_asof_snapshot": q_kg_asof_snapshot,
     "kg_bfs_asof": q_kg_bfs_asof,
+    "kg_closeness": q_kg_closeness,
 }
 
 SEARCH_ORACLES: dict[str, Callable[[], str]] = {
@@ -1127,4 +1190,5 @@ SEARCH_ORACLES: dict[str, Callable[[], str]] = {
     "kg_edge_date_filter": _sql_kg_edge_date_filter,
     "kg_asof_snapshot": _sql_kg_asof_snapshot,
     "kg_bfs_asof": _sql_kg_bfs_asof,
+    "kg_closeness": _sql_kg_closeness,
 }
