@@ -499,9 +499,13 @@ def landmark_closeness(
 
     edges: (source_node_uuid, target_node_uuid) directed canonical
     edges (BFS treats them undirected). nodes: (uuid) node keys.
-    Returns (node_key, n_reached, sum_depth, closeness_q); landmarks'
-    zero self-distances are excluded, nodes reached by no landmark
-    don't appear (their estimate is undefined, not zero)."""
+    Returns (node_key, n_reached, sum_depth, closeness_q,
+    harmonic_q); harmonic_q = sum(scale div d) is the harmonic
+    variant (Boldi-Vigna's preferred form — robust to disconnection
+    since unreached landmarks contribute 0 instead of poisoning the
+    sum); each term is an exact integer so the sum is order-free.
+    Landmarks' zero self-distances are excluded, nodes reached by no
+    landmark don't appear (their estimate is undefined, not zero)."""
     from .search import bfs_nodes
 
     lms = (
@@ -519,6 +523,7 @@ def landmark_closeness(
         .agg(
             F.count(F.lit(1)).alias("n_reached"),
             F.sum("depth").alias("sum_depth"),
+            F.sum(F.expr(f"{scale} div depth")).alias("harmonic_q"),
         )
         .select(
             F.col("uuid").alias("node_key"),
@@ -527,6 +532,7 @@ def landmark_closeness(
             F.expr(f"(n_reached * {scale}) div sum_depth")
             .cast("long")
             .alias("closeness_q"),
+            F.col("harmonic_q").cast("long").alias("harmonic_q"),
         )
     )
 

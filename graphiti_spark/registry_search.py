@@ -402,7 +402,8 @@ mind AS (
 )
 SELECT uuid AS node_key, CAST(count(*) AS BIGINT) AS n_reached,
        CAST(sum(depth) AS BIGINT) AS sum_depth,
-       CAST((count(*) * 1000000) // sum(depth) AS BIGINT) AS closeness_q
+       CAST((count(*) * 1000000) // sum(depth) AS BIGINT) AS closeness_q,
+       CAST(sum(1000000 // depth) AS BIGINT) AS harmonic_q
 FROM mind WHERE depth > 0 GROUP BY 1"""
 
 

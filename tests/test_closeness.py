@@ -24,14 +24,17 @@ def test_path_graph_exact(spark):
     e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
     n = _nodes(spark, ["a", "b", "c", "d"])
     got = {
-        r["node_key"]: (r["n_reached"], r["sum_depth"], r["closeness_q"])
+        r["node_key"]: (
+            r["n_reached"], r["sum_depth"], r["closeness_q"], r["harmonic_q"]
+        )
         for r in landmark_closeness(e, n, n_landmarks=4, max_depth=3).collect()
     }
+    # harmonic(a) = 1e6/1 + 1e6/2 + 1e6 div 3 = 1833333
     assert got == {
-        "a": (3, 6, 500000),
-        "b": (3, 4, 750000),
-        "c": (3, 4, 750000),
-        "d": (3, 6, 500000),
+        "a": (3, 6, 500000, 1833333),
+        "b": (3, 4, 750000, 2500000),
+        "c": (3, 4, 750000, 2500000),
+        "d": (3, 6, 500000, 1833333),
     }
 
 
