@@ -537,6 +537,139 @@ def landmark_closeness(
     )
 
 
+def landmark_betweenness(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_landmarks: int = 8,
+    max_depth: int = 3,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Landmark-sampled betweenness centrality — Brandes (2001)
+    dependency accumulation from a bounded deterministic source sample
+    (the Brandes-Pich estimator). Exact betweenness is all-pairs; the
+    sampled form is k BFS passes, each linear in edges, the standard
+    web-scale estimator.
+
+    Per landmark o: (1) min hop distances (the deduped bfs_nodes),
+    (2) shortest-path counts sigma level-by-level (sigma(v) = sum of
+    sigma over depth-(d-1) neighbors — one co-partitioned join + agg
+    per level), (3) dependency accumulation BACKWARD over the
+    shortest-path DAG: delta(v) = sum over depth-(d+1) successors w of
+    sigma_v * (scale + delta(w)) div sigma_w — the integer-quantized
+    form of Brandes' (sigma_v/sigma_w)(1+delta(w)); each term is an
+    exact integer so sums are order-free and the whole estimator sits
+    under the DuckDB value-hash gate. betweenness_q(v) = sum over
+    landmarks of delta — landmarks themselves (depth 0) are excluded,
+    and nodes interior to no sampled shortest path don't appear.
+
+    Every join in all three phases is keyed (origin, node) or the
+    edge key — skinny rows, co-partitioned across the fixed
+    max_depth-unrolled DAG; per-level lineage is truncated exactly as
+    in bfs_nodes. Returns (node_key, n_origins, betweenness_q)."""
+    from .search import bfs_nodes
+
+    if max_depth < 2:
+        raise ValueError("betweenness needs max_depth >= 2 (interior nodes)")
+    bidir = (
+        edges.select(
+            F.col("source_node_uuid").alias("src"),
+            F.col("target_node_uuid").alias("dst"),
+        )
+        .union(
+            edges.select(
+                F.col("target_node_uuid").alias("src"),
+                F.col("source_node_uuid").alias("dst"),
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    lms = (
+        nodes.select("uuid").distinct()
+        .withColumn("h", F.md5("uuid"))
+        .orderBy("h")
+        .limit(n_landmarks)
+    )
+    origins = lms.select(F.col("uuid").alias("origin_uuid"), "uuid")
+    dist = bfs_nodes(edges, origins, max_depth=max_depth).localCheckpoint(
+        eager=False
+    )
+
+    sig = {
+        0: origins.select(
+            "origin_uuid", "uuid", F.lit(1).cast("long").alias("sigma")
+        )
+    }
+    for d in range(1, max_depth + 1):
+        lvl = dist.where(F.col("depth") == d).select("origin_uuid", "uuid")
+        prev = sig[d - 1].select(
+            "origin_uuid", F.col("uuid").alias("pu"), "sigma"
+        )
+        sig[d] = (
+            lvl.join(bidir, lvl.uuid == bidir.dst)
+            .select("origin_uuid", "uuid", F.col("src").alias("pu"))
+            .join(prev, ["origin_uuid", "pu"])
+            .groupBy("origin_uuid", "uuid")
+            .agg(F.sum("sigma").alias("sigma"))
+            .localCheckpoint(eager=False)
+        )
+
+    delta = None
+    deltas = []
+    for d in range(max_depth - 1, 0, -1):
+        lvl_v = dist.where(F.col("depth") == d).select("origin_uuid", "uuid")
+        lvl_w = dist.where(F.col("depth") == d + 1).select(
+            "origin_uuid", F.col("uuid").alias("w")
+        )
+        pairs = (
+            lvl_v.join(bidir, lvl_v.uuid == bidir.src)
+            .select("origin_uuid", "uuid", F.col("dst").alias("w"))
+            .join(lvl_w, ["origin_uuid", "w"])
+        )
+        sv = sig[d].select(
+            "origin_uuid", "uuid", F.col("sigma").alias("sv")
+        )
+        sw = sig[d + 1].select(
+            "origin_uuid", F.col("uuid").alias("w"), F.col("sigma").alias("sw")
+        )
+        j = pairs.join(sv, ["origin_uuid", "uuid"]).join(
+            sw, ["origin_uuid", "w"]
+        )
+        if delta is not None:
+            dw = delta.select(
+                "origin_uuid", F.col("uuid").alias("w"),
+                F.col("delta").alias("dw"),
+            )
+            j = j.join(dw, ["origin_uuid", "w"], "left").withColumn(
+                "dw", F.coalesce(F.col("dw"), F.lit(0))
+            )
+        else:
+            j = j.withColumn("dw", F.lit(0).cast("long"))
+        delta = (
+            j.withColumn("term", F.expr(f"(sv * ({scale} + dw)) div sw"))
+            .groupBy("origin_uuid", "uuid")
+            .agg(F.sum("term").alias("delta"))
+            .localCheckpoint(eager=False)
+        )
+        deltas.append(delta)
+
+    alld = deltas[0]
+    for d in deltas[1:]:
+        alld = alld.unionByName(d)
+    return (
+        alld.groupBy("uuid")
+        .agg(
+            F.count(F.lit(1)).alias("n_origins"),
+            F.sum("delta").alias("betweenness_q"),
+        )
+        .select(
+            F.col("uuid").alias("node_key"),
+            F.col("n_origins").cast("long").alias("n_origins"),
+            F.col("betweenness_q").cast("long").alias("betweenness_q"),
+        )
+    )
+
+
 def degree_histogram(triples: DataFrame) -> DataFrame:
     """Log2-bucketed degree distribution per group — the power-law
     diagnostic that decides skew handling (salting thresholds, AQE skew

@@ -407,6 +407,102 @@ SELECT uuid AS node_key, CAST(count(*) AS BIGINT) AS n_reached,
 FROM mind WHERE depth > 0 GROUP BY 1"""
 
 
+def q_kg_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-sampled Brandes betweenness over the canonical entity
+    graph (operators/centrality.landmark_betweenness): shortest-path
+    counts level-by-level from the 8 smallest-md5 landmarks, then
+    integer-quantized dependency accumulation backward over the
+    shortest-path DAG."""
+    t = _graph(spark, sf_dir)
+    from .operators.centrality import landmark_betweenness
+    from .plans.pipeline import triples_view
+
+    tv = triples_view(t)
+    edges = tv.select(
+        F.concat_ws("|", "group_id", "subj").alias("source_node_uuid"),
+        F.concat_ws("|", "group_id", "obj").alias("target_node_uuid"),
+    )
+    nodes = t.nodes.select(
+        F.concat_ws("|", "group_id", "name").alias("uuid")
+    )
+    return landmark_betweenness(
+        edges, nodes, n_landmarks=N_LANDMARKS, max_depth=CLOSENESS_DEPTH
+    )
+
+
+def _sql_kg_betweenness() -> str:
+    depth = CLOSENESS_DEPTH
+    parts = []
+    for d in range(1, depth + 1):
+        parts.append(f"""
+sig{d} AS (
+  SELECT l.origin_uuid, l.uuid, CAST(sum(p.sigma) AS BIGINT) AS sigma
+  FROM (SELECT origin_uuid, uuid FROM mind WHERE depth = {d}) l
+  JOIN bidir b ON b.dst = l.uuid
+  JOIN sig{d - 1} p ON p.origin_uuid = l.origin_uuid AND p.uuid = b.src
+  GROUP BY 1, 2
+)""")
+    for d in range(depth - 1, 0, -1):
+        dw = (
+            "0" if d == depth - 1
+            else f"COALESCE(dn.delta, 0)"
+        )
+        dj = (
+            "" if d == depth - 1
+            else f"\n  LEFT JOIN del{d + 1} dn"
+            " ON dn.origin_uuid = w.origin_uuid AND dn.uuid = w.uuid"
+        )
+        parts.append(f"""
+del{d} AS (
+  SELECT v.origin_uuid, v.uuid,
+         CAST(sum((sv.sigma * (1000000 + {dw})) // sw.sigma) AS BIGINT) AS delta
+  FROM (SELECT origin_uuid, uuid FROM mind WHERE depth = {d}) v
+  JOIN bidir b ON b.src = v.uuid
+  JOIN (SELECT origin_uuid, uuid FROM mind WHERE depth = {d + 1}) w
+    ON w.origin_uuid = v.origin_uuid AND w.uuid = b.dst
+  JOIN sig{d} sv ON sv.origin_uuid = v.origin_uuid AND sv.uuid = v.uuid
+  JOIN sig{d + 1} sw ON sw.origin_uuid = w.origin_uuid AND sw.uuid = w.uuid{dj}
+  GROUP BY 1, 2
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM del{d}" for d in range(1, depth)
+    )
+    hops = []
+    for d in range(1, depth + 1):
+        hops.append(f"""
+d{d} AS (
+  SELECT d{d - 1}.origin_uuid, b.dst AS uuid, {d} AS depth
+  FROM d{d - 1} JOIN bidir b ON b.src = d{d - 1}.uuid
+)""")
+    hop_union = " UNION ALL ".join(
+        f"SELECT * FROM d{d}" for d in range(depth + 1)
+    )
+    return f"""
+WITH {_kg_eds_sql().lstrip()},
+pairs AS (
+  SELECT DISTINCT group_id || '|' || subj AS src, group_id || '|' || obj AS dst
+  FROM eds
+),
+bidir AS (
+  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+),
+allnodes AS (
+  SELECT DISTINCT c.group_id || '|' || c.canon_name AS id FROM canon c
+),
+lms AS (SELECT id FROM allnodes ORDER BY md5(id) LIMIT {N_LANDMARKS}),
+d0 AS (SELECT id AS origin_uuid, id AS uuid, 0 AS depth FROM lms),
+{",".join(h.strip() for h in hops)},
+mind AS (
+  SELECT origin_uuid, uuid, min(depth) AS depth
+  FROM ({hop_union}) GROUP BY 1, 2
+),
+sig0 AS (SELECT origin_uuid, uuid, CAST(1 AS BIGINT) AS sigma FROM d0),
+{",".join(p.strip() for p in parts)}
+SELECT uuid AS node_key, CAST(count(*) AS BIGINT) AS n_origins,
+       CAST(sum(delta) AS BIGINT) AS betweenness_q
+FROM ({union}) GROUP BY 1"""
+
+
 ASOF_TS = "2024-01-01 12:00:00"
 
 
@@ -1170,6 +1266,7 @@ SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_asof_snapshot": q_kg_asof_snapshot,
     "kg_bfs_asof": q_kg_bfs_asof,
     "kg_closeness": q_kg_closeness,
+    "kg_betweenness": q_kg_betweenness,
 }
 
 SEARCH_ORACLES: dict[str, Callable[[], str]] = {
@@ -1192,4 +1289,5 @@ SEARCH_ORACLES: dict[str, Callable[[], str]] = {
     "kg_asof_snapshot": _sql_kg_asof_snapshot,
     "kg_bfs_asof": _sql_kg_bfs_asof,
     "kg_closeness": _sql_kg_closeness,
+    "kg_betweenness": _sql_kg_betweenness,
 }
