@@ -813,6 +813,90 @@ def mix_sample(
     )
 
 
+def bpe_merges(docs: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Iterative BPE tokenizer TRAINING (Sennrich et al. 2016) — the
+    full merge loop, not just one pair count: for each round, count
+    corpus-weighted adjacent-symbol pairs over the distinct-word
+    frequency table, pick the argmax pair, rewrite the vocabulary with
+    the merged symbol, repeat. Returns the learned merge table
+    (round, lhs, rhs, total) — the artifact a tokenizer ships.
+
+    Scale shape: the corpus collapses to its VOCABULARY before any
+    per-character work (one groupBy — production BPE trainers
+    distribute exactly this way), so every round's pair count runs on
+    vocab-sized data; the argmax is a TakeOrderedAndProject (bounded,
+    never a global sort) broadcast back as a 1-row literal table.
+
+    Symbols live as single space-delimited strings (' h e l l o ')
+    and a merge round rewrites each word with a greedy LEFT FOLD over
+    its symbols (struct-state `aggregate`): merge (cur, s) when they
+    equal the round's pair, else emit cur — the leftmost
+    non-overlapping application order reference BPE uses, correct on
+    chained occurrences ('banana' -> b an an a, 'aaaa' -> aa aa) where
+    a naive string replace() loses the shared boundary separator (it
+    consumes the trailing space of one match that the next match needs
+    as its leading space). The DuckDB oracle runs the same fold via
+    list_reduce with encoded string state. Round count is fixed;
+    per-round lineage is truncated."""
+    vocab = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.expr("' ' || regexp_replace(word, '(.)', '$1 ')").alias("w"),
+            "cnt",
+        )
+    )
+    syms = "filter(split(w, ' '), x -> x <> '')"
+    pair_expr = (
+        f"transform(sequence(1, size({syms}) - 1),"
+        f" i -> struct({syms}[i - 1] AS a, {syms}[i] AS b))"
+    )
+    rows = []
+    for r in range(1, n_merges + 1):
+        agg = (
+            vocab.where(F.expr(f"size({syms}) >= 2"))
+            .select(F.explode(F.expr(pair_expr)).alias("p"), "cnt")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("total"))
+        )
+        best = (
+            agg.orderBy(F.col("total").desc(), "a", "b")
+            .limit(1)
+            .select(F.lit(r).cast("long").alias("round"), "a", "b", "total")
+            .localCheckpoint(eager=True)
+        )
+        rows.append(best)
+        fold = f"""aggregate(
+            {syms},
+            named_struct('o', '', 'c', ''),
+            (st, s) -> CASE
+              WHEN st.c = a AND s = b
+                THEN named_struct('o', st.o || ' ' || a || b, 'c', '')
+              WHEN st.c = '' THEN named_struct('o', st.o, 'c', s)
+              ELSE named_struct('o', st.o || ' ' || st.c, 'c', s) END,
+            st -> st.o || CASE WHEN st.c = '' THEN '' ELSE ' ' || st.c END
+                  || ' ')"""
+        vocab = (
+            vocab.crossJoin(F.broadcast(best.select("a", "b")))
+            .select(F.expr(fold).alias("w"), "cnt")
+            .localCheckpoint(eager=False)
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "round",
+        F.col("a").alias("lhs"),
+        F.col("b").alias("rhs"),
+        F.col("total").cast("long").alias("total"),
+    )
+
+
 def bpe_pair_counts(docs: DataFrame, top_n: int = 20) -> DataFrame:
     """The inner loop of distributed BPE tokenizer training (Sennrich et
     al. 2016): corpus-weighted adjacent-symbol-pair frequencies. The

@@ -639,6 +639,76 @@ def _sql_doc_url_dedup() -> str:
     return sql_url_dup_groups(_URL_VARIANTS_SQL)
 
 
+N_BPE_MERGES = 8
+
+
+def q_doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer training (operators/docs.bpe_merges):
+    N_BPE_MERGES full count->argmax->rewrite rounds over the
+    vocab-collapsed corpus; the output is the learned merge table."""
+    from .operators.docs import bpe_merges
+
+    return bpe_merges(
+        docs.read_documents(spark, sf_dir), n_merges=N_BPE_MERGES
+    )
+
+
+def _sql_doc_bpe_merges() -> str:
+    parts = [
+        r"""
+w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents),
+wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+v0 AS (SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS w, cnt
+       FROM wc)"""
+    ]
+    for r in range(1, N_BPE_MERGES + 1):
+        parts.append(f"""
+p{r} AS (
+  SELECT p[1] AS a, p[2] AS b, CAST(sum(cnt) AS BIGINT) AS total
+  FROM (SELECT unnest(list_zip(ss[1:len(ss) - 1], ss[2:len(ss)])) AS p, cnt
+        FROM (SELECT list_filter(string_split(w, ' '), x -> x <> '') AS ss,
+                     cnt
+              FROM v{r - 1})
+        WHERE len(ss) >= 2)
+  GROUP BY 1, 2
+),
+b{r} AS (
+  SELECT CAST({r} AS BIGINT) AS round, a, b, total
+  FROM p{r} ORDER BY total DESC, a, b LIMIT 1
+)""")
+        if r < N_BPE_MERGES:
+            # greedy left-fold rewrite (mirror of the Spark aggregate):
+            # state is 'out<US>cur' in one string, US = chr(31)
+            parts.append(f"""
+v{r} AS (
+  SELECT fs[1] || CASE WHEN fs[2] = '' THEN '' ELSE ' ' || fs[2] END || ' '
+           AS w, cnt
+  FROM (
+    SELECT string_split(
+      list_reduce(
+        [chr(31)] || list_filter(string_split(v.w, ' '), x -> x <> ''),
+        (acc, x) -> CASE
+          WHEN split_part(acc, chr(31), 2) = b.a AND x = b.b
+            THEN split_part(acc, chr(31), 1) || ' ' || b.a || b.b || chr(31)
+          WHEN split_part(acc, chr(31), 2) = ''
+            THEN split_part(acc, chr(31), 1) || chr(31) || x
+          ELSE split_part(acc, chr(31), 1) || ' '
+               || split_part(acc, chr(31), 2) || chr(31) || x
+        END), chr(31)) AS fs, v.cnt AS cnt
+    FROM v{r - 1} v CROSS JOIN b{r} b
+  )
+)""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM b{r}" for r in range(1, N_BPE_MERGES + 1)
+    )
+    return (
+        "WITH " + ",".join(p.strip() for p in parts)
+        + f"""
+SELECT round, a AS lhs, b AS rhs, total FROM ({union})"""
+    )
+
+
 def q_doc_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinct-token cardinality via an engine-neutral
     HyperLogLog (operators/sketches.py): md5-hash map, 256 max-registers
@@ -2542,6 +2612,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "doc_hll_distinct": q_doc_hll_distinct,
+    "doc_bpe_merges": q_doc_bpe_merges,
     "doc_embcos_dedup": q_doc_embcos_dedup,
     "doc_embcos_clusters": q_doc_embcos_clusters,
     "doc_split": q_doc_split,
@@ -4470,6 +4541,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "ann_pq_topk": _sql_ann_pq_topk,
     "ann_ivfpq_topk": _sql_ann_ivfpq_topk,
     "doc_hll_distinct": _sql_doc_hll_distinct,
+    "doc_bpe_merges": _sql_doc_bpe_merges,
     "doc_embcos_dedup": _sql_doc_embcos_dedup,
     "doc_embcos_clusters": _sql_doc_embcos_clusters,
     "doc_split": _sql_doc_split,
