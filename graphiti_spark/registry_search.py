@@ -503,6 +503,64 @@ SELECT uuid AS node_key, CAST(count(*) AS BIGINT) AS n_origins,
 FROM ({union}) GROUP BY 1"""
 
 
+SN_WINDOW, SN_MAX_LEV = 3, 2
+
+
+def q_kg_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER blocking (operators/resolve.
+    sorted_neighborhood_pairs) over the canonical node names: the
+    merge/purge candidate generator complementary to the LSH path —
+    emits residual same-sort-prefix near-name pairs (lev <= 2) that
+    survived exact+LSH canonicalization, i.e. the review queue an ER
+    pipeline hands to adjudication. Fixture: the canonical node names
+    ∪ a deterministic truncated twin (final character dropped) of
+    every name of length >= 10 — truncation/suffix noise is precisely
+    the variant family sorted neighborhood catches and
+    shingle-Jaccard LSH can miss; each twin sorts adjacent to its
+    source and surfaces as a lev=1 pair."""
+    t = _graph(spark, sf_dir)
+    from .operators.resolve import sorted_neighborhood_pairs
+
+    base = t.nodes.select("group_id", "name")
+    twins = base.where(F.length("name") >= 10).select(
+        "group_id",
+        F.expr("substr(name, 1, length(name) - 1)").alias("name"),
+    )
+    return sorted_neighborhood_pairs(
+        base.unionByName(twins).distinct(),
+        window=SN_WINDOW,
+        max_lev=SN_MAX_LEV,
+    )
+
+
+def _sql_kg_sorted_neighborhood() -> str:
+    norm = "regexp_replace(lower(name), '[^a-z0-9]', '', 'g')"
+    return f"""
+WITH {_kg_eds_sql().lstrip()},
+base0 AS (SELECT DISTINCT group_id, canon_name AS name FROM canon),
+nodes0 AS (
+  SELECT group_id, name FROM base0
+  UNION
+  SELECT group_id, substr(name, 1, length(name) - 1) AS name
+  FROM base0 WHERE length(name) >= 10
+),
+ranked AS (
+  SELECT group_id, name, {norm} AS sort_key,
+         row_number() OVER (PARTITION BY group_id
+                            ORDER BY {norm}, name) AS rn
+  FROM nodes0
+),
+cand AS (
+  SELECT a.group_id, a.name AS name_a, b.name AS name_b,
+         levenshtein(a.name, b.name) AS lev
+  FROM ranked a
+  JOIN ranked b ON b.group_id = a.group_id
+              AND b.rn BETWEEN a.rn + 1 AND a.rn + {SN_WINDOW - 1}
+)
+SELECT group_id, name_a, name_b, CAST(lev AS BIGINT) AS lev
+FROM cand WHERE lev <= {SN_MAX_LEV}"""
+
+
 ASOF_TS = "2024-01-01 12:00:00"
 
 
@@ -1267,6 +1325,7 @@ SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_bfs_asof": q_kg_bfs_asof,
     "kg_closeness": q_kg_closeness,
     "kg_betweenness": q_kg_betweenness,
+    "kg_sorted_neighborhood": q_kg_sorted_neighborhood,
 }
 
 SEARCH_ORACLES: dict[str, Callable[[], str]] = {
@@ -1290,4 +1349,5 @@ SEARCH_ORACLES: dict[str, Callable[[], str]] = {
     "kg_bfs_asof": _sql_kg_bfs_asof,
     "kg_closeness": _sql_kg_closeness,
     "kg_betweenness": _sql_kg_betweenness,
+    "kg_sorted_neighborhood": _sql_kg_sorted_neighborhood,
 }
