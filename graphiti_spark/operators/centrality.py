@@ -474,6 +474,88 @@ def kcore(triples: DataFrame, k: int = 2, max_iter: int = 30) -> DataFrame:
     )
 
 
+def _edge_support(und: DataFrame) -> DataFrame:
+    """Triangle support per undirected a<b edge: enumerate each
+    triangle once in x<y<z orientation ((x,y) joins (y,z) on the
+    middle vertex, closed by a semi-check on (x,z)), then explode its
+    three edges and count. Same degree-ordered compact-forward shape
+    as clustering_coefficients — wedge work is bounded by the join on
+    the middle vertex, all keys co-partitioned on group_id."""
+    e2 = und.select(
+        "group_id", F.col("a").alias("y"), F.col("b").alias("z")
+    )
+    tri = (
+        und.select("group_id", F.col("a").alias("x"), F.col("b").alias("y"))
+        .join(e2, ["group_id", "y"])
+        .join(
+            und.select(
+                "group_id", F.col("a").alias("x"), F.col("b").alias("z")
+            ),
+            ["group_id", "x", "z"],
+            "semi",
+        )
+    )
+    legs = (
+        tri.select("group_id", F.col("x").alias("a"), F.col("y").alias("b"))
+        .unionAll(
+            tri.select("group_id", F.col("y").alias("a"), F.col("z").alias("b"))
+        )
+        .unionAll(
+            tri.select("group_id", F.col("x").alias("a"), F.col("z").alias("b"))
+        )
+    )
+    return legs.groupBy("group_id", "a", "b").agg(
+        F.count(F.lit(1)).alias("s")
+    )
+
+
+def ktruss(triples: DataFrame, k: int = 3, max_iter: int = 10) -> DataFrame:
+    """k-truss decomposition: the maximal subgraph in which every EDGE
+    lies in >= k-2 triangles — the edge-analog of the k-core and the
+    stricter dense-backbone extraction (a k-core keeps hub spokes; a
+    truss keeps only mutually-corroborating fact clusters, since an
+    edge survives only if its endpoints share k-2 common neighbors).
+    Computed by iterative peel: drop under-supported edges, recompute
+    support on the remainder, repeat to fixpoint (removing an edge can
+    only lower other edges' support, so peeling is monotone).
+
+    Scale shape mirrors kcore: each round is one triangle enumeration
+    (two co-partitioned joins + a semi-close) and one skinny edge
+    semi-join; localCheckpoint truncates per-round lineage; fixpoint
+    early-exit is a limit(1) anti-probe. Returns the surviving edges
+    (group_id, src, dst, support) with support measured in the final
+    subgraph."""
+    und = (
+        triples.select(
+            "group_id",
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        sup = _edge_support(und)
+        keep = sup.where(F.col("s") >= k - 2).select("group_id", "a", "b")
+        nxt = und.join(keep, ["group_id", "a", "b"], "semi").localCheckpoint(
+            eager=True
+        )
+        removed = und.join(nxt, ["group_id", "a", "b"], "anti").limit(1).count()
+        und = nxt
+        if removed == 0:
+            break
+    return (
+        und.join(_edge_support(und), ["group_id", "a", "b"])
+        .select(
+            "group_id",
+            F.col("a").alias("src"),
+            F.col("b").alias("dst"),
+            F.col("s").cast("long").alias("support"),
+        )
+    )
+
+
 def landmark_closeness(
     edges: DataFrame,
     nodes: DataFrame,

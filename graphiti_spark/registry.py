@@ -2137,6 +2137,60 @@ def q_kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore(q_kg_triples(spark, sf_dir), k=2)
 
 
+def q_kg_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the canonical KG (every surviving edge in >= 1
+    triangle of the surviving subgraph, peeled to fixpoint) — the
+    edge-level dense backbone: only mutually-corroborating fact
+    clusters remain (operators/centrality.ktruss)."""
+    from .operators.centrality import ktruss
+
+    return ktruss(q_kg_triples(spark, sf_dir), k=3)
+
+
+def _sql_kg_ktruss(rounds: int = 6) -> str:
+    # peel rounds unrolled mechanically (kcore-oracle pattern); the
+    # engine peels to fixpoint with an early-exit probe, so the gate
+    # holds whenever the graph converges within `rounds` — verified at
+    # test scale. MATERIALIZED keeps DuckDB from exponentially
+    # re-inlining the per-round chain.
+    ctes = """
+, und0 AS MATERIALIZED (
+  SELECT DISTINCT group_id, least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM eds WHERE subj <> obj
+)"""
+    for i in range(rounds + 1):
+        ctes += f""",
+tr{i} AS MATERIALIZED (
+  SELECT e1.group_id, e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und{i} e1
+  JOIN und{i} e2 ON e2.group_id = e1.group_id AND e2.a = e1.b
+  JOIN und{i} e3 ON e3.group_id = e1.group_id AND e3.a = e1.a
+                AND e3.b = e2.b
+),
+sup{i} AS MATERIALIZED (
+  SELECT group_id, a, b, count(*) AS s FROM (
+    SELECT group_id, x AS a, y AS b FROM tr{i}
+    UNION ALL SELECT group_id, y, z FROM tr{i}
+    UNION ALL SELECT group_id, x, z FROM tr{i}
+  ) GROUP BY 1, 2, 3
+)"""
+        if i < rounds:
+            ctes += f""",
+und{i + 1} AS MATERIALIZED (
+  SELECT u.group_id, u.a, u.b FROM und{i} u
+  JOIN sup{i} s ON s.group_id = u.group_id AND s.a = u.a AND s.b = u.b
+  WHERE s.s >= 1
+)"""
+    body = (
+        ctes
+        + f"""
+SELECT u.group_id, u.a AS src, u.b AS dst, CAST(s.s AS BIGINT) AS support
+FROM und{rounds} u
+JOIN sup{rounds} s ON s.group_id = u.group_id AND s.a = u.a AND s.b = u.b"""
+    )
+    return _kg_sql(body, with_eds=True)
+
+
 def q_kg_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log2-bucketed degree distribution — the power-law diagnostic that
     sizes skew handling; integer-exact buckets via bin() bit length."""
@@ -2633,6 +2687,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_shared_employer": q_kg_shared_employer,
     "kg_clustering": q_kg_clustering,
     "kg_kcore": q_kg_kcore,
+    "kg_ktruss": q_kg_ktruss,
     "kg_predicate_stats": q_kg_predicate_stats,
     "kg_functional_violations": q_kg_functional_violations,
     "kg_integrity": q_kg_integrity,
@@ -4562,6 +4617,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_shared_employer": _sql_kg_shared_employer,
     "kg_clustering": _sql_kg_clustering,
     "kg_kcore": _sql_kg_kcore,
+    "kg_ktruss": _sql_kg_ktruss,
     "kg_predicate_stats": _sql_kg_predicate_stats,
     "kg_functional_violations": _sql_kg_functional_violations,
     "kg_integrity": _sql_kg_integrity,
