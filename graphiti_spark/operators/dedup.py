@@ -395,3 +395,94 @@ def doc_simhash(text: str) -> int:
             acc[bit] += 1 if (h >> bit) & 1 else -1
     out = sum(1 << b for b in range(63) if acc[b] > 0)
     return out - (1 << 63 if acc[63] > 0 else 0)
+
+
+def prefix_filter_pairs(
+    docs: DataFrame, tau_num: int = 4, tau_den: int = 5
+) -> DataFrame:
+    """Prefix-filtering set-similarity self-join (Chaudhuri et al.
+    SSJoin 2006 / Bayardo All-Pairs 2007) — the THIRD classic dedup
+    blocking family alongside MinHash-LSH (probabilistic) and sorted
+    neighborhood (sort-order locality), and unlike LSH it is EXACT:
+    every pair with token-set Jaccard >= tau is guaranteed emitted.
+
+    The trick: order each document's distinct tokens by ascending
+    corpus frequency (rarest first; ties on the token string) and
+    index only the PREFIX of length |d| - ceil(tau*|d|) + 1 — two sets
+    can reach Jaccard tau only if their prefixes share a token, so the
+    candidate join runs on the rare end of the vocabulary (the
+    frequency ordering is what keeps the inverted index's posting
+    lists short). Candidates then pass the length filter
+    (tau*|a| <= |b| <= |a|/tau, integer cross-multiplied) before the
+    exact intersection verify, which is restricted to candidates only.
+
+    Plan shape at 100 TB: one distinct (doc, tok) shuffle; a
+    vocab-sized df table joined back (hot tokens are well-spread
+    keys); prefix rank is a per-doc window (co-partitioned, skinny);
+    the candidate join shuffles on the token key with posting lists
+    frequency-bounded by construction; verification is one
+    candidate-restricted equi-join + count. All arithmetic integer
+    (tau as a fraction, micro-unit Jaccard), so the whole operator is
+    value-hash exact under the DuckDB gate.
+
+    docs: (doc_id, text). Returns (doc_a, doc_b, inter_sz, jaccard_u)
+    with jaccard_u = 1e6 * |A∩B| div |A∪B| >= 1e6 * tau_num/tau_den.
+    """
+    from pyspark.sql import Window
+
+    dt = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("tok"),
+    ).distinct()
+    dt = dt.localCheckpoint(eager=False)
+    dfq = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    ws = Window.partitionBy("doc_id")
+    r = (
+        dt.join(dfq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(ws))
+    )
+    pre = r.where(
+        F.col("rn")
+        <= F.col("sz")
+        - F.expr(f"({tau_num} * sz + {tau_den} - 1) div {tau_den}")
+        + 1
+    ).select("doc_id", "tok", "sz")
+    a = pre.select(
+        F.col("doc_id").alias("doc_a"), "tok", F.col("sz").alias("sz_a")
+    )
+    b = pre.select(
+        F.col("doc_id").alias("doc_b"), "tok", F.col("sz").alias("sz_b")
+    )
+    cand = (
+        a.join(b, "tok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            (F.col("sz_b") * tau_den >= F.col("sz_a") * tau_num)
+            & (F.col("sz_a") * tau_den >= F.col("sz_b") * tau_num)
+        )
+        .select("doc_a", "doc_b", "sz_a", "sz_b")
+        .distinct()
+    )
+    x = dt.select(F.col("doc_id").alias("doc_a"), "tok")
+    y = dt.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(x, "doc_a")
+        .join(y, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("inter_sz"))
+    )
+    jac = F.expr("(1000000 * inter_sz) div (sz_a + sz_b - inter_sz)")
+    return (
+        inter.withColumn("jaccard_u", jac)
+        .where(F.col("jaccard_u") >= 1_000_000 * tau_num // tau_den)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter_sz").cast("long").alias("inter_sz"),
+            F.col("jaccard_u").cast("long").alias("jaccard_u"),
+        )
+    )

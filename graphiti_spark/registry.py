@@ -1637,6 +1637,64 @@ def _sql_doc_minhash_dedup() -> str:
     return sql_minhash_pairs(_NEAR_DUP_SQL, threshold=0.5)
 
 
+PFX_TAU_NUM, PFX_TAU_DEN = 4, 5
+
+
+def q_doc_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering
+    (operators/dedup.prefix_filter_pairs) over the near-dup fixture:
+    guaranteed-complete Jaccard >= 0.8 pairs — the deterministic
+    counterpart to the probabilistic MinHash path on the same corpus."""
+    from .operators.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(
+        _docs_with_near_dups(spark, sf_dir),
+        tau_num=PFX_TAU_NUM,
+        tau_den=PFX_TAU_DEN,
+    )
+
+
+def _sql_doc_prefix_join() -> str:
+    n, d = PFX_TAU_NUM, PFX_TAU_DEN
+    return f"""
+WITH src AS ({_NEAR_DUP_SQL}),
+dt AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM src
+),
+dfq AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+r AS (
+  SELECT t.doc_id, t.tok,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.tok) AS rn,
+         count(*) OVER (PARTITION BY t.doc_id) AS sz
+  FROM dt t JOIN dfq f ON f.tok = t.tok
+),
+pre AS (
+  SELECT doc_id, tok, sz FROM r
+  WHERE rn <= sz - (({n} * sz + {d} - 1) // {d}) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sz AS sz_a, b.sz AS sz_b
+  FROM pre a JOIN pre b ON b.tok = a.tok AND b.doc_id > a.doc_id
+  WHERE b.sz * {d} >= a.sz * {n} AND a.sz * {d} >= b.sz * {n}
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, c.sz_a, c.sz_b, count(*) AS inter_sz
+  FROM cand c
+  JOIN dt x ON x.doc_id = c.doc_a
+  JOIN dt y ON y.doc_id = c.doc_b AND y.tok = x.tok
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, CAST(inter_sz AS BIGINT) AS inter_sz,
+       CAST((1000000 * inter_sz) // (sz_a + sz_b - inter_sz) AS BIGINT)
+         AS jaccard_u
+FROM inter
+WHERE (1000000 * inter_sz) // (sz_a + sz_b - inter_sz)
+      >= (1000000 * {n}) // {d}"""
+
+
 def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup DECISION: verified MinHash near-dup pairs are closed
     transitively (connected components, min-label = canonical survivor)
@@ -2620,6 +2678,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_mentions_page": q_kg_mentions_page,
     "kg_communities_page": q_kg_communities_page,
     "doc_minhash_dedup": q_doc_minhash_dedup,
+    "doc_prefix_join": q_doc_prefix_join,
     "doc_dup_clusters": q_doc_dup_clusters,
     "doc_simhash_pairs": q_doc_simhash_pairs,
     "kg_communities": q_kg_communities,
@@ -4555,6 +4614,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_mentions_page": _sql_kg_mentions_page,
     "kg_communities_page": _sql_kg_communities_page,
     "doc_minhash_dedup": _sql_doc_minhash_dedup,
+    "doc_prefix_join": _sql_doc_prefix_join,
     "doc_dup_clusters": _sql_doc_dup_clusters,
     "doc_simhash_pairs": _sql_doc_simhash_pairs,
     "kg_communities": _sql_kg_communities,
