@@ -1,4 +1,5 @@
-"""Distinct-count sketches over the document corpus.
+"""Streaming-summary sketches over the document corpus: HyperLogLog
+(cardinality) and count-min (frequency).
 
 At 100 TB you cannot afford `COUNT(DISTINCT token)` per slice — the
 distinct set itself is the shuffle. HyperLogLog (Flajolet et al. 2007)
@@ -132,4 +133,56 @@ def hll_distinct(
             "hll_q",
             F.col("exact_distinct").cast("long").alias("exact_distinct"),
         )
+    )
+
+
+CMS_D = 4  # hash rows
+CMS_W = 256  # counters per row
+
+
+def cms_counters(items: DataFrame, key_col: str = "tok") -> DataFrame:
+    """Count-min sketch counters (Cormode & Muthukrishnan 2005) — the
+    FREQUENCY leg of the sketch pair (hll_* is the cardinality leg).
+    At 100 TB you cannot groupBy the full token stream per slice just
+    to ask "how often does X appear, roughly"; CMS folds the stream
+    into d x w integer counters (here 4 x 256 — fixed size regardless
+    of corpus), updatable by partial aggregation and MERGEABLE by
+    elementwise SUM (unlike HLL's max — both sketches roll up across
+    partitions/days, by different monoids).
+
+    One pure-map projection (d hash positions per item, the repo-wide
+    md5 pattern so DuckDB reproduces every position bit-for-bit) and
+    one (row, pos) count — the shuffle carries at most d*w skinny
+    rows. Returns (r, pos, c)."""
+    rows = F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("r")
+    h = (
+        f"cast(conv(substr(md5(concat(r, ':', {key_col})), 1, 15), 16, 10)"
+        f" as bigint) % {CMS_W}"
+    )
+    return (
+        items.select(F.col(key_col).alias(key_col), rows)
+        .withColumn("pos", F.expr(h))
+        .groupBy("r", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(counters: DataFrame, keys: DataFrame, key_col: str = "tok") -> DataFrame:
+    """Point-query the sketch: estimate(key) = min over the d rows of
+    the counter its hash lands in — an upper bound on the true count
+    (collisions only ever inflate), within eps*N with probability
+    1-delta for w = e/eps, d = ln(1/delta). The counter table is
+    d*w rows — always broadcast; querying K keys is one projection +
+    broadcast join + min-agg."""
+    rows = F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("r")
+    h = (
+        f"cast(conv(substr(md5(concat(r, ':', {key_col})), 1, 15), 16, 10)"
+        f" as bigint) % {CMS_W}"
+    )
+    return (
+        keys.select(key_col, rows)
+        .withColumn("pos", F.expr(h))
+        .join(F.broadcast(counters), ["r", "pos"])
+        .groupBy(key_col)
+        .agg(F.min("c").cast("long").alias("cms_est"))
     )

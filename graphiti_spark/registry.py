@@ -639,6 +639,79 @@ def _sql_doc_url_dedup() -> str:
     return sql_url_dup_groups(_URL_VARIANTS_SQL)
 
 
+CMS_TOPK = 20
+
+
+def q_doc_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the corpus's top-20
+    tokens (operators/sketches.cms_*): the 4x256-counter sketch is
+    built from the full token stream (fixed size, sum-mergeable), the
+    heavy hitters are point-queried against it, and the exact counts
+    ride along so the guaranteed-overcount property is visible
+    (cms_est >= exact always; collisions only inflate)."""
+    from .operators import sketches
+
+    d = docs_mod.read_documents(spark, sf_dir)
+    toks = d.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{docs_mod.WORD}', 0)")
+        ).alias("tok")
+    )
+    counters = sketches.cms_counters(toks)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "tok")
+        .limit(CMS_TOPK)
+    )
+    est = sketches.cms_estimate(counters, top.select("tok"))
+    return top.join(est, "tok").select(
+        "tok",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    )
+
+
+def _sql_doc_cms_topk() -> str:
+    from .operators.sketches import CMS_D, CMS_W
+
+    def pos(r: str, tok: str) -> str:
+        return (
+            f"CAST(('0x' || substr(md5({r} || ':' || {tok}), 1, 15))"
+            f" AS BIGINT) % {CMS_W}"
+        )
+
+    return f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+counters AS (
+  SELECT r, pos, count(*) AS c FROM (
+    SELECT rr.r AS r, {pos("rr.r", "tok")} AS pos
+    FROM toks CROSS JOIN range({CMS_D}) rr(r)
+  ) GROUP BY 1, 2
+),
+top AS (
+  SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY 1
+  ORDER BY exact_cnt DESC, tok LIMIT {CMS_TOPK}
+),
+qpos AS (
+  SELECT t.tok, t.exact_cnt, rr.r AS r, {pos("rr.r", "t.tok")} AS pos
+  FROM top t CROSS JOIN range({CMS_D}) rr(r)
+),
+est AS (
+  SELECT q.tok, q.exact_cnt, min(c.c) AS cms_est
+  FROM qpos q JOIN counters c ON c.r = q.r AND c.pos = q.pos
+  GROUP BY 1, 2
+)
+SELECT tok, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+FROM est"""
+
+
 N_BPE_MERGES = 8
 
 
@@ -2725,6 +2798,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "doc_hll_distinct": q_doc_hll_distinct,
+    "doc_cms_topk": q_doc_cms_topk,
     "doc_bpe_merges": q_doc_bpe_merges,
     "doc_embcos_dedup": q_doc_embcos_dedup,
     "doc_embcos_clusters": q_doc_embcos_clusters,
@@ -4656,6 +4730,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "ann_pq_topk": _sql_ann_pq_topk,
     "ann_ivfpq_topk": _sql_ann_ivfpq_topk,
     "doc_hll_distinct": _sql_doc_hll_distinct,
+    "doc_cms_topk": _sql_doc_cms_topk,
     "doc_bpe_merges": _sql_doc_bpe_merges,
     "doc_embcos_dedup": _sql_doc_embcos_dedup,
     "doc_embcos_clusters": _sql_doc_embcos_clusters,

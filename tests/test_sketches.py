@@ -52,3 +52,27 @@ def test_hll_rho_range(spark):
     regs = sketches.hll_registers(items).collect()
     assert all(0 <= r["bucket"] < sketches.HLL_M for r in regs)
     assert all(1 <= r["M"] <= sketches.RHO_MAX for r in regs)
+
+
+def test_cms_overcount_and_merge(spark, sf_dir):
+    """CMS invariants: estimate >= exact for EVERY queried key
+    (collisions only inflate), and counters are sum-mergeable —
+    summing the halves' counter tables equals the whole stream's."""
+    from pyspark.sql import functions as F
+
+    toks = _toks(spark, sf_dir).select("doc_id", "tok")
+    counters = sketches.cms_counters(toks)
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact"))
+    est = sketches.cms_estimate(counters, exact.select("tok"))
+    joined = exact.join(est, "tok").collect()
+    assert len(joined) > 0
+    assert all(r["cms_est"] >= r["exact"] for r in joined)
+
+    lo = sketches.cms_counters(toks.where("doc_id % 2 = 0"))
+    hi = sketches.cms_counters(toks.where("doc_id % 2 = 1"))
+    merged = (
+        lo.unionByName(hi).groupBy("r", "pos").agg(F.sum("c").alias("c"))
+    )
+    w = {(r["r"], r["pos"]): r["c"] for r in counters.collect()}
+    m = {(r["r"], r["pos"]): r["c"] for r in merged.collect()}
+    assert w == m
