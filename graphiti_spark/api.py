@@ -38,7 +38,7 @@ class SearchConfig:
 
     scope: str = "edges"  # edges | nodes | combined
     reranker: str = "rrf"  # rrf | mmr | node_distance | episode_mentions
-    #                        | cross_encoder | pagerank
+    #                        | cross_encoder | pagerank | closeness
     limit: int = S.DEFAULT_SEARCH_LIMIT
 
 
@@ -83,12 +83,14 @@ EDGE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig("edges", "node_distance")
 EDGE_HYBRID_SEARCH_EPISODE_MENTIONS = SearchConfig("edges", "episode_mentions")
 EDGE_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig("edges", "cross_encoder")
 EDGE_HYBRID_SEARCH_PAGERANK = SearchConfig("edges", "pagerank")
+EDGE_HYBRID_SEARCH_CLOSENESS = SearchConfig("edges", "closeness")
 NODE_HYBRID_SEARCH_RRF = SearchConfig("nodes", "rrf")
 NODE_HYBRID_SEARCH_MMR = SearchConfig("nodes", "mmr")
 NODE_HYBRID_SEARCH_NODE_DISTANCE = SearchConfig("nodes", "node_distance")
 NODE_HYBRID_SEARCH_EPISODE_MENTIONS = SearchConfig("nodes", "episode_mentions")
 NODE_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig("nodes", "cross_encoder")
 NODE_HYBRID_SEARCH_PAGERANK = SearchConfig("nodes", "pagerank")
+NODE_HYBRID_SEARCH_CLOSENESS = SearchConfig("nodes", "closeness")
 COMBINED_HYBRID_SEARCH_RRF = SearchConfig("combined", "rrf")
 COMBINED_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig("combined", "cross_encoder")
 COMMUNITY_HYBRID_SEARCH_RRF = SearchConfig("communities", "rrf")
@@ -367,6 +369,37 @@ class GraphitiSpark:
                     res.join(pr.withColumnRenamed("_n", "uuid"), "uuid", "left")
                     .withColumn("rank_u", F.coalesce("rank_u", F.lit(0)))
                     .orderBy(F.desc("rank_u"), "uuid")
+                )
+        elif config.reranker == "closeness":
+            # beyond-reference reranker: landmark harmonic closeness
+            # (centrality.landmark_closeness) — "how central is this
+            # entity in the graph", robust to disconnection; same
+            # precomputed-table join shape as the pagerank reranker.
+            from .operators.centrality import landmark_closeness
+
+            res = fused.where(F.col("rank") <= config.limit)
+            cl = landmark_closeness(
+                t.edges.select("source_node_uuid", "target_node_uuid"),
+                t.nodes.select("uuid"),
+            ).select(F.col("node_key").alias("_n"), "harmonic_q")
+            if config.scope == "edges":
+                src = t.edges.select("uuid", "source_node_uuid")
+                out = (
+                    res.join(src, "uuid", "left")
+                    .join(
+                        cl.withColumnRenamed("_n", "source_node_uuid"),
+                        "source_node_uuid",
+                        "left",
+                    )
+                    .withColumn("harmonic_q", F.coalesce("harmonic_q", F.lit(0)))
+                    .drop("source_node_uuid")
+                    .orderBy(F.desc("harmonic_q"), "uuid")
+                )
+            else:
+                out = (
+                    res.join(cl.withColumnRenamed("_n", "uuid"), "uuid", "left")
+                    .withColumn("harmonic_q", F.coalesce("harmonic_q", F.lit(0)))
+                    .orderBy(F.desc("harmonic_q"), "uuid")
                 )
         elif config.reranker == "cross_encoder":
             # Q13/U5: deterministic cross-encoder rerank of the hybrid

@@ -264,3 +264,22 @@ def test_pagerank_reranker(g):
     edges = g.search(["alice johnson works"], EDGE_HYBRID_SEARCH_PAGERANK).toPandas()
     assert len(edges) > 0 and "rank_u" in edges.columns
     assert list(edges["rank_u"]) == sorted(edges["rank_u"], reverse=True)
+
+
+def test_closeness_reranker(g):
+    """closeness reranker orders results by landmark harmonic
+    centrality (descending harmonic_q), node and edge scopes."""
+    from graphiti_spark.api import (
+        EDGE_HYBRID_SEARCH_CLOSENESS,
+        NODE_HYBRID_SEARCH_CLOSENESS,
+    )
+
+    nodes = g.search(["acme corp"], NODE_HYBRID_SEARCH_CLOSENESS).toPandas()
+    assert len(nodes) > 0 and "harmonic_q" in nodes.columns
+    assert list(nodes["harmonic_q"]) == sorted(nodes["harmonic_q"], reverse=True)
+
+    edges = g.search(
+        ["alice johnson works"], EDGE_HYBRID_SEARCH_CLOSENESS
+    ).toPandas()
+    assert len(edges) > 0 and "harmonic_q" in edges.columns
+    assert list(edges["harmonic_q"]) == sorted(edges["harmonic_q"], reverse=True)
