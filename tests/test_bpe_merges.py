@@ -52,3 +52,60 @@ def test_chained_boundary_merge(spark):
     # banana -> [b, an, an, a]: (an,an):1, (b,an):1, (an,a):1 — ties
     # break lexicographically: (an,a) < (an,an) < (b,an)
     assert got[1] == (2, "an", "a", 1)
+
+
+def _py_bpe(texts, n_merges):
+    """Pure-Python reference: Sennrich greedy BPE on the same corpus,
+    vocab-collapsed, leftmost-nonoverlapping merge application."""
+    import re
+    from collections import Counter
+
+    vocab = Counter()
+    for t in texts:
+        for w in re.findall(r"[a-z]+", t.lower()):
+            vocab[w] += 1
+    words = {w: list(w) for w in vocab}
+    merges = []
+    for r in range(1, n_merges + 1):
+        pairs = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += vocab[w]
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), total = best
+        merges.append((r, a, b, total))
+        for w, syms in words.items():
+            out, cur = [], None
+            for s in syms:
+                if cur == a and s == b:
+                    out.append(a + b)
+                    cur = None
+                elif cur is None:
+                    cur = s
+                else:
+                    out.append(cur)
+                    cur = s
+            if cur is not None:
+                out.append(cur)
+            words[w] = out
+    return merges
+
+
+def test_matches_python_reference_on_random_corpora(spark):
+    """Deterministic pseudo-random corpora (seeded md5-ish words with
+    heavy repeat runs — the overlap-prone shapes) must produce the
+    exact merge table of the pure-Python Sennrich reference."""
+    import hashlib
+
+    for seed in range(4):
+        rng_words = []
+        for i in range(40):
+            h = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+            # map hex to a 4-letter alphabet to force repeats/overlaps
+            rng_words.append("".join("abcd"[int(c, 16) % 4] for c in h[:8]))
+        text = " ".join(rng_words)
+        want = _py_bpe([text], 6)
+        got = _merges(spark, [text], 6)[: len(want)]
+        assert got == want, (seed, got, want)
