@@ -245,3 +245,67 @@ def modularity(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             F.expr("4L * max(m) * max(m)").cast("long").alias("modularity_den"),
         )
     )
+
+
+def propagate_labels(
+    edges: DataFrame, seeds: DataFrame, rounds: int = 3
+) -> DataFrame:
+    """Semi-supervised label propagation with clamped seeds (the
+    Zhu-Ghahramani scheme in its deterministic frontier form): labeled
+    nodes keep their labels forever; each round, every still-unlabeled
+    node adopts the majority label of its currently-labeled neighbors
+    (ties: count desc, then label asc — fully deterministic), and
+    newly-labeled nodes vote in later rounds, so types flow multi-hop.
+    This is KG type completion — infer Person/Organization/Place for
+    entities whose own extractions never said — and the evaluation
+    shape every KG-completion benchmark uses (mask, propagate, score).
+
+    Distinct from label_propagation above (community detection: every
+    node relabels every round, converging to cluster consensus); here
+    assignment is monotone and seed-clamped.
+
+    Scale shape: per round one join of the labeled frontier onto the
+    bidirectional edge list + one (node, label) count + one top-1
+    window per node — all keyed on the node id, co-partitioned;
+    lineage truncated per round. edges: (source_node_uuid,
+    target_node_uuid); seeds: (uuid, label nullable). Returns
+    (uuid, label nullable) after `rounds` rounds."""
+    bidir = (
+        edges.select(
+            F.col("source_node_uuid").alias("src"),
+            F.col("target_node_uuid").alias("dst"),
+        )
+        .union(
+            edges.select(
+                F.col("target_node_uuid").alias("src"),
+                F.col("source_node_uuid").alias("dst"),
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cur = seeds.select("uuid", "label")
+    for _ in range(rounds):
+        lab = cur.where(F.col("label").isNotNull()).select(
+            F.col("uuid").alias("src"), "label"
+        )
+        votes = (
+            bidir.join(lab, "src")
+            .groupBy(F.col("dst").alias("uuid"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("uuid").orderBy(F.desc("c"), F.asc("label"))
+        win = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("uuid", F.col("label").alias("new_label"))
+        )
+        cur = (
+            cur.join(win, "uuid", "left")
+            .select(
+                "uuid",
+                F.coalesce(F.col("label"), F.col("new_label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cur

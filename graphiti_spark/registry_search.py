@@ -503,6 +503,103 @@ SELECT uuid AS node_key, CAST(count(*) AS BIGINT) AS n_origins,
 FROM ({union}) GROUP BY 1"""
 
 
+TYPE_PROP_ROUNDS = 3
+_MASK_NIBBLES = ("0", "1", "2", "3", "4", "5")  # ~37.5% of nodes masked
+
+
+def q_kg_type_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised entity-type completion eval (operators/
+    communities.propagate_labels): mask the type of a deterministic
+    ~37.5% of canonical nodes (md5 first nibble), propagate types from
+    the labeled rest over 3 clamped-seed rounds, report per-masked-node
+    truth vs inference — the standard KG-completion mask-and-score
+    shape, gated exactly."""
+    t = _graph(spark, sf_dir)
+    from .operators.communities import propagate_labels
+    from .plans.pipeline import triples_view
+
+    tv = triples_view(t)
+    edges = tv.select(
+        F.concat_ws("|", "group_id", "subj").alias("source_node_uuid"),
+        F.concat_ws("|", "group_id", "obj").alias("target_node_uuid"),
+    )
+    nodes = t.nodes.select(
+        F.concat_ws("|", "group_id", "name").alias("uuid"),
+        F.array_join(F.col("labels"), "/").alias("true_label"),
+    )
+    masked = F.substring(F.md5("uuid"), 1, 1).isin(*_MASK_NIBBLES)
+    seeds = nodes.select(
+        "uuid",
+        F.when(masked, F.lit(None)).otherwise(F.col("true_label")).alias("label"),
+    )
+    final = propagate_labels(edges, seeds, rounds=TYPE_PROP_ROUNDS)
+    return (
+        nodes.where(masked)
+        .join(final, "uuid")
+        .select(
+            F.col("uuid").alias("node_key"),
+            "true_label",
+            F.col("label").alias("inferred_label"),
+            F.when(F.col("label") == F.col("true_label"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("correct"),
+        )
+    )
+
+
+def _sql_kg_type_propagation() -> str:
+    from .registry import _LABELS_CTES
+
+    nibbles = ", ".join(f"'{n}'" for n in _MASK_NIBBLES)
+    parts = [f"""
+{_LABELS_CTES.strip()},
+nodes0 AS (
+  SELECT group_id || '|' || name AS id, labels_str FROM nlab
+),
+pairs AS (
+  SELECT DISTINCT group_id || '|' || subj AS src, group_id || '|' || obj AS dst
+  FROM eds
+),
+bidir AS (
+  SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs
+),
+lab0 AS (
+  SELECT id, CASE WHEN substr(md5(id), 1, 1) IN ({nibbles})
+                  THEN NULL ELSE labels_str END AS label
+  FROM nodes0
+)"""]
+    for r in range(1, TYPE_PROP_ROUNDS + 1):
+        parts.append(f"""
+v{r} AS (
+  SELECT b.dst AS id, l.label, count(*) AS c
+  FROM bidir b JOIN lab{r - 1} l ON l.id = b.src
+  WHERE l.label IS NOT NULL GROUP BY 1, 2
+),
+w{r} AS (
+  SELECT id, label FROM (
+    SELECT id, label,
+           row_number() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+    FROM v{r}
+  ) WHERE rn = 1
+),
+lab{r} AS (
+  SELECT l.id, coalesce(l.label, w.label) AS label
+  FROM lab{r - 1} l LEFT JOIN w{r} w ON w.id = l.id
+)""")
+    body = (
+        ",".join(p.strip() for p in parts)
+        + f"""
+SELECT n.id AS node_key, n.labels_str AS true_label,
+       l.label AS inferred_label,
+       CAST(CASE WHEN l.label = n.labels_str THEN 1 ELSE 0 END AS BIGINT)
+         AS correct
+FROM nodes0 n JOIN lab{TYPE_PROP_ROUNDS} l ON l.id = n.id
+WHERE substr(md5(n.id), 1, 1) IN ({nibbles})"""
+    )
+    return f"WITH {_kg_eds_sql().lstrip()},\n{body}"
+
+
 SN_WINDOW, SN_MAX_LEV = 3, 2
 
 
@@ -1326,6 +1423,7 @@ SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_closeness": q_kg_closeness,
     "kg_betweenness": q_kg_betweenness,
     "kg_sorted_neighborhood": q_kg_sorted_neighborhood,
+    "kg_type_propagation": q_kg_type_propagation,
 }
 
 SEARCH_ORACLES: dict[str, Callable[[], str]] = {
@@ -1350,4 +1448,5 @@ SEARCH_ORACLES: dict[str, Callable[[], str]] = {
     "kg_closeness": _sql_kg_closeness,
     "kg_betweenness": _sql_kg_betweenness,
     "kg_sorted_neighborhood": _sql_kg_sorted_neighborhood,
+    "kg_type_propagation": _sql_kg_type_propagation,
 }
