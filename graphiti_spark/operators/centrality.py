@@ -324,6 +324,114 @@ def random_walks(triples: DataFrame, length: int = 3) -> DataFrame:
     return out
 
 
+def node2vec_walks(
+    triples: DataFrame,
+    length: int = 3,
+    w_ret: int = 25,
+    w_adj: int = 100,
+    w_out: int = 200,
+) -> DataFrame:
+    """Second-order biased walk corpus — node2vec (Grover & Leskovec
+    2016) on top of the random_walks machinery: the step from v with
+    previous node t weights each neighbor x by its distance to t
+    (return x==t: w_ret ~ 1/p; common neighbor d(t,x)=1: w_adj;
+    outward d=2: w_out ~ 1/q), so the defaults (25/100/200 = p=4,
+    q=0.5) are DFS-leaning, the regime the paper shows helps community
+    structure. The 'random' draw is the deterministic hash roulette:
+    r = md5('n2v:' start ':' step) % total_weight picks the neighbor
+    whose cumulative-weight interval (in neighbor sort order) covers
+    r — statistically the right bias, reproducible, resumable, and
+    oracle-checkable. First step has no previous node: all neighbors
+    weigh w_adj (uniform).
+
+    Scale shape: per step one co-partitioned join of the walk frontier
+    onto the neighbor index, one least/greatest adjacency left-join
+    for the d(t,x)=1 test, and one per-walk window (partition =
+    (group, start) — frontier-sized, never corpus-wide); lineage
+    truncated per step. Returns (group_id, start, step, node)."""
+    e = (
+        triples.select(
+            "group_id", F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    w_nbr = Window.partitionBy("group_id", "src").orderBy("dst")
+    nbrs = e.select(
+        "group_id", "src", "dst", F.row_number().over(w_nbr).alias("pick")
+    ).localCheckpoint(eager=True)
+    und = (
+        e.select(
+            "group_id",
+            F.least("src", "dst").alias("ua"),
+            F.greatest("src", "dst").alias("ub"),
+        )
+        .distinct()
+        .withColumn("is_adj", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    starts = (
+        e.select("group_id", F.col("src").alias("name"))
+        .unionByName(e.select("group_id", F.col("dst").alias("name")))
+        .distinct()
+    )
+    cur = starts.select(
+        "group_id",
+        F.col("name").alias("start"),
+        F.lit(0).cast("long").alias("step"),
+        F.col("name").alias("node"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+    legs = [cur.select("group_id", "start", "step", "node")]
+    for s in range(1, length + 1):
+        cand = cur.join(
+            nbrs.select("group_id", F.col("src").alias("node"), "dst", "pick"),
+            ["group_id", "node"],
+        )
+        cand = (
+            cand.withColumn("ua", F.least("prev", "dst"))
+            .withColumn("ub", F.greatest("prev", "dst"))
+            .join(und, ["group_id", "ua", "ub"], "left")
+            .withColumn(
+                "wt",
+                F.when(F.col("prev").isNull(), F.lit(w_adj))
+                .when(F.col("dst") == F.col("prev"), F.lit(w_ret))
+                .when(F.col("is_adj").isNotNull(), F.lit(w_adj))
+                .otherwise(F.lit(w_out)),
+            )
+        )
+        ww = Window.partitionBy("group_id", "start")
+        wcum = ww.orderBy("pick").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        r = F.expr(
+            "cast(conv(substr(md5(concat('n2v:', start, ':', "
+            f"'{s}')), 1, 8), 16, 10) as bigint)"
+        )
+        cur = (
+            cand.withColumn("cum", F.sum("wt").over(wcum))
+            .withColumn("total", F.sum("wt").over(ww))
+            .withColumn("r", r % F.col("total"))
+            .where(
+                (F.col("r") >= F.col("cum") - F.col("wt"))
+                & (F.col("r") < F.col("cum"))
+            )
+            .select(
+                "group_id",
+                "start",
+                F.lit(s).cast("long").alias("step"),
+                F.col("dst").alias("node"),
+                F.col("node").alias("prev"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        legs.append(cur.select("group_id", "start", "step", "node"))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
 def pagerank(
     triples: DataFrame, iters: int = 3, damp_pct: int = DAMP_PCT
 ) -> DataFrame:

@@ -2545,6 +2545,75 @@ def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 WALK_WINDOW = 2
 
 
+N2V_RET, N2V_ADJ, N2V_OUT = 25, 100, 200  # p=4, q=0.5 (DFS-leaning)
+
+
+def q_kg_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order biased walk corpus (operators/centrality.
+    node2vec_walks): node2vec p/q transition weighting with the
+    deterministic hash roulette, length WALK_LEN, one walk per
+    vertex."""
+    from .operators.centrality import node2vec_walks
+
+    return node2vec_walks(
+        q_kg_triples(spark, sf_dir),
+        length=WALK_LEN,
+        w_ret=N2V_RET,
+        w_adj=N2V_ADJ,
+        w_out=N2V_OUT,
+    )
+
+
+def _sql_kg_node2vec() -> str:
+    rounds, unions = [], [
+        "SELECT group_id, start, CAST(0 AS BIGINT) AS step, node FROM t0"
+    ]
+    for s in range(1, WALK_LEN + 1):
+        r = f"('0x' || substr(md5('n2v:' || start || ':{s}'), 1, 8))::BIGINT"
+        rounds.append(f"""
+c{s} AS (
+  SELECT t.group_id, t.start, t.node, n.dst, n.pick,
+         CASE WHEN t.prev IS NULL THEN {N2V_ADJ}
+              WHEN n.dst = t.prev THEN {N2V_RET}
+              WHEN u.ua IS NOT NULL THEN {N2V_ADJ}
+              ELSE {N2V_OUT} END AS wt
+  FROM t{s - 1} t
+  JOIN nbrs n ON n.group_id = t.group_id AND n.src = t.node
+  LEFT JOIN und u ON u.group_id = t.group_id
+        AND u.ua = least(t.prev, n.dst) AND u.ub = greatest(t.prev, n.dst)
+),
+w{s} AS (
+  SELECT group_id, start, node, dst, wt,
+         sum(wt) OVER (PARTITION BY group_id, start ORDER BY pick
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(wt) OVER (PARTITION BY group_id, start) AS total
+  FROM c{s}
+),
+t{s} AS (
+  SELECT group_id, start, dst AS node, node AS prev
+  FROM w{s}
+  WHERE {r} % total >= cum - wt AND {r} % total < cum
+)""")
+        unions.append(
+            f"SELECT group_id, start, CAST({s} AS BIGINT), node FROM t{s}"
+        )
+    body = f"""
+, e AS (SELECT DISTINCT group_id, subj AS src, obj AS dst FROM eds),
+nbrs AS (
+  SELECT group_id, src, dst,
+         row_number() OVER (PARTITION BY group_id, src ORDER BY dst) AS pick
+  FROM e
+),
+und AS (SELECT DISTINCT group_id, least(src, dst) AS ua,
+               greatest(src, dst) AS ub FROM e),
+v AS (SELECT group_id, src AS name FROM e
+      UNION SELECT group_id, dst FROM e),
+t0 AS (SELECT group_id, name AS start, name AS node,
+              CAST(NULL AS VARCHAR) AS prev FROM v),{",".join(rounds)}
+{" UNION ALL ".join(unions)}"""
+    return _kg_sql(body, with_eds=True)
+
+
 def q_kg_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram training pairs from the walk corpus (the DeepWalk
     word2vec stage): (center, context) for walk positions within
@@ -2829,6 +2898,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_entity_cards": q_kg_entity_cards,
     "kg_cooccurrence": q_kg_cooccurrence,
     "kg_random_walks": q_kg_random_walks,
+    "kg_node2vec": q_kg_node2vec,
     "kg_walk_pairs": q_kg_walk_pairs,
     "kg_link_prediction": q_kg_link_prediction,
     "kg_modularity": q_kg_modularity,
@@ -4761,6 +4831,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_entity_cards": _sql_kg_entity_cards,
     "kg_cooccurrence": _sql_kg_cooccurrence,
     "kg_random_walks": _sql_kg_random_walks,
+    "kg_node2vec": _sql_kg_node2vec,
     "kg_walk_pairs": _sql_kg_walk_pairs,
     "kg_link_prediction": _sql_kg_link_prediction,
     "kg_modularity": _sql_kg_modularity,
