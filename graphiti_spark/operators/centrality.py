@@ -1065,3 +1065,230 @@ def personalized_pagerank(
         .cast("long")
         .alias("is_seed"),
     )
+
+
+def hits(triples: DataFrame, iters: int = 2, scale: int = 1_000_000) -> DataFrame:
+    """Kleinberg HITS hubs & authorities over the directed canonical
+    graph (Kleinberg 1999, "Authoritative sources in a hyperlinked
+    environment") — the classic complement to PageRank for KG
+    curation: authorities are entities many well-connected hubs point
+    AT (good canonical-merge targets), hubs are entities whose
+    out-facts cover many authorities (good index/aggregator pages in a
+    web corpus).
+
+    Exact-integer power iteration in micro-units so the whole operator
+    sits under the DuckDB value-hash gate:
+
+        a0(v) = h0(v) = 1e6
+        a_i(v) = (sum_{u->v} h_{i-1}(u)) div s_a,  s_a = max_g(raw) div 1e6
+        h_i(v) = (sum_{v->w} a_i(w))     div s_h,  s_h = max_g(raw) div 1e6
+
+    The per-group max-normalization replaces the float L2 norm: it
+    keeps values bounded (max stays in [1e6, 2e6)) with pure integer
+    `div` arithmetic, identical in Spark `div` and DuckDB `//`. The
+    scale divisor is always >= 1: every vertex comes from an edge, so
+    some raw sum is >= 1e6 (guarded with greatest() anyway).
+
+    Plan shape is the pagerank family's: the skinny distinct edge list
+    is committed once (localCheckpoint) and every iteration is two
+    co-partitioned join+agg passes over it plus a group-sized max —
+    no per-iteration plan nesting, no global sort, shuffle keys are
+    (group_id, name) throughout. Reference has no graph centrality;
+    this is training-data-pipeline scope (SURVEY §2 'beyond')."""
+    e = (
+        triples.select(
+            "group_id", F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        e.select("group_id", F.col("src").alias("name"))
+        .unionByName(e.select("group_id", F.col("dst").alias("name")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        mx = raw.groupBy("group_id").agg(
+            F.expr(f"greatest(max(raw_u) div {scale}, 1L)").alias("sc")
+        )
+        return raw.join(mx, "group_id").select(
+            "group_id", "name", F.expr("raw_u div sc").alias(col)
+        )
+
+    a = verts.select(
+        "group_id", "name", F.lit(scale).cast("long").alias("auth_u")
+    )
+    h = verts.select(
+        "group_id", "name", F.lit(scale).cast("long").alias("hub_u")
+    )
+    for _ in range(iters):
+        # authorities from the PREVIOUS hubs of in-neighbors ...
+        a_raw = verts.join(
+            e.join(
+                h.select("group_id", F.col("name").alias("src"), "hub_u"),
+                ["group_id", "src"],
+            )
+            .groupBy("group_id", F.col("dst").alias("name"))
+            .agg(F.sum("hub_u").alias("s")),
+            ["group_id", "name"],
+            "left",
+        ).select("group_id", "name", F.expr("coalesce(s, 0L)").alias("raw_u"))
+        a = _normalize(a_raw, "auth_u").localCheckpoint(eager=True)
+        # ... then hubs from the UPDATED authorities of out-neighbors
+        h_raw = verts.join(
+            e.join(
+                a.select("group_id", F.col("name").alias("dst"), "auth_u"),
+                ["group_id", "dst"],
+            )
+            .groupBy("group_id", F.col("src").alias("name"))
+            .agg(F.sum("auth_u").alias("s")),
+            ["group_id", "name"],
+            "left",
+        ).select("group_id", "name", F.expr("coalesce(s, 0L)").alias("raw_u"))
+        h = _normalize(h_raw, "hub_u").localCheckpoint(eager=True)
+    return a.join(h, ["group_id", "name"]).select(
+        "group_id",
+        "name",
+        F.col("auth_u").cast("long").alias("auth_u"),
+        F.col("hub_u").cast("long").alias("hub_u"),
+    )
+
+
+def weighted_sssp(
+    triples: DataFrame,
+    n_sources: int = 8,
+    rounds: int = 4,
+    n_weights: int = 9,
+) -> DataFrame:
+    """Bounded Bellman-Ford weighted shortest paths from a deterministic
+    landmark sample — the weighted companion to landmark_closeness's
+    unweighted BFS (travel-cost / relation-strength distance instead of
+    hop count). Each directed edge carries a deterministic integer
+    weight in [1, n_weights] derived from md5(src|pred|dst) — the
+    engine-neutral stand-in for a real cost column — and parallel
+    predicates between the same pair collapse to their MINIMUM weight
+    (the cheapest relation wins, standard multigraph reduction).
+
+    `rounds` relaxation rounds give exact shortest distances over paths
+    of <= rounds edges — the bounded-horizon form every at-scale system
+    ships (full Bellman-Ford is |V| rounds; KG diameters are tiny).
+    Each round is ONE co-partitioned join of the frontier-with-dists
+    table against the committed edge list plus a min-agg — the same
+    skinny-iteration discipline as pagerank/kcore; per-round
+    localCheckpoint truncates lineage. Sources are the n_sources
+    smallest md5('wsp:'|group|name) keys — a bounded
+    TakeOrderedAndProject sample (train_centroids seeding discipline),
+    never a global sort at scale."""
+    w_expr = (
+        "cast(conv(substr(md5(concat(src, '|', pred, '|', dst)), 1, 8),"
+        f" 16, 10) as bigint) % {n_weights} + 1"
+    )
+    e = (
+        triples.select(
+            "group_id",
+            F.col("subj").alias("src"),
+            F.col("pred").alias("pred"),
+            F.col("obj").alias("dst"),
+        )
+        .distinct()
+        .withColumn("w", F.expr(w_expr))
+        .groupBy("group_id", "src", "dst")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        e.select("group_id", F.col("src").alias("name"))
+        .unionByName(e.select("group_id", F.col("dst").alias("name")))
+        .distinct()
+    )
+    sources = (
+        verts.withColumn(
+            "hkey", F.expr("md5(concat('wsp:', group_id, '|', name))")
+        )
+        .orderBy("hkey")
+        .limit(n_sources)
+        .select("group_id", F.col("name").alias("origin"))
+    )
+    dist = sources.select(
+        "group_id", "origin", F.col("origin").alias("name"),
+        F.lit(0).cast("long").alias("d"),
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(
+                e.select(
+                    "group_id", F.col("src").alias("name"), "dst", "w"
+                ),
+                ["group_id", "name"],
+            )
+            .select(
+                "group_id", "origin", F.col("dst").alias("name"),
+                F.expr("d + w").alias("d"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("group_id", "origin", "name")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.where(F.col("d") > 0).select(
+        "group_id", "origin", "name", F.col("d").cast("long").alias("dist_w")
+    )
+
+
+def ra_link_prediction(triples: DataFrame, scale: int = 1_000_000) -> DataFrame:
+    """Resource-allocation link-prediction index (Zhou, Lu & Zhang 2009)
+    — the degree-weighted upgrade to link_prediction's raw
+    common-neighbor/Jaccard features: each common neighbor z
+    contributes 1/deg(z), so overlap through low-degree (informative)
+    vertices outranks overlap through hubs. RA is the strongest of the
+    classic local indices on most benchmarks (it out-discriminates
+    Adamic-Adar by penalizing hubs linearly instead of
+    logarithmically) and stays integer-exact as scale div deg(z).
+
+    Same plan family as link_prediction: wedge enumeration at the
+    shared vertex — but the shared vertex's degree joins BEFORE the
+    self-join (one extra skinny map-side column, no new shuffle), so
+    the per-wedge contribution is computed inline and the groupBy sums
+    micro-units. Anti-join drops already-adjacent pairs."""
+    und = (
+        triples.select(
+            "group_id",
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = und.select(
+        "group_id", F.col("a").alias("v"), F.col("b").alias("nbr")
+    ).unionByName(
+        und.select("group_id", F.col("b").alias("v"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("group_id", "v").agg(F.count(F.lit(1)).alias("deg"))
+    adjd = adj.join(deg, ["group_id", "v"])
+    e1, e2 = adjd.alias("e1"), adj.alias("e2")
+    pairs = (
+        e1.join(e2, ["group_id", "v"])
+        .where(F.col("e1.nbr") < F.col("e2.nbr"))
+        .groupBy(
+            "group_id",
+            F.col("e1.nbr").alias("a"),
+            F.col("e2.nbr").alias("b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum(F.expr(f"{scale}L div deg")).alias("ra_u"),
+        )
+    )
+    return pairs.join(und, ["group_id", "a", "b"], "left_anti").select(
+        "group_id",
+        F.col("a").alias("name_a"),
+        F.col("b").alias("name_b"),
+        F.col("common").cast("long").alias("common"),
+        F.col("ra_u").cast("long").alias("ra_u"),
+    )

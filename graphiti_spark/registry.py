@@ -2811,6 +2811,160 @@ WHERE fingerprint IS NOT NULL
 GROUP BY 1"""
 
 
+HITS_ITERS = 2
+
+
+def q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS hubs & authorities over the canonical triple graph
+    (operators/centrality.hits): 2 exact-integer power iterations with
+    per-group max-normalization in micro-units — the PageRank
+    complement for KG curation (authorities = merge targets, hubs =
+    aggregator entities)."""
+    from .operators.centrality import hits
+
+    return hits(q_kg_triples(spark, sf_dir), iters=HITS_ITERS)
+
+
+def _sql_kg_hits() -> str:
+    rounds = []
+    for i in range(1, HITS_ITERS + 1):
+        p = i - 1
+        rounds.append(f"""
+ar{i} AS (
+  SELECT v.group_id, v.name, coalesce(s.s, 0) AS raw_u
+  FROM v LEFT JOIN (
+    SELECT e.group_id, e.dst AS name, sum(h.hub_u) AS s
+    FROM e JOIN h{p} h ON h.group_id = e.group_id AND h.name = e.src
+    GROUP BY 1, 2
+  ) s ON s.group_id = v.group_id AND s.name = v.name
+),
+am{i} AS (SELECT group_id, greatest(max(raw_u) // 1000000, 1) AS sc
+          FROM ar{i} GROUP BY 1),
+a{i} AS MATERIALIZED (
+  SELECT r.group_id, r.name, raw_u // sc AS auth_u
+  FROM ar{i} r JOIN am{i} USING (group_id)
+),
+hr{i} AS (
+  SELECT v.group_id, v.name, coalesce(s.s, 0) AS raw_u
+  FROM v LEFT JOIN (
+    SELECT e.group_id, e.src AS name, sum(a.auth_u) AS s
+    FROM e JOIN a{i} a ON a.group_id = e.group_id AND a.name = e.dst
+    GROUP BY 1, 2
+  ) s ON s.group_id = v.group_id AND s.name = v.name
+),
+hm{i} AS (SELECT group_id, greatest(max(raw_u) // 1000000, 1) AS sc
+          FROM hr{i} GROUP BY 1),
+h{i} AS MATERIALIZED (
+  SELECT r.group_id, r.name, raw_u // sc AS hub_u
+  FROM hr{i} r JOIN hm{i} USING (group_id)
+)""")
+    body = f"""
+, e AS (SELECT DISTINCT group_id, subj AS src, obj AS dst FROM eds),
+v AS (SELECT group_id, src AS name FROM e
+      UNION SELECT group_id, dst FROM e),
+h0 AS (SELECT group_id, name, CAST(1000000 AS BIGINT) AS hub_u FROM v),{",".join(rounds)}
+SELECT a.group_id, a.name,
+       CAST(a.auth_u AS BIGINT) AS auth_u,
+       CAST(h.hub_u AS BIGINT) AS hub_u
+FROM a{HITS_ITERS} a
+JOIN h{HITS_ITERS} h ON h.group_id = a.group_id AND h.name = a.name"""
+    return _kg_sql(body, with_eds=True)
+
+
+WSP_SOURCES = 8
+WSP_ROUNDS = 4
+WSP_WEIGHTS = 9
+
+
+def q_kg_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Bellman-Ford weighted shortest paths from 8 deterministic
+    landmark sources (operators/centrality.weighted_sssp): md5-derived
+    integer edge costs in [1,9], parallel predicates collapse to the
+    cheapest, 4 relaxation rounds = exact distances over <= 4-edge
+    paths."""
+    from .operators.centrality import weighted_sssp
+
+    return weighted_sssp(
+        q_kg_triples(spark, sf_dir),
+        n_sources=WSP_SOURCES,
+        rounds=WSP_ROUNDS,
+        n_weights=WSP_WEIGHTS,
+    )
+
+
+def _sql_kg_shortest_paths() -> str:
+    rounds = []
+    for i in range(1, WSP_ROUNDS + 1):
+        p = i - 1
+        rounds.append(f"""
+d{i} AS MATERIALIZED (
+  SELECT group_id, origin, name, min(d) AS d FROM (
+    SELECT group_id, origin, name, d FROM d{p}
+    UNION ALL
+    SELECT t.group_id, t.origin, e.dst AS name, t.d + e.w AS d
+    FROM d{p} t JOIN ew e ON e.group_id = t.group_id AND e.src = t.name
+  ) GROUP BY 1, 2, 3
+)""")
+    body = f"""
+, de AS (SELECT DISTINCT group_id, subj AS src, pred, obj AS dst FROM eds),
+ew AS (
+  SELECT group_id, src, dst,
+         min(('0x' || substr(md5(src || '|' || pred || '|' || dst), 1, 8))
+             ::BIGINT % {WSP_WEIGHTS} + 1) AS w
+  FROM de GROUP BY 1, 2, 3
+),
+v AS (SELECT group_id, src AS name FROM ew
+      UNION SELECT group_id, dst FROM ew),
+src AS (
+  SELECT group_id, name AS origin FROM v
+  ORDER BY md5('wsp:' || group_id || '|' || name) LIMIT {WSP_SOURCES}
+),
+d0 AS (SELECT group_id, origin, origin AS name, CAST(0 AS BIGINT) AS d
+       FROM src),{",".join(rounds)}
+SELECT group_id, origin, name, CAST(d AS BIGINT) AS dist_w
+FROM d{WSP_ROUNDS} WHERE d > 0"""
+    return _kg_sql(body, with_eds=True)
+
+
+def q_kg_link_pred_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation link-prediction index (operators/centrality.
+    ra_link_prediction): non-adjacent pairs scored by
+    sum(1e6 div deg(z)) over common neighbors z — the hub-penalizing
+    upgrade to kg_link_prediction's Jaccard."""
+    from .operators.centrality import ra_link_prediction
+
+    return ra_link_prediction(q_kg_triples(spark, sf_dir))
+
+
+def _sql_kg_link_pred_ra() -> str:
+    body = """
+, und AS (
+  SELECT DISTINCT group_id, least(subj, obj) AS a, greatest(subj, obj) AS b
+  FROM eds WHERE subj <> obj
+),
+adj AS (
+  SELECT group_id, a AS v, b AS nbr FROM und
+  UNION ALL SELECT group_id, b, a FROM und
+),
+deg AS (SELECT group_id, v, count(*) AS deg FROM adj GROUP BY 1, 2),
+pairs AS (
+  SELECT e1.group_id, e1.nbr AS a, e2.nbr AS b,
+         count(*) AS common, sum(1000000 // d.deg) AS ra_u
+  FROM adj e1
+  JOIN deg d ON d.group_id = e1.group_id AND d.v = e1.v
+  JOIN adj e2 ON e2.group_id = e1.group_id AND e2.v = e1.v
+             AND e2.nbr > e1.nbr
+  GROUP BY 1, 2, 3
+)
+SELECT p.group_id, p.a AS name_a, p.b AS name_b,
+       CAST(p.common AS BIGINT) AS common,
+       CAST(p.ra_u AS BIGINT) AS ra_u
+FROM pairs p
+LEFT JOIN und u ON u.group_id = p.group_id AND u.a = p.a AND u.b = p.b
+WHERE u.a IS NULL"""
+    return _kg_sql(body, with_eds=True)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_alias_resolution": q_kg_alias_resolution,
     "kg_node_attributes": q_kg_node_attributes,
@@ -2899,6 +3053,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_cooccurrence": q_kg_cooccurrence,
     "kg_random_walks": q_kg_random_walks,
     "kg_node2vec": q_kg_node2vec,
+    "kg_hits": q_kg_hits,
+    "kg_shortest_paths": q_kg_shortest_paths,
+    "kg_link_pred_ra": q_kg_link_pred_ra,
     "kg_walk_pairs": q_kg_walk_pairs,
     "kg_link_prediction": q_kg_link_prediction,
     "kg_modularity": q_kg_modularity,
@@ -4832,6 +4989,9 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_cooccurrence": _sql_kg_cooccurrence,
     "kg_random_walks": _sql_kg_random_walks,
     "kg_node2vec": _sql_kg_node2vec,
+    "kg_hits": _sql_kg_hits,
+    "kg_shortest_paths": _sql_kg_shortest_paths,
+    "kg_link_pred_ra": _sql_kg_link_pred_ra,
     "kg_walk_pairs": _sql_kg_walk_pairs,
     "kg_link_prediction": _sql_kg_link_prediction,
     "kg_modularity": _sql_kg_modularity,
