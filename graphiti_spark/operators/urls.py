@@ -119,3 +119,92 @@ SELECT c.id, c.url, c.canonical_url, g.canonical_id,
        CAST(g.n_variants AS BIGINT) AS n_variants,
        CAST(CASE WHEN c.id = g.canonical_id THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM canon c JOIN grp g USING (canonical_url)"""
+
+
+# effective-TLD exception list for registrable-domain extraction (the
+# public-suffix idea, bounded to the common second-level suffixes so the
+# Spark expression and the DuckDB mirror share one constant)
+SECOND_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "com.au", "co.jp", "com.br", "co.in",
+)
+
+_HOST_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/@]*@)?([^/:?#]+)"
+
+
+def _domain_sql(*, duck: bool) -> str:
+    """Registrable-domain extraction as one SQL expression over column
+    `url` — host = authority minus userinfo/port, lowercased; domain =
+    last two host labels, or last three when the last two are a known
+    second-level public suffix (co.uk and friends). Engine-portable:
+    regexp_extract + split + negative element indexing; `duck` switches
+    dialect, not semantics."""
+    if duck:
+        host = f"lower(regexp_extract(url, '{_HOST_RE}', 2))"
+        labels = f"string_split({host}, '.')"
+        l1, l2, l3 = (f"list_extract({labels}, {i})" for i in (-1, -2, -3))
+    else:
+        host = f"lower(regexp_extract(url, '{_HOST_RE}', 2))"
+        labels = f"split({host}, '\\\\.')"
+        l1, l2, l3 = (f"element_at({labels}, {i})" for i in (-1, -2, -3))
+    last2 = f"concat({l2}, '.', {l1})"
+    last3 = f"concat({l3}, '.', {l2}, '.', {l1})"
+    slds = ", ".join(f"'{s}'" for s in SECOND_LEVEL_SUFFIXES)
+    return (
+        f"CASE WHEN size({labels}) >= 3 AND {last2} IN ({slds}) THEN {last3} "
+        f"WHEN size({labels}) >= 2 THEN {last2} ELSE {host} END"
+        if not duck
+        else f"CASE WHEN len({labels}) >= 3 AND {last2} IN ({slds}) THEN {last3} "
+        f"WHEN len({labels}) >= 2 THEN {last2} ELSE {host} END"
+    )
+
+
+def domain_stats(docs_with_url: DataFrame) -> DataFrame:
+    """Per-registrable-domain curation rollup — the domain-reputation
+    table every web-corpus pipeline keeps (C4/RefinedWeb filter whole
+    domains before looking at documents; a domain whose pages are mostly
+    duplicates or Gopher rejects gets blocklisted wholesale).
+
+    Input: (doc_id, url, lang, text). Output per domain: page count,
+    distinct languages, total word tokens, pages whose exact content
+    fingerprint appears >1 ANYWHERE in the corpus (cross-domain mirrors
+    count on both sides — that is the point of the signal), and pages
+    passing the Gopher quality rules.
+
+    Plan shape: domain + token count are one codegen projection; the
+    dup flag is the skinny (fingerprint) count-groupBy joined back on
+    fingerprint (the exact-dedup plan reused); Gopher flags are a
+    shuffle-free projection joined on doc_id; the final rollup is one
+    hash aggregate keyed on domain. No UDFs, no windows, nothing
+    corpus-wide single-partition — survives any scale; hot domains are
+    just big agg groups (partial map-side agg absorbs them)."""
+    from .docs import fingerprints, gopher_rules
+
+    base = docs_with_url.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.expr(_domain_sql(duck=False)).alias("domain"),
+        F.expr(
+            "size(regexp_extract_all(lower(text), '[a-z0-9]+', 0))"
+        ).cast("long").alias("n_tokens"),
+    )
+    fp = fingerprints(docs_with_url).select("doc_id", "fingerprint")
+    fp_counts = fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_same")
+    )
+    dup = fp.join(fp_counts, "fingerprint").select(
+        "doc_id", (F.col("n_same") > 1).cast("long").alias("is_dup")
+    )
+    keep = gopher_rules(docs_with_url).select("doc_id", "keep")
+    return (
+        base.join(dup, "doc_id")
+        .join(keep, "doc_id")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("is_dup").cast("long").alias("n_dup_docs"),
+            F.sum("keep").cast("long").alias("n_gopher_keep"),
+        )
+    )

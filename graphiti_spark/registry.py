@@ -2965,6 +2965,98 @@ WHERE u.a IS NULL"""
     return _kg_sql(body, with_eds=True)
 
 
+def _domain_url_cases(prefix_col: str = "doc_id") -> tuple[str, str]:
+    """Shared url-fixture expressions (Spark dialect, DuckDB dialect):
+    deterministic subdomain / TLD / tracking-suffix variation keyed on
+    doc_id so registrable-domain extraction has real work to do."""
+    sub = (
+        f"CASE WHEN {prefix_col} % 3 = 0 THEN 'www.' "
+        f"WHEN {prefix_col} % 3 = 1 THEN 'news.' ELSE '' END"
+    )
+    tld = f"CASE WHEN {prefix_col} % 5 = 0 THEN '.co.uk' ELSE '.com' END"
+    q = f"CASE WHEN {prefix_col} % 2 = 1 THEN '?ref=rss' ELSE '' END"
+    spark = (
+        f"concat('https://', {sub}, source, '-', lang, {tld}, '/p/', "
+        f"cast({prefix_col} as string), {q})"
+    )
+    duck = (
+        f"concat('https://', {sub}, source, '-', lang, {tld}, '/p/', "
+        f"CAST({prefix_col} AS VARCHAR), {q})"
+    )
+    return spark, duck
+
+
+def q_doc_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registrable-domain curation rollup (operators/urls.
+    domain_stats) — the domain-reputation table (C4/RefinedWeb filter
+    whole domains first): page count, languages, tokens, corpus-wide
+    exact-dup pages, Gopher-keep pages. Fixture: every document gets a
+    deterministic url (subdomain/TLD/tracking variation, co.uk public
+    suffixes included) plus a cross-domain .net mirror of the first 40
+    docs — the mirrors AND their originals must both count as dups."""
+    from .operators import urls as urls_mod
+
+    d = docs_mod.read_documents(spark, sf_dir).select(
+        "doc_id", "lang", "text", "source"
+    )
+    url_s, _ = _domain_url_cases()
+    base = d.select(
+        "doc_id", "lang", "text", F.expr(url_s).alias("url")
+    )
+    mirror = d.where("doc_id < 40").select(
+        (F.col("doc_id") + 9_000_000).cast("long").alias("doc_id"),
+        "lang",
+        "text",
+        F.expr(
+            "concat('https://mirror.', source, '-', lang, '.net/p/',"
+            " cast(doc_id as string))"
+        ).alias("url"),
+    )
+    return urls_mod.domain_stats(base.unionByName(mirror))
+
+
+def _sql_doc_domain_stats() -> str:
+    from .operators.urls import _domain_sql
+
+    _, url_d = _domain_url_cases()
+    gopher_d = _sql_doc_gopher().replace("FROM documents", "FROM d")
+    return rf"""
+WITH d AS (
+  SELECT doc_id, lang, text, {url_d} AS url FROM documents
+  UNION ALL
+  SELECT doc_id + 9000000, lang, text,
+         concat('https://mirror.', source, '-', lang, '.net/p/',
+                CAST(doc_id AS VARCHAR))
+  FROM documents WHERE doc_id < 40
+),
+dom AS (
+  SELECT doc_id, lang, {_domain_sql(duck=True)} AS domain,
+         len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+  FROM d
+),
+fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           AS fingerprint
+  FROM d
+),
+fpc AS (SELECT fingerprint, count(*) AS n_same FROM fp GROUP BY 1),
+dup AS (
+  SELECT fp.doc_id, CASE WHEN n_same > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM fp JOIN fpc USING (fingerprint)
+),
+g AS (SELECT doc_id, keep FROM ({gopher_d}))
+SELECT dom.domain,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT dom.lang) AS BIGINT) AS n_langs,
+       CAST(sum(dom.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(dup.is_dup) AS BIGINT) AS n_dup_docs,
+       CAST(sum(g.keep) AS BIGINT) AS n_gopher_keep
+FROM dom
+JOIN dup ON dup.doc_id = dom.doc_id
+JOIN g ON g.doc_id = dom.doc_id
+GROUP BY 1"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_alias_resolution": q_kg_alias_resolution,
     "kg_node_attributes": q_kg_node_attributes,
@@ -3056,6 +3148,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_hits": q_kg_hits,
     "kg_shortest_paths": q_kg_shortest_paths,
     "kg_link_pred_ra": q_kg_link_pred_ra,
+    "doc_domain_stats": q_doc_domain_stats,
     "kg_walk_pairs": q_kg_walk_pairs,
     "kg_link_prediction": q_kg_link_prediction,
     "kg_modularity": q_kg_modularity,
@@ -4992,6 +5085,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_hits": _sql_kg_hits,
     "kg_shortest_paths": _sql_kg_shortest_paths,
     "kg_link_pred_ra": _sql_kg_link_pred_ra,
+    "doc_domain_stats": _sql_doc_domain_stats,
     "kg_walk_pairs": _sql_kg_walk_pairs,
     "kg_link_prediction": _sql_kg_link_prediction,
     "kg_modularity": _sql_kg_modularity,
