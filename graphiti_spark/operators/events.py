@@ -261,3 +261,39 @@ def daily_anomalies(events: DataFrame, spike_ratio_u: int = 2_000_000) -> DataFr
             "is_spike"
         ),
     )
+
+
+def hopping_windows(
+    events: DataFrame, window_s: int = 3600, hop_s: int = 900
+) -> DataFrame:
+    """Hopping (sliding) event-time windows per event_type — the batch
+    twin of Structured Streaming's `window(ts, '1 hour', '15 minutes')`
+    overlapping-window aggregation (trending/top-k dashboards read
+    these). Each event lands in window_s/hop_s hop-aligned windows; the
+    explode is integer epoch arithmetic (floor(epoch/hop) grid), so the
+    DuckDB mirror is bit-identical and nothing depends on session
+    timezone rendering.
+
+    Scale: fan-out is the fixed small constant window_s/hop_s (4 here),
+    applied map-side before ONE hash aggregate keyed on (window_start,
+    event_type) — the same partial-agg-friendly shape as the tumbling
+    form; no windows-over-users, no sort."""
+    assert window_s % hop_s == 0, "window must be a multiple of the hop"
+    n = window_s // hop_s
+    return (
+        events.withColumn(
+            "k", F.expr(f"floor(unix_timestamp(ts) / {hop_s})").cast("long")
+        )
+        .withColumn("j", F.explode(F.expr(f"sequence(k - {n - 1}, k)")))
+        .groupBy(
+            F.expr(f"timestamp_seconds(j * {hop_s})").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("cast(round(value * 100) as long)")).alias(
+                "sum_value_c"
+            ),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -3057,6 +3057,44 @@ JOIN g ON g.doc_id = dom.doc_id
 GROUP BY 1"""
 
 
+HOP_WINDOW_S = 3600
+HOP_S = 900
+
+
+def q_evt_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping 1-hour/15-min sliding windows per event_type (operators/
+    events.hopping_windows) — the batch twin of the streaming
+    overlapping-window aggregation; every event counts in 4 windows."""
+    from .operators import events as ev
+
+    out = ev.hopping_windows(
+        ev.read_events(spark, sf_dir), window_s=HOP_WINDOW_S, hop_s=HOP_S
+    )
+    return out.select(
+        "window_start",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("sum_value_c").cast("long").alias("sum_value_c"),
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
+def _sql_evt_hopping() -> str:
+    n = HOP_WINDOW_S // HOP_S
+    return f"""
+WITH k AS (
+  SELECT *, CAST(floor(epoch(ts) / {HOP_S}) AS BIGINT) AS k FROM events
+),
+x AS (
+  SELECT *, unnest(range(k - {n - 1}, k + 1)) AS j FROM k
+)
+SELECT make_timestamp(j * {HOP_S} * 1000000) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+       count(DISTINCT user_id) AS n_users
+FROM x GROUP BY 1, 2"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_alias_resolution": q_kg_alias_resolution,
     "kg_node_attributes": q_kg_node_attributes,
@@ -3149,6 +3187,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_shortest_paths": q_kg_shortest_paths,
     "kg_link_pred_ra": q_kg_link_pred_ra,
     "doc_domain_stats": q_doc_domain_stats,
+    "evt_hopping": q_evt_hopping,
     "kg_walk_pairs": q_kg_walk_pairs,
     "kg_link_prediction": q_kg_link_prediction,
     "kg_modularity": q_kg_modularity,
@@ -5086,6 +5125,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_shortest_paths": _sql_kg_shortest_paths,
     "kg_link_pred_ra": _sql_kg_link_pred_ra,
     "doc_domain_stats": _sql_doc_domain_stats,
+    "evt_hopping": _sql_evt_hopping,
     "kg_walk_pairs": _sql_kg_walk_pairs,
     "kg_link_prediction": _sql_kg_link_prediction,
     "kg_modularity": _sql_kg_modularity,

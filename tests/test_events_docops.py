@@ -558,3 +558,34 @@ def test_bigram_lm_heldout_unseen(spark):
     assert rows[1]["n_bigrams"] == 3 and rows[1]["n_unseen"] == 2
     assert rows[0]["n_unseen"] == 0
     assert rows[0]["avg_p_u"] > rows[1]["avg_p_u"]
+
+
+def test_hopping_windows_fanout_and_counts(spark):
+    from graphiti_spark.operators.events import hopping_windows
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:07:00", 7, "click", 1.0, ""),
+            (2, "2024-01-01 10:20:00", 8, "click", 2.0, ""),
+            (3, "2024-01-01 10:20:00", 7, "view", 0.5, ""),
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = hopping_windows(ev, window_s=3600, hop_s=900)
+    rows = [r.asDict() for r in out.collect()]
+    clicks = [r for r in rows if r["event_type"] == "click"]
+    # every event lands in exactly 4 hop-aligned windows
+    assert sum(r["n_events"] for r in clicks) == 8
+    # the 10:00 window sees both clicks (10:07 and 10:20), distinct users 2
+    w10 = {
+        r["window_start"].strftime("%H:%M"): r for r in clicks
+    }
+    assert w10["10:00"]["n_events"] == 2 and w10["10:00"]["n_users"] == 2
+    assert w10["10:00"]["sum_value_c"] == 300
+    # 10:15 window covers [10:15, 11:15): only the 10:20 click
+    assert w10["10:15"]["n_events"] == 1
+    # earliest window containing 10:07 starts at 09:15
+    assert min(w10) == "09:15"
+    views = [r for r in rows if r["event_type"] == "view"]
+    assert len(views) == 4 and all(r["n_events"] == 1 for r in views)
