@@ -377,3 +377,58 @@ def resolve_entities(
         .withColumnRenamed("canon_uuid", "uuid")
     )
     return nodes, uuid_map
+
+
+def er_pair_metrics(truth: DataFrame, engine: DataFrame) -> DataFrame:
+    """Pairwise entity-resolution metrics (Menestrina et al. 2010): given
+    TRUTH membership (group_id, name, base) and ENGINE membership
+    (group_id, name, cluster), enumerate same-cluster name pairs on both
+    sides and roll up per-group tp/fp/fn with integer-exact
+    precision/recall/F1 in micro-units. Pair enumeration self-joins
+    within (group, cluster key) — bounded by cluster size; the rollup is
+    one hash agg."""
+
+    def _pairs(df: DataFrame, key: str, flag: str) -> DataFrame:
+        a, b = df.alias("a"), df.alias("b")
+        return (
+            a.join(b, ["group_id", key])
+            .where(F.col("a.name") < F.col("b.name"))
+            .select(
+                "group_id",
+                F.col("a.name").alias("na"),
+                F.col("b.name").alias("nb"),
+            )
+            .distinct()
+            .withColumn(flag, F.lit(1))
+        )
+
+    joined = _pairs(truth, "base", "t").join(
+        _pairs(engine, "cluster", "e"), ["group_id", "na", "nb"], "full_outer"
+    ).select(
+        "group_id",
+        F.coalesce("t", F.lit(0)).alias("t"),
+        F.coalesce("e", F.lit(0)).alias("e"),
+    )
+    return joined.groupBy("group_id").agg(
+        F.sum("t").cast("long").alias("n_truth_pairs"),
+        F.sum("e").cast("long").alias("n_engine_pairs"),
+        F.sum(F.expr("t * e")).cast("long").alias("tp"),
+        F.sum(F.expr("e * (1 - t)")).cast("long").alias("fp"),
+        F.sum(F.expr("t * (1 - e)")).cast("long").alias("fn"),
+    ).select(
+        "group_id",
+        "n_truth_pairs",
+        "n_engine_pairs",
+        "tp",
+        "fp",
+        "fn",
+        F.expr("(tp * 1000000L) div greatest(tp + fp, 1L)")
+        .cast("long")
+        .alias("precision_u"),
+        F.expr("(tp * 1000000L) div greatest(tp + fn, 1L)")
+        .cast("long")
+        .alias("recall_u"),
+        F.expr("(2L * tp * 1000000L) div greatest(2L * tp + fp + fn, 1L)")
+        .cast("long")
+        .alias("f1_u"),
+    )

@@ -3095,6 +3095,70 @@ SELECT make_timestamp(j * {HOP_S} * 1000000) AS window_start, event_type,
 FROM x GROUP BY 1, 2"""
 
 
+def q_kg_er_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution quality audit: pairwise precision/recall/F1 of
+    the engine's alias clustering (uuid_map) against the GENERATIVE
+    mention truth (corpus.golden_mentions — the same pure function the
+    parity tests pin against the DuckDB corpus CTEs). The standard ER
+    evaluation (pairwise P/R over same-cluster name pairs, Menestrina
+    et al. 2010), integer-exact in micro-units.
+
+    The DuckDB oracle derives BOTH sides from the generative truth, so
+    the gate asserts perfect resolution (P = R = F1 = 1e6, fp = fn = 0
+    per group): any engine drift — a missed typo alias, an over-merge —
+    fails the hash compare loudly rather than shifting a float.
+
+    Scale: truth extraction is Arrow-batched mapInPandas over the
+    skinny (doc_id, source) projection (eval-side only, never the build
+    hot path); pair enumeration self-joins within (group, cluster) —
+    bounded by cluster size, the same shape as the dedup verifies; the
+    metric rollup is one hash agg per group."""
+    from .corpus import golden_mentions
+
+    t = _graph(spark, sf_dir)
+
+    def _truth(batches):
+        for pdf in batches:
+            g = golden_mentions(pdf)
+            yield g[["group_id", "name", "base"]]
+
+    truth = (
+        docs_mod.read_documents(spark, sf_dir)
+        .select("doc_id", "source")
+        .mapInPandas(_truth, "group_id string, name string, base string")
+        .distinct()
+    )
+
+    from .operators.resolve import er_pair_metrics
+
+    engine = t.uuid_map.select(
+        "group_id", "name", F.col("canon_uuid").alias("cluster")
+    ).distinct()
+    return er_pair_metrics(truth, engine)
+
+
+def _sql_kg_er_metrics() -> str:
+    body = """
+, tp_pairs AS (
+  SELECT DISTINCT a.group_id, a.name AS na, b.name AS nb
+  FROM ents a
+  JOIN ents b ON b.group_id = a.group_id AND b.base = a.base
+             AND b.name > a.name
+),
+cnt AS (SELECT group_id, count(*) AS n FROM tp_pairs GROUP BY 1)
+SELECT group_id,
+       CAST(n AS BIGINT) AS n_truth_pairs,
+       CAST(n AS BIGINT) AS n_engine_pairs,
+       CAST(n AS BIGINT) AS tp,
+       CAST(0 AS BIGINT) AS fp,
+       CAST(0 AS BIGINT) AS fn,
+       CAST(1000000 AS BIGINT) AS precision_u,
+       CAST(1000000 AS BIGINT) AS recall_u,
+       CAST(1000000 AS BIGINT) AS f1_u
+FROM cnt"""
+    return _kg_sql(body)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_alias_resolution": q_kg_alias_resolution,
     "kg_node_attributes": q_kg_node_attributes,
@@ -3188,6 +3252,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_link_pred_ra": q_kg_link_pred_ra,
     "doc_domain_stats": q_doc_domain_stats,
     "evt_hopping": q_evt_hopping,
+    "kg_er_metrics": q_kg_er_metrics,
     "kg_walk_pairs": q_kg_walk_pairs,
     "kg_link_prediction": q_kg_link_prediction,
     "kg_modularity": q_kg_modularity,
@@ -5126,6 +5191,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_link_pred_ra": _sql_kg_link_pred_ra,
     "doc_domain_stats": _sql_doc_domain_stats,
     "evt_hopping": _sql_evt_hopping,
+    "kg_er_metrics": _sql_kg_er_metrics,
     "kg_walk_pairs": _sql_kg_walk_pairs,
     "kg_link_prediction": _sql_kg_link_prediction,
     "kg_modularity": _sql_kg_modularity,
