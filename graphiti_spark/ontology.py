@@ -73,6 +73,17 @@ class Ontology:
     # functional_violations sweeps for them post-build)
     functional: tuple[str, ...] = ("WORKS_AT", "BASED_IN", "LEADS")
 
+    def role_sql(self, side: int, col: str = "pred") -> str:
+        """CASE expression mapping a predicate column to its REQUIRED
+        endpoint label (side 0 = subject/domain, side 1 = object/range),
+        NULL for unconstrained predicates — ANSI SQL shared verbatim by
+        the Spark plan and the DuckDB oracle (SHACL-lite sh:class)."""
+        whens = " ".join(
+            f"WHEN '{p}' THEN '{r[side]}'"
+            for p, r in sorted(self.pred_roles.items())
+        )
+        return f"CASE {col} {whens} ELSE NULL END"
+
     def synonym_class_sql(self, col: str = "pred") -> str:
         """CASE expression mapping a predicate column to its dedup class
         (ANSI SQL — shared verbatim by the Spark plan and the DuckDB

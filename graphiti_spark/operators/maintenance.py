@@ -206,3 +206,65 @@ def functional_violations(
         )
         .where(F.col("n_objects") >= 2)
     )
+
+
+def domain_range_violations(
+    triples: DataFrame, node_labels: DataFrame, ontology=None
+) -> DataFrame:
+    """SHACL-lite domain/range validation sweep (the sh:class constraint
+    of W3C SHACL, the standard KG quality gate): every canonical edge is
+    checked against the ontology's declared predicate roles — the
+    subject must carry the domain label, the object the range label
+    (reference analogue: the typed entity_types the extraction prompts
+    enforce upstream; this operator audits them downstream, where bulk
+    ingest and add_triplet can drift).
+
+    triples: (group_id, subj, pred, obj) canonical edges. node_labels:
+    (group_id, name, labels array). Returns per (group, pred): edge
+    count + domain-violation and range-violation counts. A missing node
+    or empty label set counts as a violation (dangling endpoints are
+    the integrity_audit's job, but they fail validation here too).
+
+    Plan shape: the required labels are ONE shared CASE projection
+    (ontology.role_sql — the same string the DuckDB oracle embeds), two
+    co-partitioned left joins against the skinny label table, one hash
+    agg on (group, pred). Predicate-vocab-sized output."""
+    from ..ontology import DEFAULT
+
+    ont = ontology or DEFAULT
+    e = triples.select(
+        "group_id",
+        "subj",
+        "pred",
+        "obj",
+        F.expr(ont.role_sql(0)).alias("subj_req"),
+        F.expr(ont.role_sql(1)).alias("obj_req"),
+    )
+    s = node_labels.select(
+        "group_id", F.col("name").alias("subj"), F.col("labels").alias("s_labels")
+    )
+    o = node_labels.select(
+        "group_id", F.col("name").alias("obj"), F.col("labels").alias("o_labels")
+    )
+    return (
+        e.join(s, ["group_id", "subj"], "left")
+        .join(o, ["group_id", "obj"], "left")
+        .groupBy("group_id", "pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN subj_req IS NOT NULL AND (s_labels IS NULL"
+                    " OR NOT array_contains(s_labels, subj_req))"
+                    " THEN 1L ELSE 0L END"
+                )
+            ).cast("long").alias("n_subj_viol"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN obj_req IS NOT NULL AND (o_labels IS NULL"
+                    " OR NOT array_contains(o_labels, obj_req))"
+                    " THEN 1L ELSE 0L END"
+                )
+            ).cast("long").alias("n_obj_viol"),
+        )
+    )

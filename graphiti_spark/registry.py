@@ -3159,6 +3159,71 @@ FROM cnt"""
     return _kg_sql(body)
 
 
+_CORRUPT_RULE = (
+    "('0x' || substr(md5('corrupt:' || name), 1, 8))::BIGINT % 7 = 0"
+)
+_CORRUPT_RULE_SPARK = (
+    "cast(conv(substr(md5(concat('corrupt:', name)), 1, 8), 16, 10)"
+    " as bigint) % 7 = 0"
+)
+
+
+def q_kg_domain_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite domain/range validation sweep (operators/maintenance.
+    domain_range_violations) over the canonical edges vs the ontology's
+    predicate roles. The clean corpus validates by construction (labels
+    are role-voted), so the gate deterministically corrupts ~1/7 of the
+    node label sets to 'Entity' first — the violation counters must
+    fire on exactly the corrupted endpoints."""
+    from .operators.maintenance import domain_range_violations
+
+    t = _graph(spark, sf_dir)
+    corrupted = t.nodes.select(
+        "group_id",
+        "name",
+        F.expr(
+            f"CASE WHEN {_CORRUPT_RULE_SPARK} THEN array('Entity')"
+            " ELSE labels END"
+        ).alias("labels"),
+    )
+    triples = q_kg_triples(spark, sf_dir).select(
+        "group_id", "subj", "pred", "obj"
+    )
+    return domain_range_violations(triples, corrupted)
+
+
+def _sql_kg_domain_range() -> str:
+    from .ontology import DEFAULT
+
+    body = f""",
+{_LABELS_CTES.strip().rstrip()},
+nl AS (
+  SELECT group_id, name,
+         CASE WHEN {_CORRUPT_RULE} THEN 'Entity' ELSE labels_str END
+           AS labels_str
+  FROM nlab
+),
+ex AS (
+  SELECT e.group_id, e.subj, e.pred, e.obj,
+         {DEFAULT.role_sql(0, "e.pred")} AS subj_req,
+         {DEFAULT.role_sql(1, "e.pred")} AS obj_req
+  FROM eds e
+)
+SELECT x.group_id, x.pred,
+       count(*) AS n_edges,
+       CAST(sum(CASE WHEN subj_req IS NOT NULL AND (s.labels_str IS NULL
+                OR NOT list_contains(string_split(s.labels_str, '/'), subj_req))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_subj_viol,
+       CAST(sum(CASE WHEN obj_req IS NOT NULL AND (o.labels_str IS NULL
+                OR NOT list_contains(string_split(o.labels_str, '/'), obj_req))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_obj_viol
+FROM ex x
+LEFT JOIN nl s ON s.group_id = x.group_id AND s.name = x.subj
+LEFT JOIN nl o ON o.group_id = x.group_id AND o.name = x.obj
+GROUP BY 1, 2"""
+    return _kg_sql(body, with_eds=True)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_alias_resolution": q_kg_alias_resolution,
     "kg_node_attributes": q_kg_node_attributes,
@@ -3253,6 +3318,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_domain_stats": q_doc_domain_stats,
     "evt_hopping": q_evt_hopping,
     "kg_er_metrics": q_kg_er_metrics,
+    "kg_domain_range": q_kg_domain_range,
     "kg_walk_pairs": q_kg_walk_pairs,
     "kg_link_prediction": q_kg_link_prediction,
     "kg_modularity": q_kg_modularity,
@@ -5192,6 +5258,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "doc_domain_stats": _sql_doc_domain_stats,
     "evt_hopping": _sql_evt_hopping,
     "kg_er_metrics": _sql_kg_er_metrics,
+    "kg_domain_range": _sql_kg_domain_range,
     "kg_walk_pairs": _sql_kg_walk_pairs,
     "kg_link_prediction": _sql_kg_link_prediction,
     "kg_modularity": _sql_kg_modularity,

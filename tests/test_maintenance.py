@@ -136,3 +136,39 @@ def test_functional_violations(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r["subj"], r["n_objects"], r["objs"]) == ("alice", 2, "acme,zcorp")
+
+
+def test_domain_range_violations(spark):
+    from graphiti_spark.operators.maintenance import domain_range_violations
+
+    triples = spark.createDataFrame(
+        [
+            ("g", "Ann", "WORKS_AT", "Acme"),     # clean
+            ("g", "Acme", "WORKS_AT", "Ann"),     # both sides wrong
+            ("g", "Ann", "MOVED_TO", "Dublin"),   # clean
+            ("g", "Ann", "MOVED_TO", "Acme"),     # range violation
+            ("g", "Ann", "CUSTOM_PRED", "Acme"),  # unconstrained: never flags
+            ("g", "Ghost", "LIKES", "Ann"),       # missing subject node
+        ],
+        "group_id string, subj string, pred string, obj string",
+    )
+    labels = spark.createDataFrame(
+        [
+            ("g", "Ann", ["Person"]),
+            ("g", "Acme", ["Organization"]),
+            ("g", "Dublin", ["Place"]),
+        ],
+        "group_id string, name string, labels array<string>",
+    )
+    rows = {
+        r["pred"]: r.asDict()
+        for r in domain_range_violations(triples, labels).collect()
+    }
+    assert rows["WORKS_AT"]["n_edges"] == 2
+    assert rows["WORKS_AT"]["n_subj_viol"] == 1
+    assert rows["WORKS_AT"]["n_obj_viol"] == 1
+    assert rows["MOVED_TO"]["n_subj_viol"] == 0
+    assert rows["MOVED_TO"]["n_obj_viol"] == 1
+    assert rows["CUSTOM_PRED"]["n_subj_viol"] == 0
+    assert rows["CUSTOM_PRED"]["n_obj_viol"] == 0
+    assert rows["LIKES"]["n_subj_viol"] == 1  # missing node = violation
