@@ -646,3 +646,54 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "rank", "c_id", "adist2")
     )
+
+
+def norm_band_audit(
+    cand_q: DataFrame, bucket: int = 1_000_000
+) -> DataFrame:
+    """Embedding-table QA gate: flag vectors whose squared L2 norm falls
+    outside the per-label [P10, P90] band — the standard pre-index
+    screen for broken embeddings (zero vectors from failed encoder
+    calls, exploded norms from fp overflow) before they poison a cosine
+    index or a k-means trainer.
+
+    cand_q: (c_id, label, emb array<bigint>) milli-quantized. Returns
+    (c_id, label, norm_sq, band) with band in low/mid/high.
+
+    Percentiles are EXACT over fixed-width norm buckets (norm_sq div
+    bucket), the histogram-CDF discipline of length_deciles: the
+    corpus collapses to per-(label, bucket) counts BEFORE any window,
+    so the only sort is over the bounded bucket vocabulary, never the
+    vectors; thresholds join back label-keyed (label vocab is
+    broadcastable by definition). Integer throughout: a vector is low
+    iff its bucket < the first bucket with CDF >= 10% (cum*10 >= n),
+    high iff bucket > the first with CDF >= 90% (cum*10 >= 9n)."""
+    norms = cand_q.select(
+        "c_id",
+        "label",
+        F.expr(
+            "aggregate(emb, 0L, (acc, v) -> acc + v * v)"
+        ).alias("norm_sq"),
+    ).withColumn("b", F.expr(f"norm_sq div {bucket}"))
+    hist = norms.groupBy("label", "b").agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("label")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cdf = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("label"))
+    )
+    th = cdf.groupBy("label").agg(
+        F.min(F.expr("CASE WHEN cum * 10 >= n THEN b END")).alias("b10"),
+        F.min(F.expr("CASE WHEN cum * 10 >= 9 * n THEN b END")).alias("b90"),
+    )
+    return norms.join(th, "label").select(
+        "c_id",
+        "label",
+        F.col("norm_sq").cast("long").alias("norm_sq"),
+        F.expr(
+            "CASE WHEN b < b10 THEN 'low' WHEN b > b90 THEN 'high'"
+            " ELSE 'mid' END"
+        ).alias("band"),
+    )

@@ -101,3 +101,36 @@ def mine_rules(
             F.expr("support * 1000000L div body").alias("conf_u"),
         )
     )
+
+
+def metapath_counts(triples: DataFrame) -> DataFrame:
+    """Two-hop metapath composition statistics: for every ordered
+    predicate pair (p1, p2), the EXACT number of a -p1-> b -p2-> c paths
+    and of distinct middle vertices b — the schema-level composition
+    profile ontology induction reads next to mine_rules' same-pair Horn
+    rules (a high (WORKS_AT, BASED_IN) count is what suggests the
+    LIVES_NEAR shortcut relation in HIN/metapath2vec-style modeling).
+
+    THE SCALE TRICK: paths are never enumerated. n_paths(p1, p2) =
+    sum_b indeg_p1(b) * outdeg_p2(b), so the plan is two vocab-bounded
+    per-vertex degree aggregations joined on the middle vertex — the
+    join fan-out per vertex is |preds_in(b)| x |preds_out(b)| (predicate
+    vocab squared at worst), NOT degree squared; a hub with a million
+    in/out edges contributes one multiplication per predicate pair. The
+    naive edge-edge self-join that rule miners cap by fan is exact here
+    at any skew."""
+    e = triples.select("group_id", "subj", "pred", "obj").distinct()
+    ind = e.groupBy(
+        "group_id", F.col("obj").alias("mid"), F.col("pred").alias("p1")
+    ).agg(F.count(F.lit(1)).alias("n_in"))
+    outd = e.groupBy(
+        "group_id", F.col("subj").alias("mid"), F.col("pred").alias("p2")
+    ).agg(F.count(F.lit(1)).alias("n_out"))
+    return (
+        ind.join(outd, ["group_id", "mid"])
+        .groupBy("group_id", "p1", "p2")
+        .agg(
+            F.sum(F.expr("n_in * n_out")).cast("long").alias("n_paths"),
+            F.countDistinct("mid").cast("long").alias("n_middles"),
+        )
+    )

@@ -3224,6 +3224,77 @@ GROUP BY 1, 2"""
     return _kg_sql(body, with_eds=True)
 
 
+def q_kg_metapaths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-hop metapath composition profile (operators/rules.
+    metapath_counts): exact path counts per ordered predicate pair via
+    the degree-product identity — no path enumeration, skew-proof."""
+    from .operators.rules import metapath_counts
+
+    return metapath_counts(q_kg_triples(spark, sf_dir))
+
+
+def _sql_kg_metapaths() -> str:
+    body = """
+, de AS (SELECT DISTINCT group_id, subj, pred, obj FROM eds),
+ind AS (SELECT group_id, obj AS mid, pred AS p1, count(*) AS n_in
+        FROM de GROUP BY 1, 2, 3),
+outd AS (SELECT group_id, subj AS mid, pred AS p2, count(*) AS n_out
+         FROM de GROUP BY 1, 2, 3)
+SELECT i.group_id, i.p1, o.p2,
+       CAST(sum(i.n_in * o.n_out) AS BIGINT) AS n_paths,
+       CAST(count(DISTINCT i.mid) AS BIGINT) AS n_middles
+FROM ind i
+JOIN outd o ON o.group_id = i.group_id AND o.mid = i.mid
+GROUP BY 1, 2, 3"""
+    return _kg_sql(body, with_eds=True)
+
+
+NORM_BUCKET = 500
+
+
+def q_emb_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table QA gate (operators/ann.norm_band_audit): per-label
+    exact P10/P90 norm bands over fixed-width integer norm buckets —
+    low/high flags for the vectors a cosine index should quarantine."""
+    from .operators.ann import norm_band_audit, read_embeddings
+
+    emb = read_embeddings(spark, sf_dir).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").cast("long").alias("label"),
+        F.expr(_QZ).alias("emb"),
+    )
+    return norm_band_audit(emb, bucket=NORM_BUCKET)
+
+
+def _sql_emb_norm_audit() -> str:
+    return f"""
+WITH norms AS (
+  SELECT vec_id AS c_id, CAST(label AS BIGINT) AS label,
+         CAST(list_sum(list_transform({_DUCK_QZ}, v -> v * v)) AS BIGINT)
+           AS norm_sq
+  FROM embeddings
+),
+nb AS (SELECT *, norm_sq // {NORM_BUCKET} AS b FROM norms),
+hist AS (SELECT label, b, count(*) AS c FROM nb GROUP BY 1, 2),
+cdf AS (
+  SELECT label, b,
+         sum(c) OVER (PARTITION BY label ORDER BY b
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY label) AS n
+  FROM hist
+),
+th AS (
+  SELECT label,
+         min(CASE WHEN cum * 10 >= n THEN b END) AS b10,
+         min(CASE WHEN cum * 10 >= 9 * n THEN b END) AS b90
+  FROM cdf GROUP BY 1
+)
+SELECT nb.c_id, nb.label, nb.norm_sq,
+       CASE WHEN nb.b < th.b10 THEN 'low' WHEN nb.b > th.b90 THEN 'high'
+            ELSE 'mid' END AS band
+FROM nb JOIN th USING (label)"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_alias_resolution": q_kg_alias_resolution,
     "kg_node_attributes": q_kg_node_attributes,
@@ -3319,6 +3390,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt_hopping": q_evt_hopping,
     "kg_er_metrics": q_kg_er_metrics,
     "kg_domain_range": q_kg_domain_range,
+    "kg_metapaths": q_kg_metapaths,
+    "emb_norm_audit": q_emb_norm_audit,
     "kg_walk_pairs": q_kg_walk_pairs,
     "kg_link_prediction": q_kg_link_prediction,
     "kg_modularity": q_kg_modularity,
@@ -5259,6 +5332,8 @@ ORACLES: dict[str, Callable[[], str]] = {
     "evt_hopping": _sql_evt_hopping,
     "kg_er_metrics": _sql_kg_er_metrics,
     "kg_domain_range": _sql_kg_domain_range,
+    "kg_metapaths": _sql_kg_metapaths,
+    "emb_norm_audit": _sql_emb_norm_audit,
     "kg_walk_pairs": _sql_kg_walk_pairs,
     "kg_link_prediction": _sql_kg_link_prediction,
     "kg_modularity": _sql_kg_modularity,

@@ -158,3 +158,40 @@ def test_contrastive_pairs_labels_and_midband(spark):
     assert out[(1, 2)] == "pos"
     assert out[(1, 3)] == "neg" and out[(2, 3)] == "neg"
     assert (1, 4) not in out  # 700000 is mid-band
+
+
+def test_norm_band_audit_bands(spark):
+    from graphiti_spark.operators.ann import norm_band_audit
+
+    # 10 vectors per label with strictly increasing norms: with bucket=1
+    # each norm is its own bucket, so P10 = first vector, P90 = ninth;
+    # exactly one 'low' impossible (b10 = min bucket) -> lows are empty,
+    # highs = the 10th vector
+    rows = [
+        (i, "L", [i + 1])  # norm_sq = (i+1)^2: 1,4,9,...,100
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "c_id long, label string, emb array<bigint>"
+    )
+    out = {r["c_id"]: r.asDict() for r in norm_band_audit(df, bucket=1).collect()}
+    assert out[0]["norm_sq"] == 1 and out[9]["norm_sq"] == 100
+    # CDF>=10% at the first bucket -> nothing strictly below b10
+    assert all(r["band"] != "low" for r in out.values() if r["c_id"] == 0)
+    assert out[0]["band"] == "mid"
+    # 9th vector (cum 9/10 = 90%) is b90; only the 10th exceeds it
+    assert out[8]["band"] == "mid"
+    assert out[9]["band"] == "high"
+
+
+def test_norm_band_audit_zero_vector_flags_low(spark):
+    from graphiti_spark.operators.ann import norm_band_audit
+
+    rows = [(0, "L", [0])] + [(i, "L", [100]) for i in range(1, 20)]
+    df = spark.createDataFrame(
+        rows, "c_id long, label string, emb array<bigint>"
+    )
+    out = {r["c_id"]: r["band"] for r in norm_band_audit(df, bucket=100).collect()}
+    # the broken zero vector sits below the P10 bucket of the healthy mass
+    assert out[0] == "low"
+    assert all(out[i] == "mid" for i in range(1, 20))

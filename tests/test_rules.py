@@ -53,3 +53,33 @@ def test_rule_mid_fan_cap_excludes_hubs(spark):
         for r in mine_rules(t, min_support=1).collect()
     }
     assert out2[("P", "Q", "R")]["body"] == 3
+
+
+def test_metapath_degree_product_identity(spark):
+    from graphiti_spark.operators.rules import metapath_counts
+
+    # b is the hub middle: 2 in-edges via P, 3 out-edges via Q
+    # -> n_paths(P,Q) = 2*3 = 6 without enumerating the 6 paths
+    t = spark.createDataFrame(
+        [("g", s, "P", "b") for s in ("a1", "a2")]
+        + [("g", "b", "Q", d) for d in ("c1", "c2", "c3")]
+        + [("g", "b", "R", "c1")],
+        "group_id string, subj string, pred string, obj string",
+    )
+    rows = {(r["p1"], r["p2"]): r.asDict() for r in metapath_counts(t).collect()}
+    assert rows[("P", "Q")]["n_paths"] == 6
+    assert rows[("P", "Q")]["n_middles"] == 1
+    assert rows[("P", "R")]["n_paths"] == 2
+    # no composition lands on a1/a2/c* as middles
+    assert set(rows) == {("P", "Q"), ("P", "R")}
+
+
+def test_metapath_duplicate_edges_collapse(spark):
+    from graphiti_spark.operators.rules import metapath_counts
+
+    t = spark.createDataFrame(
+        [("g", "a", "P", "b"), ("g", "a", "P", "b"), ("g", "b", "Q", "c")],
+        "group_id string, subj string, pred string, obj string",
+    )
+    rows = {(r["p1"], r["p2"]): r["n_paths"] for r in metapath_counts(t).collect()}
+    assert rows == {("P", "Q"): 1}
