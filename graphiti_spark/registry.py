@@ -3295,6 +3295,132 @@ SELECT nb.c_id, nb.label, nb.norm_sq,
 FROM nb JOIN th USING (label)"""
 
 
+def q_doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix (classifier QA): predicted vs
+    declared language with per-declared-language recall in micro-units —
+    the eval table a curation pipeline reads before trusting lang_id
+    for mixing/filtering decisions."""
+    out = docs.lang_id(docs.read_documents(spark, sf_dir)).select(
+        "lang_declared", "lang_guess"
+    )
+    cm = out.groupBy("lang_declared", "lang_guess").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = cm.groupBy("lang_declared").agg(F.sum("n_docs").alias("n_true"))
+    return cm.join(tot, "lang_declared").select(
+        "lang_declared",
+        "lang_guess",
+        "n_docs",
+        F.expr("(n_docs * 1000000L) div n_true").cast("long").alias("recall_u"),
+    )
+
+
+def _sql_doc_lang_confusion() -> str:
+    return f"""
+WITH p AS (SELECT * FROM ({_sql_doc_langid()})),
+cm AS (
+  SELECT lang_declared, lang_guess, count(*) AS n_docs
+  FROM p GROUP BY 1, 2
+),
+tot AS (SELECT lang_declared, sum(n_docs) AS n_true FROM cm GROUP BY 1)
+SELECT cm.lang_declared, cm.lang_guess,
+       CAST(cm.n_docs AS BIGINT) AS n_docs,
+       CAST((cm.n_docs * 1000000) // t.n_true AS BIGINT) AS recall_u
+FROM cm JOIN tot t USING (lang_declared)"""
+
+
+CLF_EVAL_SUFFIX = (
+    " the data have to be part of the scan and that with merge"
+)
+
+
+def _clf_eval_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval corpus for the classifier confusion gate: the raw documents
+    (all Gopher-drop — too short, stopword-poor) plus a keep-class
+    variant of every even doc_id (4x stopword-rich suffix pushes it past
+    the word-count and distinct-stopword rules). Mixed labels make the
+    held-out confusion matrix non-degenerate; the DuckDB oracle builds
+    the identical corpus from the same constant."""
+    base = docs.read_documents(spark, sf_dir).select(
+        "doc_id", "lang", "source", "text", "n_chars"
+    )
+    aug = base.where("doc_id % 2 = 0").select(
+        (F.col("doc_id") + 5_000_000).cast("long").alias("doc_id"),
+        "lang",
+        "source",
+        F.expr(f"text || repeat('{CLF_EVAL_SUFFIX}', 4)").alias("text"),
+        "n_chars",
+    )
+    return base.unionByName(aug)
+
+
+def q_doc_clf_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out confusion matrix of the trained quality classifier
+    (label = Gopher keep, pred = score >= 0.5): evaluated ONLY on the
+    val/test hash buckets the trainer never saw — the honest
+    generalization check, per (label, pred) cell with the cell's share
+    of the held-out set in micro-units. Runs on the mixed-label eval
+    corpus (see _clf_eval_corpus)."""
+    holdout = SPLIT_VAL_PCT + SPLIT_TEST_PCT
+    corpus_df = _clf_eval_corpus(spark, sf_dir)
+    scored = docs_mod.quality_classifier(corpus_df, holdout_pct=holdout)
+    held = (
+        corpus_df.select(
+            "doc_id",
+            F.expr(
+                "cast(conv(substr(md5(lang || '|' || doc_id), 1, 15),"
+                " 16, 10) as bigint) % 100"
+            ).alias("b"),
+        )
+        .where(F.col("b") < holdout)
+        .select("doc_id")
+    )
+    cells = (
+        scored.join(held, "doc_id")
+        .groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    tot = cells.select(F.sum("n_docs").alias("n_held"))
+    return cells.crossJoin(tot).select(
+        F.col("label").cast("long").alias("label"),
+        F.col("pred").cast("long").alias("pred"),
+        "n_docs",
+        F.expr("(n_docs * 1000000L) div n_held").cast("long").alias("share_u"),
+    )
+
+
+def _sql_doc_clf_eval() -> str:
+    holdout = SPLIT_VAL_PCT + SPLIT_TEST_PCT
+    clf_d = _sql_doc_quality_classifier().replace("FROM documents", "FROM d")
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, source, text, n_chars FROM documents
+  UNION ALL
+  SELECT doc_id + 5000000, lang, source,
+         text || repeat('{CLF_EVAL_SUFFIX}', 4), n_chars
+  FROM documents WHERE doc_id % 2 = 0
+),
+scored AS (SELECT * FROM ({clf_d})),
+held AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5(lang || '|' || doc_id), 1, 15))::UBIGINT % 100
+             AS b
+    FROM d
+  ) WHERE b < {holdout}
+),
+cells AS (
+  SELECT s.label, s.pred, count(*) AS n_docs
+  FROM scored s JOIN held USING (doc_id)
+  GROUP BY 1, 2
+),
+tot AS (SELECT sum(n_docs) AS n_held FROM cells)
+SELECT CAST(label AS BIGINT) AS label, CAST(pred AS BIGINT) AS pred,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST((n_docs * 1000000) // t.n_held AS BIGINT) AS share_u
+FROM cells, tot t"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_alias_resolution": q_kg_alias_resolution,
     "kg_node_attributes": q_kg_node_attributes,
@@ -3392,6 +3518,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_domain_range": q_kg_domain_range,
     "kg_metapaths": q_kg_metapaths,
     "emb_norm_audit": q_emb_norm_audit,
+    "doc_lang_confusion": q_doc_lang_confusion,
+    "doc_clf_eval": q_doc_clf_eval,
     "kg_walk_pairs": q_kg_walk_pairs,
     "kg_link_prediction": q_kg_link_prediction,
     "kg_modularity": q_kg_modularity,
@@ -5334,6 +5462,8 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_domain_range": _sql_kg_domain_range,
     "kg_metapaths": _sql_kg_metapaths,
     "emb_norm_audit": _sql_emb_norm_audit,
+    "doc_lang_confusion": _sql_doc_lang_confusion,
+    "doc_clf_eval": _sql_doc_clf_eval,
     "kg_walk_pairs": _sql_kg_walk_pairs,
     "kg_link_prediction": _sql_kg_link_prediction,
     "kg_modularity": _sql_kg_modularity,

@@ -183,3 +183,34 @@ def test_quality_classifier_empty_doc_neutral(spark):
     for r in out.collect():
         assert r["n_tokens"] == 0 and r["score_u"] == 500_000
         assert r["pred"] == 1  # neutral score sits on the keep side
+
+
+def test_lang_confusion_is_rowwise_consistent(spark, sf_dir):
+    from graphiti_spark.registry import q_doc_lang_confusion
+
+    rows = q_doc_lang_confusion(spark, sf_dir).collect()
+    by_true = {}
+    for r in rows:
+        by_true.setdefault(r["lang_declared"], []).append(r)
+    for lang, cells in by_true.items():
+        # recall shares are exact integer fractions of the per-language total
+        n_true = sum(c["n_docs"] for c in cells)
+        for c in cells:
+            assert c["recall_u"] == (c["n_docs"] * 1_000_000) // n_true
+    # cells partition the corpus exactly (the synthetic texts are
+    # English-ish tokens whatever the DECLARED lang, so the matrix is
+    # column-heavy on 'en' — that disagreement is what the table is for)
+    total = sum(c["n_docs"] for cells in by_true.values() for c in cells)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert total == n_docs
+
+
+def test_clf_eval_held_out_generalizes(spark, sf_dir):
+    from graphiti_spark.registry import q_doc_clf_eval
+
+    cells = {(r["label"], r["pred"]): r for r in q_doc_clf_eval(spark, sf_dir).collect()}
+    # mixed-label corpus: both classes appear in the held-out set and the
+    # trained classifier separates them (off-diagonal cells empty here)
+    assert (0, 0) in cells and (1, 1) in cells
+    assert (0, 1) not in cells and (1, 0) not in cells
+    assert sum(r["share_u"] for r in cells.values()) >= 999_998
