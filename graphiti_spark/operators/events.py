@@ -29,11 +29,11 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
-def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
-    """Gap-based sessions per user: a new session starts when the gap to
-    the previous event exceeds `gap_us`. Session boundaries via
-    lag + running sum — the standard two-window plan (one shuffle on
-    user_id, both windows share the partitioning)."""
+def _session_assign(events: DataFrame, gap_us: int) -> DataFrame:
+    """Per-event session assignment (user_id, event_id, ts, event_type,
+    value_c, session_idx) — the shared lag + running-sum stage behind
+    sessionize and session_baskets; one shuffle on user_id, both windows
+    share the partitioning."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # parquet timestamps are NTZ; the session TZ is UTC, so the cast is a
     # pure reinterpretation and unix_micros gives exact integer event time
@@ -50,12 +50,19 @@ def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
     )
     # lag is null on the first event -> when() yields 0; running sum gives
     # 0-based session index per user
-    sess = flagged.withColumn(
+    return flagged.withColumn(
         "session_idx",
         F.sum("new_sess").over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
+
+
+def sessionize(events: DataFrame, gap_us: int = SESSION_GAP_US) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the gap to
+    the previous event exceeds `gap_us` (lag + running sum via
+    _session_assign), then one rollup per session."""
+    sess = _session_assign(events, gap_us)
     return sess.groupBy("user_id", "session_idx").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
@@ -295,5 +302,67 @@ def hopping_windows(
                 "sum_value_c"
             ),
             F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def session_baskets(
+    events: DataFrame, gap_us: int = SESSION_GAP_US, scale: int = 1_000_000
+) -> DataFrame:
+    """Market-basket association rules over sessions (the Agrawal-Srikant
+    support/confidence/lift mining, sessions as baskets, event types as
+    items): for every unordered type pair {a, b} co-occurring in a
+    session, exact integer support, both directed confidences, and
+    lift — the co-engagement table recommendation and UX funnels read.
+
+    Scale shape: presence (not multiplicity) per session collapses the
+    event stream to <= |types| rows per session BEFORE the pair
+    self-join, so per-session fan-out is bounded by the type vocab
+    squared — never events squared; supports are one vocab-sized agg;
+    the 1-row session total cross-joins (broadcast by construction, the
+    dsir normalizer pattern — no driver collect)."""
+    items = (
+        _session_assign(events, gap_us)
+        .select("user_id", "session_idx", "event_type")
+        .distinct()
+    )
+    n_s = items.select("user_id", "session_idx").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    supp = items.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, ["user_id", "session_idx"])
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            supp.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a")),
+            "type_a",
+        )
+        .join(
+            supp.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b")),
+            "type_b",
+        )
+        .crossJoin(n_s)
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr(f"(n_ab * {scale}L) div n_sessions")
+            .cast("long")
+            .alias("support_u"),
+            F.expr(f"(n_ab * {scale}L) div n_a").cast("long").alias("conf_ab_u"),
+            F.expr(f"(n_ab * {scale}L) div n_b").cast("long").alias("conf_ba_u"),
+            F.expr(f"(n_ab * n_sessions * {scale}L) div (n_a * n_b)")
+            .cast("long")
+            .alias("lift_u"),
         )
     )

@@ -3421,6 +3421,57 @@ SELECT CAST(label AS BIGINT) AS label, CAST(pred AS BIGINT) AS pred,
 FROM cells, tot t"""
 
 
+def q_evt_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session market-basket rules (operators/events.session_baskets):
+    support/confidence/lift per co-occurring event-type pair, sessions
+    as baskets — Agrawal-Srikant over the 30-min gap sessions."""
+    from .operators import events as ev
+
+    return ev.session_baskets(ev.read_events(spark, sf_dir))
+
+
+def _sql_evt_baskets() -> str:
+    return """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, sum(new_sess) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS session_idx
+  FROM flagged
+),
+items AS (SELECT DISTINCT user_id, session_idx, event_type FROM sess),
+ns AS (SELECT count(*) AS n_sessions FROM
+       (SELECT DISTINCT user_id, session_idx FROM items)),
+supp AS (SELECT event_type, count(*) AS n FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+  FROM items a
+  JOIN items b ON b.user_id = a.user_id AND b.session_idx = a.session_idx
+              AND b.event_type > a.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b,
+       CAST(p.n_ab AS BIGINT) AS n_ab,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       CAST((p.n_ab * 1000000) // ns.n_sessions AS BIGINT) AS support_u,
+       CAST((p.n_ab * 1000000) // sa.n AS BIGINT) AS conf_ab_u,
+       CAST((p.n_ab * 1000000) // sb.n AS BIGINT) AS conf_ba_u,
+       CAST((p.n_ab * ns.n_sessions * 1000000) // (sa.n * sb.n) AS BIGINT)
+         AS lift_u
+FROM pairs p
+JOIN supp sa ON sa.event_type = p.type_a
+JOIN supp sb ON sb.event_type = p.type_b
+CROSS JOIN ns"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_alias_resolution": q_kg_alias_resolution,
     "kg_node_attributes": q_kg_node_attributes,
@@ -3520,6 +3571,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_norm_audit": q_emb_norm_audit,
     "doc_lang_confusion": q_doc_lang_confusion,
     "doc_clf_eval": q_doc_clf_eval,
+    "evt_baskets": q_evt_baskets,
     "kg_walk_pairs": q_kg_walk_pairs,
     "kg_link_prediction": q_kg_link_prediction,
     "kg_modularity": q_kg_modularity,
@@ -5464,6 +5516,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "emb_norm_audit": _sql_emb_norm_audit,
     "doc_lang_confusion": _sql_doc_lang_confusion,
     "doc_clf_eval": _sql_doc_clf_eval,
+    "evt_baskets": _sql_evt_baskets,
     "kg_walk_pairs": _sql_kg_walk_pairs,
     "kg_link_prediction": _sql_kg_link_prediction,
     "kg_modularity": _sql_kg_modularity,

@@ -589,3 +589,47 @@ def test_hopping_windows_fanout_and_counts(spark):
     assert min(w10) == "09:15"
     views = [r for r in rows if r["event_type"] == "view"]
     assert len(views) == 4 and all(r["n_events"] == 1 for r in views)
+
+
+def test_session_baskets_support_conf_lift(spark):
+    from graphiti_spark.operators.events import session_baskets
+
+    # 4 sessions (distinct users, so gaps never split):
+    #   u1: {click, view}   u2: {click, view}   u3: {click}   u4: {view, buy}
+    rows = []
+    eid = 0
+    for u, types in [(1, ["click", "view"]), (2, ["click", "view"]),
+                     (3, ["click"]), (4, ["view", "buy"])]:
+        for i, t in enumerate(types):
+            eid += 1
+            rows.append((eid, f"2024-01-01 10:0{i}:00", u, t, 1.0, ""))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r["type_a"], r["type_b"]): r.asDict()
+           for r in session_baskets(ev).collect()}
+    cv = out[("click", "view")]
+    # n_sessions=4, n_click=3, n_view=3, n_{click,view}=2
+    assert (cv["n_ab"], cv["n_a"], cv["n_b"]) == (2, 3, 3)
+    assert cv["support_u"] == 500_000
+    assert cv["conf_ab_u"] == 666_666 and cv["conf_ba_u"] == 666_666
+    assert cv["lift_u"] == (2 * 4 * 1_000_000) // 9  # 888888
+    bv = out[("buy", "view")]
+    assert bv["n_ab"] == 1 and bv["lift_u"] == (1 * 4 * 1_000_000) // 3
+    assert ("buy", "click") not in out  # never co-occur
+
+
+def test_session_baskets_presence_not_multiplicity(spark):
+    from graphiti_spark.operators.events import session_baskets
+
+    # one session with click x3 and view x1: the pair counts ONCE
+    ev = spark.createDataFrame(
+        [(i, f"2024-01-01 10:0{i}:00", 1,
+          "click" if i < 3 else "view", 1.0, "") for i in range(4)],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = session_baskets(ev).collect()
+    assert len(out) == 1 and out[0]["n_ab"] == 1 and out[0]["support_u"] == 1_000_000
