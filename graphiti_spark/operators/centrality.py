@@ -1292,3 +1292,217 @@ def ra_link_prediction(triples: DataFrame, scale: int = 1_000_000) -> DataFrame:
         F.col("common").cast("long").alias("common"),
         F.col("ra_u").cast("long").alias("ra_u"),
     )
+
+
+def scc(
+    triples: DataFrame,
+    max_outer: int = 12,
+    max_trim: int = 40,
+    max_prop: int = 25,
+) -> DataFrame:
+    """Strongly-connected components of the DIRECTED fact graph per
+    group — the directed dual of `resolve.connected_components` (which
+    ignores edge direction). SCCs are the cyclic cores a temporal KG
+    audits: a directed cycle of subj->obj facts (A acquired B, B
+    acquired A) is either a rename loop or an extraction error, so the
+    SCC histogram is the "directed hygiene" counterpart of the
+    weak-component histogram (reference maintenance has no direct
+    analogue; graph_queries.py BFS is direction-aware, which makes
+    directed reachability — and thus SCC structure — user-visible).
+
+    Algorithm: multi-pivot trim + forward-coloring + backward-marking
+    (Orzan's coloring / FW-BW, the standard distributed SCC family —
+    Hong et al. 2013). Each outer round:
+
+      1. TRIM to fixpoint: a node with no in-edge or no out-edge in
+         the remaining graph is a singleton SCC — peel it and its
+         incident edges (pendant chains vanish here, which is what
+         bounds the later propagation rounds by the CYCLIC core's
+         diameter, not the graph's).
+      2. COLOR: propagate color(v) = min(name over ancestors ∪ self)
+         along forward edges to fixpoint (min is idempotent and
+         commutative => partial-aggregated map-side each round).
+      3. MARK: within each color class, the pivot is the node whose
+         name equals its color (provably the class min and a member
+         of its own SCC). Propagate "reaches pivot" backward along
+         same-color edges; every node on a v->*pivot path provably
+         carries the pivot's color, so the restriction loses nothing.
+         Marked nodes ARE SCC(pivot) — emitted with scc_id = pivot
+         (= min member name, matching the oracle's min-mutual-reach).
+      4. Remove extracted nodes/edges; repeat. Every color class
+         extracts >= its pivot each round, so rounds <= longest
+         pivot-SCC chain, and in web KGs (few, small cycles over a
+         huge DAG) round 1 usually finishes the job.
+
+    Scale shape: every step is a skinny (group_id, name) co-partitioned
+    groupBy or semi/anti-join — the same key family end-to-end, so with
+    the edge list bucketed nothing reshuffles; min-propagation rounds
+    are map-side combined; fixpoint probes are limit(1) counts;
+    localCheckpoint truncates iterative lineage each round. No
+    collect(), no windows, no cartesian products.
+
+    Returns (group_id, name, scc_id, scc_size); scc_id = min member.
+    """
+    e = (
+        triples.select(
+            "group_id",
+            F.col("subj").alias("src"),
+            F.col("obj").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    v = (
+        e.select("group_id", F.col("src").alias("name"))
+        .unionAll(e.select("group_id", F.col("dst").alias("name")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    parts: list[DataFrame] = []
+
+    for _ in range(max_outer):
+        if v.limit(1).count() == 0:
+            break
+        # ---- 1. trim loop: indeg-0 / outdeg-0 nodes are singleton SCCs
+        for _ in range(max_trim):
+            srcs = e.select("group_id", F.col("src").alias("name"))
+            dsts = e.select("group_id", F.col("dst").alias("name"))
+            alive = (
+                v.join(srcs, ["group_id", "name"], "semi")
+                .join(dsts, ["group_id", "name"], "semi")
+                .localCheckpoint(eager=True)
+            )
+            trivial = v.join(alive, ["group_id", "name"], "anti")
+            if trivial.limit(1).count() == 0:
+                break
+            parts.append(
+                trivial.select(
+                    "group_id", "name", F.col("name").alias("scc_id")
+                ).localCheckpoint(eager=True)
+            )
+            v = alive
+            e = (
+                e.join(
+                    v.withColumnRenamed("name", "src"),
+                    ["group_id", "src"],
+                    "semi",
+                )
+                .join(
+                    v.withColumnRenamed("name", "dst"),
+                    ["group_id", "dst"],
+                    "semi",
+                )
+                .localCheckpoint(eager=True)
+            )
+        if v.limit(1).count() == 0:
+            break
+        # ---- 2. forward min-color propagation to fixpoint
+        col = v.withColumn("color", F.col("name")).localCheckpoint(eager=True)
+        for _ in range(max_prop):
+            msgs = (
+                e.join(
+                    col.select(
+                        "group_id",
+                        F.col("name").alias("src"),
+                        F.col("color").alias("c_src"),
+                    ),
+                    ["group_id", "src"],
+                )
+                .groupBy("group_id", F.col("dst").alias("name"))
+                .agg(F.min("c_src").alias("c_in"))
+            )
+            ncol = (
+                col.join(msgs, ["group_id", "name"], "left")
+                .select(
+                    "group_id",
+                    "name",
+                    F.least(
+                        "color", F.coalesce("c_in", F.col("color"))
+                    ).alias("color"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                ncol.join(col, ["group_id", "name", "color"], "anti")
+                .limit(1)
+                .count()
+            )
+            col = ncol
+            if changed == 0:
+                break
+        # ---- 3. backward mark within color class from each pivot
+        ec = (
+            e.join(
+                col.select(
+                    "group_id",
+                    F.col("name").alias("src"),
+                    F.col("color").alias("c1"),
+                ),
+                ["group_id", "src"],
+            )
+            .join(
+                col.select(
+                    "group_id",
+                    F.col("name").alias("dst"),
+                    F.col("color").alias("c2"),
+                ),
+                ["group_id", "dst"],
+            )
+            .where(F.col("c1") == F.col("c2"))
+            .select("group_id", "src", "dst", F.col("c1").alias("color"))
+            .localCheckpoint(eager=True)
+        )
+        mark = (
+            col.where(F.col("color") == F.col("name"))
+            .select("group_id", "name", "color")
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(max_prop):
+            new = (
+                ec.join(
+                    mark.select(
+                        "group_id", F.col("name").alias("dst"), "color"
+                    ),
+                    ["group_id", "dst", "color"],
+                    "semi",
+                )
+                .select("group_id", F.col("src").alias("name"), "color")
+                .distinct()
+                .join(mark, ["group_id", "name", "color"], "anti")
+                .localCheckpoint(eager=True)
+            )
+            if new.limit(1).count() == 0:
+                break
+            mark = mark.unionAll(new).localCheckpoint(eager=True)
+        parts.append(
+            mark.select("group_id", "name", F.col("color").alias("scc_id"))
+        )
+        # ---- 4. peel the extracted SCCs and iterate
+        v = v.join(mark, ["group_id", "name"], "anti").localCheckpoint(
+            eager=True
+        )
+        e = (
+            e.join(
+                v.withColumnRenamed("name", "src"), ["group_id", "src"], "semi"
+            )
+            .join(
+                v.withColumnRenamed("name", "dst"), ["group_id", "dst"], "semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    if not parts:  # edgeless input: no vertices, empty result
+        parts = [v.withColumn("scc_id", F.col("name"))]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    sizes = out.groupBy("group_id", "scc_id").agg(
+        F.count(F.lit(1)).alias("scc_size")
+    )
+    return out.join(sizes, ["group_id", "scc_id"]).select(
+        "group_id",
+        "name",
+        "scc_id",
+        F.col("scc_size").cast("long").alias("scc_size"),
+    )

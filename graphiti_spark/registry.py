@@ -2503,6 +2503,18 @@ def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly-connected components of the DIRECTED canonical fact
+    graph per group — directed cycles (rename loops, mutual-acquisition
+    contradictions, extraction errors) surface as scc_size > 1; the
+    directed dual of kg_components. Multi-pivot trim + FW-BW coloring
+    (centrality.scc): all rounds are skinny (group_id, name)
+    co-partitioned joins/aggs, no windows, no collects."""
+    from .operators.centrality import scc
+
+    return scc(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the LPA community partition per group, as an
     exact integer fraction (X16 quality metric)."""
@@ -3576,6 +3588,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_link_prediction": q_kg_link_prediction,
     "kg_modularity": q_kg_modularity,
     "kg_components": q_kg_components,
+    "kg_scc": q_kg_scc,
     "kg_fact_churn": q_kg_fact_churn,
     "doc_zipf": q_doc_zipf,
     "evt_sessions": q_evt_sessions,
@@ -5100,6 +5113,49 @@ FROM k12 k JOIN sz ON sz.group_id = k.group_id AND sz.comp = k.comp"""
     return _kg_sql(body, with_eds=True)
 
 
+def _sql_kg_scc() -> str:
+    # Exact SCC via transitive closure: a recursive-CTE reachability
+    # set (nested WITH RECURSIVE so the non-recursive outer WITH from
+    # _kg_sql stays untouched), mutual-reach pairs, and
+    # scc_id = least(self, min mutual partner) — the same min-member
+    # id the Spark pivots produce.
+    body = """
+, de AS (SELECT DISTINCT group_id, subj AS src, obj AS dst
+         FROM eds WHERE subj <> obj),
+vv AS (SELECT group_id, src AS name FROM de
+       UNION SELECT group_id, dst FROM de),
+tc AS (
+  SELECT * FROM (
+    WITH RECURSIVE reach(group_id, src, dst) AS (
+      SELECT group_id, src, dst FROM de
+      UNION
+      SELECT r.group_id, r.src, e.dst
+      FROM reach r
+      JOIN de e ON e.group_id = r.group_id AND e.src = r.dst
+    )
+    SELECT group_id, src, dst FROM reach
+  )
+),
+mutual AS (
+  SELECT a.group_id, a.src AS u, a.dst AS v
+  FROM tc a
+  JOIN tc b ON b.group_id = a.group_id
+           AND b.src = a.dst AND b.dst = a.src
+),
+base AS (
+  SELECT v.group_id, v.name,
+         least(v.name, coalesce(min(m.v), v.name)) AS scc_id
+  FROM vv v
+  LEFT JOIN mutual m ON m.group_id = v.group_id AND m.u = v.name
+  GROUP BY v.group_id, v.name
+),
+sz AS (SELECT group_id, scc_id, count(*) AS scc_size
+       FROM base GROUP BY 1, 2)
+SELECT b.group_id, b.name, b.scc_id, CAST(sz.scc_size AS BIGINT) AS scc_size
+FROM base b JOIN sz ON sz.group_id = b.group_id AND sz.scc_id = b.scc_id"""
+    return _kg_sql(body, with_eds=True)
+
+
 def _sql_kg_modularity() -> str:
     n = LPA_ORACLE_ROUNDS
     body = communities_ctes() + f"""
@@ -5521,6 +5577,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_link_prediction": _sql_kg_link_prediction,
     "kg_modularity": _sql_kg_modularity,
     "kg_components": _sql_kg_components,
+    "kg_scc": _sql_kg_scc,
     "kg_fact_churn": _sql_kg_fact_churn,
     "doc_zipf": _sql_doc_zipf,
     "evt_sessions": _sql_evt_sessions,
