@@ -1506,3 +1506,79 @@ def scc(
         "scc_id",
         F.col("scc_size").cast("long").alias("scc_size"),
     )
+
+
+def triadic_closure(triples: DataFrame) -> DataFrame:
+    """Triadic-closure events over the dated undirected fact graph: for
+    every triangle {a,b,c}, which edge arrived LAST (the closure) and
+    when. This is the link-prediction ground truth — link_prediction /
+    ra_link_prediction score open wedges, and this table is the set of
+    wedges the corpus actually closed, with the closing timestamp, so a
+    curation run can compute closure rates by age or by score decile
+    (the temporal-motif primitive of Paranjape et al., WSDM 2017,
+    specialized to the closure motif).
+
+    Pair dating: an undirected pair's date is MIN(valid_at) over every
+    directed dated fact between the two names — "first contact";
+    undated facts don't date a pair. Closing edge: max (t, u, v)
+    lexicographic over the three edges — the timestamp wins, name order
+    breaks exact ties deterministically.
+
+    Scale shape: the same wedge-enumeration plan family as
+    link_prediction/ktruss — one self-join at the shared low vertex
+    (b < c keeps each wedge once), one edge-table join to close the
+    wedge, all co-partitioned on (group_id, name) keys; per-triangle
+    closing-edge choice is a branch-free greatest() projection, no
+    window, no collect. Triangle count — not input size — bounds the
+    output, and the heavy join is against the deduplicated, dated PAIR
+    table (far smaller than the fact table)."""
+    und = (
+        triples.where(F.col("valid_at").isNotNull())
+        .select(
+            "group_id",
+            F.least("subj", "obj").alias("u"),
+            F.greatest("subj", "obj").alias("v"),
+            "valid_at",
+        )
+        .where(F.col("u") != F.col("v"))
+        .groupBy("group_id", "u", "v")
+        .agg(F.min("valid_at").alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    e1 = und.select(
+        "group_id", F.col("u").alias("a"), F.col("v").alias("b"),
+        F.col("t").alias("t_ab"),
+    )
+    e2 = und.select(
+        "group_id", F.col("u").alias("a"), F.col("v").alias("c"),
+        F.col("t").alias("t_ac"),
+    )
+    e3 = und.select(
+        "group_id", F.col("u").alias("b"), F.col("v").alias("c"),
+        F.col("t").alias("t_bc"),
+    )
+    tri = (
+        e1.join(e2, ["group_id", "a"])
+        .where(F.col("b") < F.col("c"))
+        .join(e3, ["group_id", "b", "c"])
+    )
+    # closing edge = lexicographic max of (t, lo, hi) across the three
+    # candidate edges; struct comparison keeps the choice branch-free
+    # and deterministic under timestamp ties
+    closing = F.greatest(
+        F.struct(F.col("t_ab").alias("t"), F.col("a").alias("lo"),
+                 F.col("b").alias("hi")),
+        F.struct(F.col("t_ac").alias("t"), F.col("a").alias("lo"),
+                 F.col("c").alias("hi")),
+        F.struct(F.col("t_bc").alias("t"), F.col("b").alias("lo"),
+                 F.col("c").alias("hi")),
+    )
+    return tri.select(
+        "group_id",
+        "a",
+        "b",
+        "c",
+        closing.getField("lo").alias("closed_u"),
+        closing.getField("hi").alias("closed_v"),
+        closing.getField("t").alias("closed_at"),
+    )

@@ -2515,6 +2515,17 @@ def q_kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scc(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_triadic_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triadic-closure events: for every triangle in the dated
+    undirected fact graph, the edge that closed it and when — the
+    observed ground truth for the link-prediction scores
+    (kg_link_prediction / kg_link_pred_ra). Wedge-enumeration plan
+    family; closing edge picked by a branch-free greatest(struct)."""
+    from .operators.centrality import triadic_closure
+
+    return triadic_closure(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the LPA community partition per group, as an
     exact integer fraction (X16 quality metric)."""
@@ -3589,6 +3600,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_modularity": q_kg_modularity,
     "kg_components": q_kg_components,
     "kg_scc": q_kg_scc,
+    "kg_triadic_closure": q_kg_triadic_closure,
     "kg_fact_churn": q_kg_fact_churn,
     "doc_zipf": q_doc_zipf,
     "evt_sessions": q_evt_sessions,
@@ -5156,6 +5168,40 @@ FROM base b JOIN sz ON sz.group_id = b.group_id AND sz.scc_id = b.scc_id"""
     return _kg_sql(body, with_eds=True)
 
 
+def _sql_kg_triadic_closure() -> str:
+    # winner = lexicographic max of (t, lo, hi) over the three triangle
+    # edges, expanded to explicit CASE comparisons (engine-portable; the
+    # (t, lo, hi) tuples are unique per triangle so the order is total)
+    body = """
+, undt AS (
+  SELECT group_id, least(subj, obj) AS u, greatest(subj, obj) AS v,
+         min(valid_at) AS t
+  FROM eds WHERE valid_at IS NOT NULL AND subj <> obj
+  GROUP BY 1, 2, 3
+),
+tri AS (
+  SELECT e1.group_id, e1.u AS a, e1.v AS b, e2.v AS c,
+         e1.t AS t_ab, e2.t AS t_ac, e3.t AS t_bc
+  FROM undt e1
+  JOIN undt e2 ON e2.group_id = e1.group_id AND e2.u = e1.u
+              AND e2.v > e1.v
+  JOIN undt e3 ON e3.group_id = e1.group_id AND e3.u = e1.v
+              AND e3.v = e2.v
+)
+SELECT group_id, a, b, c,
+  CASE WHEN (t_ab > t_ac OR (t_ab = t_ac AND (a > a OR (a = a AND b >= c)))) AND (t_ab > t_bc OR (t_ab = t_bc AND (a > b OR (a = b AND b >= c)))) THEN a
+       WHEN NOT (t_ab > t_ac OR (t_ab = t_ac AND (a > a OR (a = a AND b >= c)))) AND (t_ac > t_bc OR (t_ac = t_bc AND (a > b OR (a = b AND c >= c)))) THEN a
+       ELSE b END AS closed_u,
+  CASE WHEN (t_ab > t_ac OR (t_ab = t_ac AND (a > a OR (a = a AND b >= c)))) AND (t_ab > t_bc OR (t_ab = t_bc AND (a > b OR (a = b AND b >= c)))) THEN b
+       WHEN NOT (t_ab > t_ac OR (t_ab = t_ac AND (a > a OR (a = a AND b >= c)))) AND (t_ac > t_bc OR (t_ac = t_bc AND (a > b OR (a = b AND c >= c)))) THEN c
+       ELSE c END AS closed_v,
+  CASE WHEN (t_ab > t_ac OR (t_ab = t_ac AND (a > a OR (a = a AND b >= c)))) AND (t_ab > t_bc OR (t_ab = t_bc AND (a > b OR (a = b AND b >= c)))) THEN t_ab
+       WHEN NOT (t_ab > t_ac OR (t_ab = t_ac AND (a > a OR (a = a AND b >= c)))) AND (t_ac > t_bc OR (t_ac = t_bc AND (a > b OR (a = b AND c >= c)))) THEN t_ac
+       ELSE t_bc END AS closed_at
+FROM tri"""
+    return _kg_sql(body, with_eds=True)
+
+
 def _sql_kg_modularity() -> str:
     n = LPA_ORACLE_ROUNDS
     body = communities_ctes() + f"""
@@ -5578,6 +5624,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_modularity": _sql_kg_modularity,
     "kg_components": _sql_kg_components,
     "kg_scc": _sql_kg_scc,
+    "kg_triadic_closure": _sql_kg_triadic_closure,
     "kg_fact_churn": _sql_kg_fact_churn,
     "doc_zipf": _sql_doc_zipf,
     "evt_sessions": _sql_evt_sessions,
