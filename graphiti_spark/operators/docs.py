@@ -1474,3 +1474,60 @@ def quality_classifier(docs: DataFrame, holdout_pct: int = 10) -> DataFrame:
             .alias("pred"),
         )
     )
+
+
+def cluster_topics(
+    docs: DataFrame, assignments: DataFrame, k: int = 5
+) -> DataFrame:
+    """Distinctive topic terms per semantic cluster — the cluster-labeling
+    stage of embedding-driven curation (the c-TF-IDF move of BERTopic,
+    Grootendorst 2022), with an integer-exact keyness score instead of a
+    float log: for term t in cluster c,
+
+        lift_u = tf_c * T_corpus  -  tf_corpus * T_c
+
+    (difference of cross products: positive iff the term's in-cluster
+    rate tf_c/T_c beats its corpus rate tf_corpus/T_corpus; exact in
+    int64 at bench scale — a 100-TB run rescales both token totals to
+    per-million units before the product, same ordering, bounded
+    magnitude). "Corpus" = every clustered document, so the score is a
+    pure function of the assignment table.
+
+    Plan: per-(doc, token) tf (one shuffle, map-side combined), one join
+    to the skinny (doc, cell) assignment, per-(cell, token) partial-agg
+    rollup; the cluster and corpus totals reuse that rollup (vocab-sized,
+    no second pass over text); corpus total is a broadcast scalar; top-k
+    is a window PARTITIONED by cell (never global). Ties break on the
+    term string, so the table is fully deterministic."""
+    dt = _doc_tokens(docs).groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    a = assignments.select(F.col("vec_id").alias("doc_id"), "cell_id")
+    ct = (
+        dt.join(a, "doc_id")
+        .groupBy("cell_id", "tok")
+        .agg(F.sum("tf").alias("tf_c"))
+    )
+    corpus_t = ct.groupBy("tok").agg(F.sum("tf_c").alias("tf_all"))
+    cell_tot = ct.groupBy("cell_id").agg(F.sum("tf_c").alias("toks_c"))
+    tot = ct.agg(F.sum("tf_c").alias("toks_total"))
+    scored = (
+        ct.join(corpus_t, "tok")
+        .join(cell_tot, "cell_id")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lift_u", F.expr("tf_c * toks_total - tf_all * toks_c")
+        )
+    )
+    w = Window.partitionBy("cell_id").orderBy(F.desc("lift_u"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("cell_id").cast("long").alias("cell_id"),
+            F.col("tok").alias("term"),
+            F.col("tf_c").cast("long").alias("tf_c"),
+            F.col("lift_u").cast("long").alias("lift_u"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -1977,6 +1977,24 @@ def q_doc_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic labels for the semantic clusters: top-5 distinctive terms
+    per k-means cell by the integer cross-product keyness score
+    (c-TF-IDF analogue) — the human-readable face of doc_clusters.
+    Reuses the exact-integer IVF trainer for assignments; the term
+    rollup is one (cell, token) shuffle; top-k window is partitioned
+    by cell, never global."""
+    emb = ann.read_embeddings(spark, sf_dir)
+    cand = emb.select(F.col("vec_id").alias("c_id"), F.expr(_QZ).alias("emb"))
+    cents = ann.train_centroids(cand, n_cells=IVF_CELLS, n_iter=IVF_ITERS)
+    asg = ann.assign_cells(cand, cents).select(
+        F.col("c_id").alias("vec_id"), "cell_id"
+    )
+    return docs_mod.cluster_topics(
+        docs.read_documents(spark, sf_dir), asg, k=5
+    )
+
+
 def q_doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF keywords per document, integer weights, term-string
     tiebreak."""
@@ -3559,6 +3577,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_contrastive": q_emb_contrastive,
     "doc_unigram_lm": q_doc_unigram_lm,
     "doc_tfidf_terms": q_doc_tfidf_terms,
+    "doc_cluster_topics": q_doc_cluster_topics,
     "doc_substring_dup": q_doc_substring_dup,
     "doc_decontaminate": q_doc_decontaminate,
     "doc_clusters": q_doc_clusters,
@@ -4341,6 +4360,45 @@ ranked AS (
 )
 SELECT doc_id, tok AS term, tf, df, CAST(weight_u AS BIGINT) AS weight_u, rank
 FROM ranked WHERE rank <= 3"""
+
+
+def _sql_doc_cluster_topics() -> str:
+    parts = [f"cand AS (SELECT vec_id AS c_id, {_DUCK_QZ} AS emb FROM embeddings)"]
+    km_parts, last_asg, _ = _kmeans_sql_parts(IVF_CELLS, IVF_ITERS)
+    parts += km_parts
+    parts += [
+        """toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+)""",
+        "dt AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2)",
+        f"asg AS (SELECT c_id AS doc_id, cell_id FROM {last_asg})",
+        """ct AS (
+  SELECT a.cell_id, d.tok, sum(d.tf) AS tf_c
+  FROM dt d JOIN asg a USING (doc_id) GROUP BY 1, 2
+)""",
+        "ca AS (SELECT tok, sum(tf_c) AS tf_all FROM ct GROUP BY 1)",
+        "tc AS (SELECT cell_id, sum(tf_c) AS toks_c FROM ct GROUP BY 1)",
+        "tt AS (SELECT sum(tf_c) AS toks_total FROM ct)",
+        """scored AS (
+  SELECT c.cell_id, c.tok, c.tf_c,
+         c.tf_c * t.toks_total - a.tf_all * x.toks_c AS lift_u
+  FROM ct c JOIN ca a USING (tok) JOIN tc x USING (cell_id) CROSS JOIN tt t
+)""",
+        """ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cell_id ORDER BY lift_u DESC, tok
+  ) AS rank FROM scored
+)""",
+    ]
+    return (
+        "WITH " + ",".join(p.strip() for p in parts)
+        + """
+SELECT CAST(cell_id AS BIGINT) AS cell_id, tok AS term,
+       CAST(tf_c AS BIGINT) AS tf_c, CAST(lift_u AS BIGINT) AS lift_u,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5"""
+    )
 
 
 def _sql_doc_substring_dup() -> str:
@@ -5583,6 +5641,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "emb_contrastive": _sql_emb_contrastive,
     "doc_unigram_lm": _sql_doc_unigram_lm,
     "doc_tfidf_terms": _sql_doc_tfidf_terms,
+    "doc_cluster_topics": _sql_doc_cluster_topics,
     "doc_substring_dup": _sql_doc_substring_dup,
     "doc_decontaminate": _sql_doc_decontaminate,
     "doc_clusters": _sql_doc_clusters,
