@@ -1582,3 +1582,101 @@ def triadic_closure(triples: DataFrame) -> DataFrame:
         closing.getField("hi").alias("closed_v"),
         closing.getField("t").alias("closed_at"),
     )
+
+
+def graph_shape_stats(triples: DataFrame) -> DataFrame:
+    """Per-group directed-graph shape diagnostics, integer-exact — the
+    one-row-per-group QA table a KG build publishes next to its counts
+    (reference maintenance has no analogue; this is the operational
+    telemetry a 10^12-doc run needs to spot extraction drift between
+    builds):
+
+      * n_nodes / n_arcs — distinct endpoints, distinct directed arcs.
+      * n_mutual — arcs whose reverse also exists (u->v AND v->u);
+        reciprocity = n_mutual / n_arcs, kept as the exact integer
+        numerator (denominator is n_arcs) — a jump in reciprocity means
+        symmetric-predicate extraction started double-emitting.
+      * Degree-assortativity SIGNATURE: the six exact integer moment
+        sums (n, sum_x, sum_y, sum_xy, sum_x2, sum_y2) over undirected
+        edges' endpoint degrees (x = deg of the lexicographically lower
+        endpoint, y = the higher) from which Pearson r is one float
+        division away — the division happens in the dashboard, not the
+        engine, so the table stays engine-exact and mergeable across
+        partial builds (the sums are associative; a monoid, like the
+        HLL registers in sketches.py).
+
+    Plan: one distinct over skinny arcs, one self-join on the reversed
+    key for mutuality, one degree agg + two joins for the moments —
+    every shuffle on (group_id, name)-family keys; output rows = number
+    of groups."""
+    arcs = (
+        triples.select(
+            "group_id",
+            F.col("subj").alias("src"),
+            F.col("obj").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rev = arcs.select(
+        "group_id", F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    mutual = arcs.join(rev, ["group_id", "src", "dst"], "semi")
+    base = arcs.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_arcs")
+    )
+    mut = mutual.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_mutual")
+    )
+    und = arcs.select(
+        "group_id",
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
+    ).distinct()
+    deg = (
+        und.select("group_id", F.col("a").alias("name"))
+        .unionAll(und.select("group_id", F.col("b").alias("name")))
+        .groupBy("group_id", "name")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    nn = deg.groupBy("group_id").agg(F.count(F.lit(1)).alias("n_nodes"))
+    moments = (
+        und.join(
+            deg.select(
+                "group_id", F.col("name").alias("a"), F.col("deg").alias("dx")
+            ),
+            ["group_id", "a"],
+        )
+        .join(
+            deg.select(
+                "group_id", F.col("name").alias("b"), F.col("deg").alias("dy")
+            ),
+            ["group_id", "b"],
+        )
+        .groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum("dx").alias("sum_x"),
+            F.sum("dy").alias("sum_y"),
+            F.sum(F.expr("dx * dy")).alias("sum_xy"),
+            F.sum(F.expr("dx * dx")).alias("sum_x2"),
+            F.sum(F.expr("dy * dy")).alias("sum_y2"),
+        )
+    )
+    out = (
+        base.join(mut, "group_id", "left")
+        .join(nn, "group_id")
+        .join(moments, "group_id")
+    )
+    longs = [
+        "n_nodes", "n_arcs", "n_mutual", "n_edges",
+        "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2",
+    ]
+    return out.select(
+        "group_id",
+        F.coalesce("n_mutual", F.lit(0)).alias("n_mutual"),
+        *[F.col(c) for c in longs if c != "n_mutual"],
+    ).select(
+        "group_id", *[F.col(c).cast("long").alias(c) for c in longs]
+    )

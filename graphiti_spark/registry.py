@@ -2544,6 +2544,16 @@ def q_kg_triadic_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triadic_closure(q_kg_triples(spark, sf_dir))
 
 
+def q_kg_graph_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group directed-graph shape telemetry: node/arc counts,
+    reciprocity numerator (mutual arc pairs), and the exact integer
+    moment sums behind degree assortativity — the build-over-build
+    drift dashboard. One row per group; every shuffle skinny."""
+    from .operators.centrality import graph_shape_stats
+
+    return graph_shape_stats(q_kg_triples(spark, sf_dir))
+
+
 def q_kg_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the LPA community partition per group, as an
     exact integer fraction (X16 quality metric)."""
@@ -3620,6 +3630,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_components": q_kg_components,
     "kg_scc": q_kg_scc,
     "kg_triadic_closure": q_kg_triadic_closure,
+    "kg_graph_shape": q_kg_graph_shape,
     "kg_fact_churn": q_kg_fact_churn,
     "doc_zipf": q_doc_zipf,
     "evt_sessions": q_evt_sessions,
@@ -5260,6 +5271,55 @@ FROM tri"""
     return _kg_sql(body, with_eds=True)
 
 
+def _sql_kg_graph_shape() -> str:
+    body = """
+, arcs AS (SELECT DISTINCT group_id, subj AS src, obj AS dst
+           FROM eds WHERE subj <> obj),
+mut AS (
+  SELECT a.group_id, count(*) AS n_mutual
+  FROM arcs a
+  JOIN arcs r ON r.group_id = a.group_id AND r.src = a.dst
+             AND r.dst = a.src
+  GROUP BY 1
+),
+basec AS (SELECT group_id, count(*) AS n_arcs FROM arcs GROUP BY 1),
+und AS (SELECT DISTINCT group_id, least(src, dst) AS a,
+               greatest(src, dst) AS b FROM arcs),
+deg AS (
+  SELECT group_id, name, count(*) AS deg FROM (
+    SELECT group_id, a AS name FROM und
+    UNION ALL SELECT group_id, b FROM und
+  ) GROUP BY 1, 2
+),
+nn AS (SELECT group_id, count(*) AS n_nodes FROM deg GROUP BY 1),
+mo AS (
+  SELECT u.group_id, count(*) AS n_edges,
+         sum(da.deg) AS sum_x, sum(db.deg) AS sum_y,
+         sum(da.deg * db.deg) AS sum_xy,
+         sum(da.deg * da.deg) AS sum_x2,
+         sum(db.deg * db.deg) AS sum_y2
+  FROM und u
+  JOIN deg da ON da.group_id = u.group_id AND da.name = u.a
+  JOIN deg db ON db.group_id = u.group_id AND db.name = u.b
+  GROUP BY 1
+)
+SELECT b.group_id,
+       CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+       CAST(b.n_arcs AS BIGINT) AS n_arcs,
+       CAST(coalesce(mut.n_mutual, 0) AS BIGINT) AS n_mutual,
+       CAST(mo.n_edges AS BIGINT) AS n_edges,
+       CAST(mo.sum_x AS BIGINT) AS sum_x,
+       CAST(mo.sum_y AS BIGINT) AS sum_y,
+       CAST(mo.sum_xy AS BIGINT) AS sum_xy,
+       CAST(mo.sum_x2 AS BIGINT) AS sum_x2,
+       CAST(mo.sum_y2 AS BIGINT) AS sum_y2
+FROM basec b
+LEFT JOIN mut ON mut.group_id = b.group_id
+JOIN nn ON nn.group_id = b.group_id
+JOIN mo ON mo.group_id = b.group_id"""
+    return _kg_sql(body, with_eds=True)
+
+
 def _sql_kg_modularity() -> str:
     n = LPA_ORACLE_ROUNDS
     body = communities_ctes() + f"""
@@ -5684,6 +5744,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_components": _sql_kg_components,
     "kg_scc": _sql_kg_scc,
     "kg_triadic_closure": _sql_kg_triadic_closure,
+    "kg_graph_shape": _sql_kg_graph_shape,
     "kg_fact_churn": _sql_kg_fact_churn,
     "doc_zipf": _sql_doc_zipf,
     "evt_sessions": _sql_evt_sessions,
