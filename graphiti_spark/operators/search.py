@@ -492,3 +492,83 @@ def asof_snapshot(edges: DataFrame, ts: str) -> DataFrame:
         (F.col("valid_at") <= t)
         & (F.col("invalid_at").isNull() | (F.col("invalid_at") > t))
     )
+
+
+def ir_eval(
+    corpus: DataFrame,
+    queries: DataFrame,
+    ranking: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = DEFAULT_SEARCH_LIMIT,
+) -> DataFrame:
+    """Retrieval-quality scorecard for a ranking, against a
+    deterministic conjunctive qrel: a document is RELEVANT to a query
+    iff it contains EVERY query term (the boolean-AND judgment — the
+    strictest labeled set derivable from the corpus itself, no human
+    labels needed; the standard self-supervised eval for lexical
+    retrievers). Per query, integer-exact:
+
+      n_rel          size of the relevant set in the whole corpus
+      hits_at_5/10   relevant docs inside the ranking's top-5 / top-k
+      first_rel_rank rank of the first relevant hit (0 = none in top-k)
+
+    The float metrics a dashboard wants (MRR = mean 1/first_rel_rank,
+    recall@k = hits/n_rel) are one division away from these columns —
+    the engine emits the exact integers, so the table hashes stably
+    across engines and merges across eval shards.
+
+    Plan: one distinct (doc, term) postings pass (the same shuffle
+    family bm25_topk already builds), a broadcast of the tiny
+    query-term table, one (query, doc) match count, and a semi-join of
+    the top-k ranking against the qrel — output is one row per query.
+    """
+    qterms = queries.select(
+        "query_id",
+        F.explode(F.array_distinct(tokens("query"))).alias("term"),
+    )
+    n_terms = qterms.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_terms")
+    )
+    posting = (
+        corpus.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.array_distinct(tokens(text_col))).alias("term"),
+        )
+    )
+    n_match = (
+        posting.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    qrel = (
+        n_match.join(F.broadcast(n_terms), "query_id")
+        .where(F.col("n_match") == F.col("n_terms"))
+        .select("query_id", "doc")
+    )
+    nrel = qrel.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = (
+        ranking.where(F.col("rank") <= k)
+        .select("query_id", "rank", F.col(id_col).alias("doc"))
+        .join(qrel, ["query_id", "doc"], "semi")
+    )
+    agg = hits.groupBy("query_id").agg(
+        F.sum(F.expr("CASE WHEN rank <= 5 THEN 1 ELSE 0 END")).alias(
+            "hits_at_5"
+        ),
+        F.count(F.lit(1)).alias(f"hits_at_{k}"),
+        F.min("rank").alias("first_rel_rank"),
+    )
+    base = queries.select("query_id").distinct()
+    return (
+        base.join(nrel, "query_id", "left")
+        .join(agg, "query_id", "left")
+        .select(
+            "query_id",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                for c in ["n_rel", "hits_at_5", f"hits_at_{k}",
+                          "first_rel_rank"]
+            ],
+        )
+    )

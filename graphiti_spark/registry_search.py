@@ -36,6 +36,18 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search.bm25_topk(_documents(spark, sf_dir), qs, "doc_id", "text", k=10)
 
 
+def q_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval scorecard for the BM25 run against the conjunctive
+    (all-terms-present) qrel: per query, relevant-set size, hits@5/10,
+    and first relevant rank — the integer core of MRR/recall@k. The
+    QA leg that catches a scoring regression the ranking oracle alone
+    would show only as a diff."""
+    docs = _documents(spark, sf_dir)
+    qs = search.make_queries_df(spark, DOC_QUERIES)
+    run = search.bm25_topk(docs, qs, "doc_id", "text", k=10)
+    return search.ir_eval(docs, qs, run, "doc_id", "text", k=10)
+
+
 def q_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11: RRF fusion of the BM25 ranking with a recency ranking
     (doc_id desc), top-10."""
@@ -243,6 +255,44 @@ def _sql_search_bm25() -> str:
 WITH {_BM25_CTES.lstrip()}
 SELECT query_id, CAST(rank AS BIGINT) AS rank, doc AS doc_id, score_u
 FROM ranked WHERE rank <= 10"""
+
+
+def _sql_search_eval() -> str:
+    return f"""
+WITH {_BM25_CTES.lstrip()},
+nqt AS (SELECT query_id, count(*) AS n_terms FROM qterms GROUP BY 1),
+qm AS (
+  SELECT q.query_id, t.doc, count(*) AS n_match
+  FROM (SELECT DISTINCT doc, term FROM tf) t
+  JOIN qterms q USING (term)
+  GROUP BY 1, 2
+),
+qrel AS (
+  SELECT m.query_id, m.doc
+  FROM qm m JOIN nqt n USING (query_id)
+  WHERE m.n_match = n.n_terms
+),
+nrel AS (SELECT query_id, count(*) AS n_rel FROM qrel GROUP BY 1),
+hits AS (
+  SELECT r.query_id, r.rank
+  FROM ranked r JOIN qrel USING (query_id, doc)
+  WHERE r.rank <= 10
+),
+agg AS (
+  SELECT query_id,
+         sum(CASE WHEN rank <= 5 THEN 1 ELSE 0 END) AS hits_at_5,
+         count(*) AS hits_at_10,
+         min(rank) AS first_rel_rank
+  FROM hits GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(coalesce(n.n_rel, 0) AS BIGINT) AS n_rel,
+       CAST(coalesce(a.hits_at_5, 0) AS BIGINT) AS hits_at_5,
+       CAST(coalesce(a.hits_at_10, 0) AS BIGINT) AS hits_at_10,
+       CAST(coalesce(a.first_rel_rank, 0) AS BIGINT) AS first_rel_rank
+FROM (SELECT DISTINCT query_id FROM qs) q
+LEFT JOIN nrel n USING (query_id)
+LEFT JOIN agg a USING (query_id)"""
 
 
 def _sql_search_rrf() -> str:
@@ -1414,6 +1464,7 @@ SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_node_similarity": q_kg_node_similarity,
     "kg_mmr": q_kg_mmr,
     "search_bm25": q_search_bm25,
+    "search_eval": q_search_eval,
     "search_rrf": q_search_rrf,
     "kg_retrieve_episodes": q_kg_retrieve_episodes,
     "kg_bfs": q_kg_bfs,
@@ -1439,6 +1490,7 @@ SEARCH_ORACLES: dict[str, Callable[[], str]] = {
     "kg_mmr": _sql_kg_mmr_env,
     "kg_edge_fulltext": _sql_kg_edge_fulltext,
     "search_bm25": _sql_search_bm25,
+    "search_eval": _sql_search_eval,
     "search_rrf": _sql_search_rrf,
     "kg_retrieve_episodes": _sql_kg_retrieve_episodes,
     "kg_bfs": _sql_kg_bfs,
