@@ -78,8 +78,20 @@ def _commit_metrics(
 
 
 def _checksum(df: DataFrame, key_col: str) -> int:
-    """Order-independent content checksum: sum of crc32(key) mod 2^31."""
-    v = df.agg(F.sum(F.crc32(F.col(key_col))).alias("s")).collect()[0]["s"]
+    """Order-independent content checksum: sum of md5-prefix-int(key)
+    mod 2^31 (per-element mod bounds the running sum, so the same
+    formula is expressible in any ANSI-SQL engine for an independent
+    audit — see registry kg_lineage_metrics)."""
+    v = (
+        df.agg(
+            F.sum(
+                F.expr(
+                    f"cast(conv(substr(md5({key_col}), 1, 15), 16, 10) as bigint)"
+                    " % 2147483648"
+                )
+            ).alias("s")
+        ).collect()[0]["s"]
+    )
     return int(v or 0) % (1 << 31)
 
 

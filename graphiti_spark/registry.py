@@ -240,6 +240,38 @@ def q_kg_episode_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINEAGE_ROOTS: dict[str, str] = {}
+
+
+def q_kg_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule resumability surface made oracle-checkable: run the
+    partition-range checkpointed extraction (plans/lineage.py — the
+    batch redesign of the reference's per-call LLM response cache,
+    graphiti_core/llm_client/client.py:85-95) over 8 doc_id ranges into
+    a scratch dir, then return the committed per-range lineage rows
+    (range_id, row_count, content checksum). The oracle recomputes both
+    numbers per range from the generative SQL — raw triples plus
+    per-episode deduped mention spans for docs with doc_id % 8 = k — so
+    a hash-exact match proves the checkpoint/resume path emits exactly
+    the rows the one-shot batch plan does, range by range, with an
+    order-independent checksum any ANSI engine can audit."""
+    import tempfile
+
+    from .plans import lineage
+
+    if sf_dir not in _LINEAGE_ROOTS:
+        root = tempfile.mkdtemp(prefix="kg_lineage_")
+        lineage.run_partitioned(spark, sf_dir, root, n_ranges=8)
+        _LINEAGE_ROOTS[sf_dir] = root
+    m = spark.read.parquet(f"{_LINEAGE_ROOTS[sf_dir]}/metrics")
+    return m.select(
+        F.col("range_id").cast("long").alias("range_id"),
+        "stage",
+        F.col("row_count").cast("long").alias("row_count"),
+        F.col("checksum").cast("long").alias("checksum"),
+    )
+
+
 def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical entity nodes after resolution (X5/X7 + A8)."""
     t = _graph(spark, sf_dir)
@@ -3540,6 +3572,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_contradictions": q_kg_contradictions,
     "kg_episodes": q_kg_episodes,
     "kg_episode_facts": q_kg_episode_facts,
+    "kg_lineage_metrics": q_kg_lineage_metrics,
     "kg_snapshot_diff": q_kg_snapshot_diff,
     "kg_triple_negatives": q_kg_triple_negatives,
     "kg_nodes": q_kg_nodes,
@@ -3801,6 +3834,33 @@ SELECT c.uuid, c.url, c.chunk_idx,
        coalesce(f.fact_uuids, '') AS fact_uuids
 FROM chunks c LEFT JOIN epf f ON f.episode_uuid = c.uuid"""
     return _kg_sql(body, with_eds=True)
+
+
+def _sql_kg_lineage_metrics() -> str:
+    """SQL mirror of q_kg_lineage_metrics: per doc_id%8 range, the count
+    of extraction rows (generative triples + per-episode distinct mention
+    spans) and the order-independent checksum — sum of the 60-bit
+    md5-prefix integer of each row's episode_uuid, per-element mod 2^31
+    (bounds the running sum) then mod 2^31, exactly plans/lineage.py
+    _checksum."""
+    ctes = corpus.sql_pages_cte() + "," + corpus.sql_triples_cte() + "," + corpus.sql_mentions_cte()
+    return (
+        "WITH "
+        + ctes.lstrip()
+        + """,
+ext AS (
+  SELECT doc_id, md5(url || '|' || para_idx) AS episode_uuid FROM triples_g
+  UNION ALL
+  SELECT doc_id, md5(url || '|' || para_idx)
+  FROM (SELECT DISTINCT doc_id, url, para_idx, name FROM mentions_g)
+)
+SELECT CAST(doc_id % 8 AS BIGINT) AS range_id,
+       'extract' AS stage,
+       count(*) AS row_count,
+       CAST(sum(('0x' || substr(md5(episode_uuid), 1, 15))::UBIGINT % 2147483648)
+            % 2147483648 AS BIGINT) AS checksum
+FROM ext GROUP BY 1 ORDER BY 1"""
+    )
 
 
 def _sql_kg_nodes() -> str:
@@ -5659,6 +5719,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_contradictions": _sql_kg_contradictions,
     "kg_episodes": _sql_kg_episodes,
     "kg_episode_facts": _sql_kg_episode_facts,
+    "kg_lineage_metrics": _sql_kg_lineage_metrics,
     "kg_snapshot_diff": _sql_kg_snapshot_diff,
     "kg_triple_negatives": _sql_kg_triple_negatives,
     "kg_nodes": _sql_kg_nodes,
