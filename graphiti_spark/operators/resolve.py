@@ -172,7 +172,10 @@ _H32 = "cast(conv(substr(md5({x}), 1, 8), 16, 10) as bigint) % 2147483647"
 
 
 def match_edges_lsh(
-    entities: DataFrame, threshold: float = 0.6, max_bucket: int = 1000
+    entities: DataFrame,
+    threshold: float = 0.6,
+    max_bucket: int = 1000,
+    probe: DataFrame | None = None,
 ) -> DataFrame:
     """Fuzzy match edges, ALL-JVM: MinHash-LSH banding over char-3-gram
     shingles of the normalized name (higher-order-function min-hash per
@@ -187,7 +190,13 @@ def match_edges_lsh(
     members contributes k(k-1)/2 join rows — pathological buckets are
     template/boilerplate name families, not alias clusters; same cap
     discipline as operators/dedup.minhash_candidates), and AQE skew-join
-    splits the surviving hot buckets ('john smith')."""
+    splits the surviving hot buckets ('john smith').
+
+    `probe`: optional (uuid) frame — restrict candidates to pairs with at
+    least one member in the probe set by joining the PROBE side's bands
+    against the full band table, instead of the full self-join. This is
+    the incremental-merge path (plans/incremental.py): the full band
+    table is standing state, the probe side is O(new batch)."""
     thr = float(threshold)
     sig = lambda i: (  # noqa: E731
         f"array_min(transform(_sh, s -> ({int(_A_NM[i])} * ({_H32.format(x='s')})"
@@ -219,14 +228,26 @@ def match_edges_lsh(
         .select("group_id", "band", "bkey")
     )
     bands = bands.join(ok, ["group_id", "band", "bkey"])
-    a, b = bands.alias("a"), bands.alias("b")
+    left = bands
+    if probe is not None:
+        left = bands.join(
+            probe.select(F.col(probe.columns[0]).alias("uuid")),
+            "uuid",
+            "left_semi",
+        )
+    a, b = left.alias("a"), bands.alias("b")
+    pair_cond = (
+        F.col("a.uuid") < F.col("b.uuid")
+        if probe is None
+        else F.col("a.uuid") != F.col("b.uuid")
+    )
     return (
         a.join(
             b,
             (F.col("a.group_id") == F.col("b.group_id"))  # group is a hard partition (nodes.py:81)
             & (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.uuid") < F.col("b.uuid")),
+            & pair_cond,
         )
         .where(
             F.expr(
@@ -234,7 +255,10 @@ def match_edges_lsh(
                 f" {thr} * size(array_union(a._sh, b._sh))"
             )
         )
-        .select(F.col("a.uuid").alias("src"), F.col("b.uuid").alias("dst"))
+        .select(
+            F.least(F.col("a.uuid"), F.col("b.uuid")).alias("src"),
+            F.greatest(F.col("a.uuid"), F.col("b.uuid")).alias("dst"),
+        )
         .dropDuplicates(["src", "dst"])
     )
 

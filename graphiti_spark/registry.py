@@ -240,6 +240,23 @@ def q_kg_episode_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_incremental_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graphiti's add_episode loop at batch scale (plans/incremental.py):
+    bootstrap the graph on the even-doc_id half of the corpus, then merge
+    the odd half as a second batch — delta entity resolution by component
+    contraction (CC runs on O(batch) contracted supernodes) and
+    touched-pair-only edge recompaction (untouched edges pass through
+    byte-identical). The oracle is kg_triples' one-shot batch SQL:
+    incremental == batch is the contract, hash-exact."""
+    from .plans import incremental
+    from .sources.pages import build_pages
+
+    pages = build_pages(spark, sf_dir)
+    st = incremental.initial_state(pages.where(F.col("doc_id") % 2 == 0))
+    st = incremental.merge_batch(st, pages.where(F.col("doc_id") % 2 == 1))
+    return incremental.incremental_triples(st)
+
+
 _LINEAGE_ROOTS: dict[str, str] = {}
 
 
@@ -3573,6 +3590,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_episodes": q_kg_episodes,
     "kg_episode_facts": q_kg_episode_facts,
     "kg_lineage_metrics": q_kg_lineage_metrics,
+    "kg_incremental_build": q_kg_incremental_build,
     "kg_snapshot_diff": q_kg_snapshot_diff,
     "kg_triple_negatives": q_kg_triple_negatives,
     "kg_nodes": q_kg_nodes,
@@ -5720,6 +5738,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_episodes": _sql_kg_episodes,
     "kg_episode_facts": _sql_kg_episode_facts,
     "kg_lineage_metrics": _sql_kg_lineage_metrics,
+    "kg_incremental_build": _sql_kg_triples,
     "kg_snapshot_diff": _sql_kg_snapshot_diff,
     "kg_triple_negatives": _sql_kg_triple_negatives,
     "kg_nodes": _sql_kg_nodes,
