@@ -3237,6 +3237,102 @@ def q_kg_er_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return er_pair_metrics(truth, engine)
 
 
+def q_kg_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-stage quality audit (the stage BEFORE clustering, which
+    kg_er_metrics evaluates): per group, the candidate pairs the exact
+    norm-block star + MinHash-LSH banding actually generate, scored
+    against the generative alias-pair truth — pairs completeness
+    (blocking recall) and reduction ratio (1 - candidates/all-pairs),
+    the two standard blocking metrics (Christen 2012). Integer-exact
+    micro-units; the oracle reproduces the ENTIRE banding pipeline
+    (shingles, md5 Carter-Wegman minhash family, 16x4 band keys, bucket
+    cap, exact-Jaccard verify) in SQL, so the gate pins the blocking
+    output itself, not just downstream cluster equality."""
+    from .corpus import golden_mentions
+    from .operators.resolve import match_edges_exact, match_edges_lsh
+
+    t = _graph(spark, sf_dir)
+    ents = t.uuid_map.select("group_id", "name", "norm_name", "uuid").distinct()
+    cand_uuid = (
+        match_edges_exact(ents).union(match_edges_lsh(ents)).distinct()
+    )
+    nm = ents.select("uuid", "group_id", "name")
+    cand = (
+        cand_uuid.join(
+            nm.withColumnRenamed("uuid", "src").withColumnRenamed("name", "name_a"),
+            "src",
+        )
+        .join(
+            nm.select(
+                F.col("uuid").alias("dst"), F.col("name").alias("name_b")
+            ),
+            "dst",
+        )
+        .select(
+            "group_id",
+            F.least("name_a", "name_b").alias("na"),
+            F.greatest("name_a", "name_b").alias("nb"),
+        )
+        .distinct()
+    )
+
+    def _truth(batches):
+        for pdf in batches:
+            g = golden_mentions(pdf)
+            yield g[["group_id", "name", "base"]].drop_duplicates()
+
+    tm = (
+        docs_mod.read_documents(spark, sf_dir)
+        .select("doc_id", "source")
+        .mapInPandas(_truth, "group_id string, name string, base string")
+        .distinct()
+    )
+    truth = (
+        tm.alias("a")
+        .join(
+            tm.alias("b"),
+            (F.col("a.group_id") == F.col("b.group_id"))
+            & (F.col("a.base") == F.col("b.base"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.group_id").alias("group_id"),
+            F.col("a.name").alias("na"),
+            F.col("b.name").alias("nb"),
+        )
+        .distinct()
+    )
+
+    n_ents = ents.groupBy("group_id").agg(F.count(F.lit(1)).alias("n_ents"))
+    n_cand = cand.groupBy("group_id").agg(F.count(F.lit(1)).alias("n_cand"))
+    n_true = truth.groupBy("group_id").agg(F.count(F.lit(1)).alias("n_true"))
+    tp = (
+        cand.join(truth, ["group_id", "na", "nb"], "left_semi")
+        .groupBy("group_id")
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    out = (
+        n_ents.join(n_cand, "group_id", "left")
+        .join(n_true, "group_id", "left")
+        .join(tp, "group_id", "left")
+        .na.fill(0, ["n_cand", "n_true", "tp"])
+    )
+    return out.select(
+        "group_id",
+        F.col("n_ents").cast("long").alias("n_ents"),
+        F.col("n_cand").cast("long").alias("n_cand"),
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("tp").cast("long").alias("tp"),
+        F.when(F.col("n_true") > 0,
+               F.expr("(tp * 1000000) div n_true"))
+        .otherwise(F.lit(1000000)).cast("long").alias("recall_u"),
+        F.when(F.col("n_ents") > 1,
+               F.lit(1000000)
+               - F.expr("(n_cand * 2000000) div (n_ents * (n_ents - 1))"))
+        .otherwise(F.lit(1000000)).cast("long").alias("rr_u"),
+    )
+
+
 def _sql_kg_er_metrics() -> str:
     body = """
 , tp_pairs AS (
@@ -3591,6 +3687,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_episode_facts": q_kg_episode_facts,
     "kg_lineage_metrics": q_kg_lineage_metrics,
     "kg_incremental_build": q_kg_incremental_build,
+    "kg_blocking_audit": q_kg_blocking_audit,
     "kg_snapshot_diff": q_kg_snapshot_diff,
     "kg_triple_negatives": q_kg_triple_negatives,
     "kg_nodes": q_kg_nodes,
@@ -3852,6 +3949,128 @@ SELECT c.uuid, c.url, c.chunk_idx,
        coalesce(f.fact_uuids, '') AS fact_uuids
 FROM chunks c LEFT JOIN epf f ON f.episode_uuid = c.uuid"""
     return _kg_sql(body, with_eds=True)
+
+
+def _sql_kg_blocking_audit() -> str:
+    """Full SQL mirror of the name-level blocking stage: engine norm
+    (honorific/suffix strip), deterministic node uuids, exact norm-block
+    star pairs, char-3-gram shingles of '^'||norm||'$', the md5
+    Carter-Wegman minhash family (same _A_NM/_B_NM constants), 16x4 band
+    keys with the 1000-bucket cap, exact-Jaccard >= 3/5 verify, then the
+    blocking metrics vs the generative alias-pair truth."""
+    from .operators.resolve import _A_NM, _B_NM, _MERSENNE31, LSH_ROWS, N_HASHES
+
+    consts = ", ".join(
+        f"({i}, {int(_A_NM[i])}, {int(_B_NM[i])})" for i in range(N_HASHES)
+    )
+    norm = (
+        "coalesce(nullif(regexp_replace(regexp_replace(lower(name),"
+        " '^(professor |dr\\. |dr |mr\\. |ms\\. |mrs\\. )', ''),"
+        " '( (inc|llc|ltd))+$', ''), ''), lower(name))"
+    )
+    ctes = corpus.sql_pages_cte() + "," + corpus.sql_mentions_cte()
+    return (
+        "WITH "
+        + ctes.lstrip()
+        + f""",
+entn AS MATERIALIZED (
+  SELECT group_id, name,
+         md5('node|' || group_id || '|' || name) AS uuid,
+         {norm} AS norm
+  FROM (SELECT DISTINCT group_id, name FROM mentions_g)
+),
+blockmin AS (
+  SELECT group_id, norm, min(uuid) AS muuid, arg_min(name, uuid) AS mname
+  FROM entn GROUP BY 1, 2
+),
+exact_pairs AS (
+  SELECT e.group_id, least(e.name, b.mname) AS na, greatest(e.name, b.mname) AS nb
+  FROM entn e JOIN blockmin b USING (group_id, norm)
+  WHERE e.uuid <> b.muuid
+),
+sh AS MATERIALIZED (
+  SELECT group_id, name, uuid,
+         unnest(list_distinct(list_transform(
+           range(0, greatest(length('^' || norm || '$') - 3, 0) + 1),
+           i -> substr('^' || norm || '$', i + 1, 3)))) AS shingle
+  FROM entn
+),
+hs AS (
+  SELECT group_id, name, uuid,
+         ('0x' || substr(md5(shingle), 1, 8))::BIGINT % {_MERSENNE31} AS h
+  FROM sh
+),
+consts(i, a, b) AS (VALUES {consts}),
+mh AS (
+  SELECT group_id, name, uuid, c.i, min((c.a * h + c.b) % {_MERSENNE31}) AS v
+  FROM hs CROSS JOIN consts c GROUP BY 1, 2, 3, 4
+),
+bands AS (
+  SELECT group_id, name, uuid, i // {LSH_ROWS} AS band,
+         string_agg(CAST(v AS VARCHAR), '|' ORDER BY i) AS bkey
+  FROM mh GROUP BY 1, 2, 3, i // {LSH_ROWS}
+),
+okb AS (
+  SELECT group_id, band, bkey FROM bands GROUP BY 1, 2, 3 HAVING count(*) <= 1000
+),
+b2 AS (SELECT bands.* FROM bands JOIN okb USING (group_id, band, bkey)),
+lsh_cand AS (
+  SELECT DISTINCT l.group_id, l.name AS name_a, r.name AS name_b
+  FROM b2 l JOIN b2 r
+    ON l.group_id = r.group_id AND l.band = r.band AND l.bkey = r.bkey
+   AND l.uuid < r.uuid
+),
+sizes AS (SELECT group_id, name, count(*) AS n_sh FROM sh GROUP BY 1, 2),
+shared AS (
+  SELECT c.group_id, c.name_a, c.name_b, count(*) AS n_shared
+  FROM lsh_cand c
+  JOIN sh sa ON sa.group_id = c.group_id AND sa.name = c.name_a
+  JOIN sh sb ON sb.group_id = c.group_id AND sb.name = c.name_b
+            AND sb.shingle = sa.shingle
+  GROUP BY 1, 2, 3
+),
+lsh_pairs AS (
+  SELECT s.group_id, least(s.name_a, s.name_b) AS na,
+         greatest(s.name_a, s.name_b) AS nb
+  FROM shared s
+  JOIN sizes za ON za.group_id = s.group_id AND za.name = s.name_a
+  JOIN sizes zb ON zb.group_id = s.group_id AND zb.name = s.name_b
+  WHERE s.n_shared * 5 >= 3 * (za.n_sh + zb.n_sh - s.n_shared)
+),
+cand AS (
+  SELECT DISTINCT * FROM (
+    SELECT * FROM exact_pairs UNION ALL SELECT * FROM lsh_pairs)
+),
+tn AS (SELECT DISTINCT group_id, base, name FROM mentions_g),
+truth AS (
+  SELECT DISTINCT a.group_id, a.name AS na, b.name AS nb
+  FROM tn a JOIN tn b
+    ON a.group_id = b.group_id AND a.base = b.base AND a.name < b.name
+),
+m_ents AS (SELECT group_id, count(*) AS n_ents FROM entn GROUP BY 1),
+m_cand AS (SELECT group_id, count(*) AS n_cand FROM cand GROUP BY 1),
+m_true AS (SELECT group_id, count(*) AS n_true FROM truth GROUP BY 1),
+m_tp AS (
+  SELECT c.group_id, count(*) AS tp
+  FROM cand c JOIN truth t USING (group_id, na, nb) GROUP BY 1
+)
+SELECT e.group_id,
+       e.n_ents,
+       coalesce(c.n_cand, 0) AS n_cand,
+       coalesce(t.n_true, 0) AS n_true,
+       coalesce(p.tp, 0) AS tp,
+       CASE WHEN coalesce(t.n_true, 0) > 0
+            THEN (coalesce(p.tp, 0) * 1000000) // t.n_true
+            ELSE 1000000 END AS recall_u,
+       CASE WHEN e.n_ents > 1
+            THEN 1000000 - (coalesce(c.n_cand, 0) * 2000000)
+                           // (e.n_ents * (e.n_ents - 1))
+            ELSE 1000000 END AS rr_u
+FROM m_ents e
+LEFT JOIN m_cand c USING (group_id)
+LEFT JOIN m_true t USING (group_id)
+LEFT JOIN m_tp p USING (group_id)"""
+    )
 
 
 def _sql_kg_lineage_metrics() -> str:
@@ -5739,6 +5958,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_episode_facts": _sql_kg_episode_facts,
     "kg_lineage_metrics": _sql_kg_lineage_metrics,
     "kg_incremental_build": _sql_kg_triples,
+    "kg_blocking_audit": _sql_kg_blocking_audit,
     "kg_snapshot_diff": _sql_kg_snapshot_diff,
     "kg_triple_negatives": _sql_kg_triple_negatives,
     "kg_nodes": _sql_kg_nodes,
