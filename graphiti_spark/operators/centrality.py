@@ -1680,3 +1680,86 @@ def graph_shape_stats(triples: DataFrame) -> DataFrame:
     ).select(
         "group_id", *[F.col(c).cast("long").alias(c) for c in longs]
     )
+
+
+def neighbor_sample(
+    triples: DataFrame,
+    seed_mod: int = 5,
+    fanout: tuple[int, int] = (4, 3),
+) -> DataFrame:
+    """GraphSAGE-style bounded neighbor sampling (Hamilton et al. 2017)
+    — the distributed GNN-minibatch export. Every ~1/seed_mod-th vertex
+    (by hash, so the seed set is a reproducible sample, not a driver
+    list) fans out two hops over the UNDIRECTED canonical graph with
+    per-hop fanouts; the 'random' pick is a per-(seed, frontier,
+    neighbor) md5 rank, so the sampled block is identical on every
+    rerun, on every engine, at any parallelism — resumable minibatch
+    generation at crawl scale.
+
+    Scale: hop expansion is one co-partitioned join of the frontier
+    onto the (group, src)-keyed neighbor index; the per-frontier-node
+    top-k window is bounded by DEGREE of that node only (never a global
+    sort), and output size is seeds * f1 * (1 + f2) by construction —
+    the sampler, not the graph, bounds the work."""
+    f1, f2 = fanout
+    und = (
+        triples.select(
+            "group_id", F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        .union(
+            triples.select(
+                "group_id", F.col("obj").alias("src"), F.col("subj").alias("dst")
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = lambda e: f"cast(conv(substr(md5({e}), 1, 15), 16, 10) as bigint)"  # noqa: E731
+    seeds = (
+        und.select("group_id", F.col("src").alias("seed"))
+        .distinct()
+        .where(
+            F.expr(h("concat('seed|', group_id, '|', seed)")) % seed_mod == 0
+        )
+    )
+    w1 = Window.partitionBy("group_id", "seed").orderBy("r", "dst")
+    hop1 = (
+        seeds.join(und.withColumnRenamed("src", "seed"), ["group_id", "seed"])
+        .withColumn(
+            "r", F.expr(h("concat('h1|', group_id, '|', seed, '|', dst)"))
+        )
+        .withColumn("pos", F.row_number().over(w1))
+        .where(F.col("pos") <= f1)
+    )
+    w2 = Window.partitionBy("group_id", "seed", "src").orderBy("r", "dst")
+    hop2 = (
+        hop1.select("group_id", "seed", F.col("dst").alias("src"))
+        .join(und, ["group_id", "src"])
+        .where(F.col("dst") != F.col("seed"))
+        .withColumn(
+            "r",
+            F.expr(h("concat('h2|', group_id, '|', seed, '|', src, '|', dst)")),
+        )
+        .withColumn("pos", F.row_number().over(w2))
+        .where(F.col("pos") <= f2)
+    )
+    cols = [
+        "group_id",
+        "seed",
+        F.col("hop").cast("long").alias("hop"),
+        "src",
+        "dst",
+        F.col("pos").cast("long").alias("pos"),
+    ]
+    return (
+        hop1.select(
+            "group_id", "seed", F.lit(1).alias("hop"),
+            F.col("seed").alias("src"), "dst", "pos",
+        ).select(*cols)
+        .unionByName(
+            hop2.select(
+                "group_id", "seed", F.lit(2).alias("hop"), "src", "dst", "pos"
+            ).select(*cols)
+        )
+    )

@@ -1759,6 +1759,131 @@ def _sql_doc_minhash_dedup() -> str:
     return sql_minhash_pairs(_NEAR_DUP_SQL, threshold=0.5)
 
 
+def q_doc_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-estimator calibration audit: for every LSH candidate pair,
+    the MinHash Jaccard ESTIMATE (matching signature positions / 64, the
+    unbiased estimator the banding implicitly relies on) next to the
+    EXACT shingle Jaccard, plus the signed error — all integer
+    micro-units. This is the 'measure, don't guess' leg of the dedup
+    stack: it quantifies how far the 64-hash sketch drifts from truth on
+    the pairs the pipeline actually adjudicates. One signature join on
+    the candidate list (signatures are 64 longs/doc), one skinny shingle
+    join for truth — never all-pairs."""
+    from .operators.dedup import (
+        N_HASHES,
+        doc_shingle_rows,
+        minhash_candidates,
+        minhash_signatures,
+    )
+
+    docs = _docs_with_near_dups(spark, sf_dir)
+    cands = minhash_candidates(docs)
+    arr = minhash_signatures(docs).select(
+        "doc_id",
+        F.array(*[F.col(f"mh{i}") for i in range(N_HASHES)]).alias("sig"),
+    )
+    est = (
+        cands.join(
+            arr.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            arr.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")),
+            "doc_b",
+        )
+        .withColumn(
+            "matches",
+            F.expr(
+                "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1L, 0L)),"
+                " 0L, (s, x) -> s + x)"
+            ),
+        )
+        .select("doc_a", "doc_b", "matches")
+    )
+    sh = doc_shingle_rows(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    shared = (
+        cands.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        est.join(shared, ["doc_a", "doc_b"], "left")
+        .na.fill(0, ["shared"])
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_sh").alias("nb")), "doc_b")
+        .select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+            F.expr(f"(matches * 1000000) div {N_HASHES}").cast("long").alias("est_u"),
+            F.expr("(shared * 1000000) div (na + nb - shared)")
+            .cast("long").alias("jac_u"),
+            (F.expr(f"(matches * 1000000) div {N_HASHES}")
+             - F.expr("(shared * 1000000) div (na + nb - shared)"))
+            .cast("long").alias("err_u"),
+        )
+    )
+
+
+def _sql_doc_minhash_calibration() -> str:
+    from .operators.dedup import _A, _B, _P, LSH_ROWS, N_HASHES
+    from .operators.dedup import sql_shingles_cte
+
+    consts = ", ".join(
+        f"({i}, {int(_A[i])}, {int(_B[i])})" for i in range(N_HASHES)
+    )
+    return f"""
+WITH {sql_shingles_cte(_NEAR_DUP_SQL).lstrip()},
+hs AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh
+),
+consts(i, a, b) AS (VALUES {consts}),
+mh AS (
+  SELECT doc_id, c.i, min((c.a * (h % {_P}) + c.b) % {_P}) AS v
+  FROM hs CROSS JOIN consts c GROUP BY 1, 2
+),
+bands AS (
+  SELECT doc_id, i // {LSH_ROWS} AS band,
+         string_agg(CAST(v AS VARCHAR), '|' ORDER BY i) AS bkey
+  FROM mh GROUP BY 1, 2
+),
+ok AS (SELECT band, bkey FROM bands GROUP BY 1, 2 HAVING count(*) <= 1000),
+b2 AS (SELECT bands.* FROM bands JOIN ok USING (band, bkey)),
+cands AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM b2 l JOIN b2 r ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+),
+m AS (
+  SELECT c.doc_a, c.doc_b,
+         sum(CASE WHEN ma.v = mb.v THEN 1 ELSE 0 END) AS matches
+  FROM cands c
+  JOIN mh ma ON ma.doc_id = c.doc_a
+  JOIN mh mb ON mb.doc_id = c.doc_b AND mb.i = ma.i
+  GROUP BY 1, 2
+),
+shr AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS shared
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT m.doc_a, m.doc_b,
+       CAST((m.matches * 1000000) // {N_HASHES} AS BIGINT) AS est_u,
+       CAST((coalesce(s.shared, 0) * 1000000)
+         // (za.n_sh + zb.n_sh - coalesce(s.shared, 0)) AS BIGINT) AS jac_u,
+       CAST((m.matches * 1000000) // {N_HASHES}
+         - (coalesce(s.shared, 0) * 1000000)
+           // (za.n_sh + zb.n_sh - coalesce(s.shared, 0)) AS BIGINT) AS err_u
+FROM m
+LEFT JOIN shr s ON s.doc_a = m.doc_a AND s.doc_b = m.doc_b
+JOIN sizes za ON za.doc_id = m.doc_a
+JOIN sizes zb ON zb.doc_id = m.doc_b"""
+
+
 PFX_TAU_NUM, PFX_TAU_DEN = 4, 5
 
 
@@ -2640,6 +2765,88 @@ def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.centrality import random_walks
 
     return random_walks(q_kg_triples(spark, sf_dir), length=WALK_LEN)
+
+
+def q_kg_temporal_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting 2-hop paths (temporal reachability): compositions
+    a -pred1-> b -pred2-> c where the second fact became valid at or
+    after the first (valid_at2 >= valid_at1) and a != c — the causal-
+    chain export of the dated fact graph (what temporal link-prediction
+    and event-ordering models train on; kg_metapaths counts schema
+    compositions, this materializes the temporally ADMISSIBLE instances).
+    One self-join on the (group, mid) key, partial-agg-free, pair output
+    bounded by in-deg x out-deg of the mid vertex."""
+    t = q_kg_triples(spark, sf_dir)
+    a = t.select(
+        "group_id", F.col("subj").alias("src"), F.col("pred").alias("pred1"),
+        F.col("obj").alias("mid"), F.col("valid_at").alias("t1"),
+    )
+    b = t.select(
+        "group_id", F.col("subj").alias("mid"), F.col("pred").alias("pred2"),
+        F.col("obj").alias("dst"), F.col("valid_at").alias("t2"),
+    )
+    return (
+        a.join(b, ["group_id", "mid"])
+        .where((F.col("t2") >= F.col("t1")) & (F.col("src") != F.col("dst")))
+        .select("group_id", "src", "pred1", "mid", "pred2", "dst", "t1", "t2")
+    )
+
+
+def _sql_kg_temporal_paths() -> str:
+    body = """
+SELECT a.group_id, a.subj AS src, a.pred AS pred1, a.obj AS mid,
+       b.pred AS pred2, b.obj AS dst, a.valid_at AS t1, b.valid_at AS t2
+FROM eds a
+JOIN eds b ON b.group_id = a.group_id AND b.subj = a.obj
+          AND b.valid_at >= a.valid_at AND b.obj <> a.subj"""
+    return _kg_sql(body, with_eds=True)
+
+
+def q_kg_neighbor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphSAGE-style 2-hop neighbor sampling (fanout 4,3) over the
+    undirected canonical graph — the distributed, deterministic GNN
+    minibatch export (operators/centrality.neighbor_sample)."""
+    from .operators.centrality import neighbor_sample
+
+    return neighbor_sample(q_kg_triples(spark, sf_dir))
+
+
+def _sql_kg_neighbor_sample() -> str:
+    u = lambda e: f"('0x' || substr(md5({e}), 1, 15))::UBIGINT"  # noqa: E731
+    body = f"""
+, und AS (
+  SELECT DISTINCT group_id, src, dst FROM (
+    SELECT group_id, subj AS src, obj AS dst FROM eds
+    UNION ALL
+    SELECT group_id, obj AS src, subj AS dst FROM eds
+  ) WHERE src <> dst
+),
+seeds AS (
+  SELECT DISTINCT group_id, src AS seed FROM und
+  WHERE {u("'seed|' || group_id || '|' || src")} % 5 = 0
+),
+h1 AS (
+  SELECT u.group_id, s.seed, u.dst,
+         ROW_NUMBER() OVER (PARTITION BY u.group_id, s.seed
+           ORDER BY {u("'h1|' || u.group_id || '|' || s.seed || '|' || u.dst")}, u.dst) AS pos
+  FROM seeds s JOIN und u ON u.group_id = s.group_id AND u.src = s.seed
+),
+h1k AS (SELECT * FROM h1 WHERE pos <= 4),
+h2 AS (
+  SELECT u.group_id, h.seed, u.src, u.dst,
+         ROW_NUMBER() OVER (PARTITION BY u.group_id, h.seed, u.src
+           ORDER BY {u("'h2|' || u.group_id || '|' || h.seed || '|' || u.src || '|' || u.dst")}, u.dst) AS pos
+  FROM h1k h JOIN und u ON u.group_id = h.group_id AND u.src = h.dst
+  WHERE u.dst <> h.seed
+),
+h2k AS (SELECT * FROM h2 WHERE pos <= 3)
+SELECT group_id, seed, CAST(1 AS BIGINT) AS hop, seed AS src, dst,
+       CAST(pos AS BIGINT) AS pos
+FROM h1k
+UNION ALL
+SELECT group_id, seed, CAST(2 AS BIGINT), src, dst, CAST(pos AS BIGINT)
+FROM h2k"""
+    return _kg_sql(body, with_eds=True)
 
 
 WALK_WINDOW = 2
@@ -3677,6 +3884,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_mentions_page": q_kg_mentions_page,
     "kg_communities_page": q_kg_communities_page,
     "doc_minhash_dedup": q_doc_minhash_dedup,
+    "doc_minhash_calibration": q_doc_minhash_calibration,
     "doc_prefix_join": q_doc_prefix_join,
     "doc_dup_clusters": q_doc_dup_clusters,
     "doc_simhash_pairs": q_doc_simhash_pairs,
@@ -3759,6 +3967,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_entity_cards": q_kg_entity_cards,
     "kg_cooccurrence": q_kg_cooccurrence,
     "kg_random_walks": q_kg_random_walks,
+    "kg_neighbor_sample": q_kg_neighbor_sample,
+    "kg_temporal_paths": q_kg_temporal_paths,
     "kg_node2vec": q_kg_node2vec,
     "kg_hits": q_kg_hits,
     "kg_shortest_paths": q_kg_shortest_paths,
@@ -5948,6 +6158,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_mentions_page": _sql_kg_mentions_page,
     "kg_communities_page": _sql_kg_communities_page,
     "doc_minhash_dedup": _sql_doc_minhash_dedup,
+    "doc_minhash_calibration": _sql_doc_minhash_calibration,
     "doc_prefix_join": _sql_doc_prefix_join,
     "doc_dup_clusters": _sql_doc_dup_clusters,
     "doc_simhash_pairs": _sql_doc_simhash_pairs,
@@ -6025,6 +6236,8 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_entity_cards": _sql_kg_entity_cards,
     "kg_cooccurrence": _sql_kg_cooccurrence,
     "kg_random_walks": _sql_kg_random_walks,
+    "kg_neighbor_sample": _sql_kg_neighbor_sample,
+    "kg_temporal_paths": _sql_kg_temporal_paths,
     "kg_node2vec": _sql_kg_node2vec,
     "kg_hits": _sql_kg_hits,
     "kg_shortest_paths": _sql_kg_shortest_paths,
