@@ -93,3 +93,54 @@ def staged_to_graph(spark: SparkSession, out_dir: str):
     )
     mention_edges = build_mention_edges(mentions_raw, uuid_map)
     return nodes, edges, mention_edges
+
+
+class IncrementalMaintainer:
+    """foreachBatch sink that folds every micro-batch of pages into a
+    STANDING graph via plans/incremental.merge_batch — continuous KG
+    maintenance, the streaming twin of graphiti's add_episode loop.
+    Unlike process_batch + staged_to_graph (stage now, compact later),
+    the maintained graph is query-ready after every trigger, and each
+    trigger does only delta work: contracted-CC entity resolution over
+    the batch's new names and touched-pair edge recompaction
+    (plans/incremental.py). In-session the state tables are checkpointed
+    DataFrames; at scale they are Iceberg tables and the fold's commits
+    become MERGE INTO / overwrite-partition commits. Micro-batch ORDER
+    does not matter for the final graph — every merge is a fold toward
+    the same one-shot batch result (pinned by the equality tests), so
+    redelivery and reordering are safe."""
+
+    def __init__(self, lsh_threshold: float = 0.6):
+        self.state = None
+        self.lsh_threshold = lsh_threshold
+
+    def __call__(self, batch_df: DataFrame, _epoch_id: int) -> None:
+        from ..plans import incremental
+
+        if batch_df.isEmpty():
+            return
+        if self.state is None:
+            self.state = incremental.initial_state(
+                batch_df, lsh_threshold=self.lsh_threshold
+            )
+        else:
+            self.state = incremental.merge_batch(
+                self.state, batch_df, lsh_threshold=self.lsh_threshold
+            )
+
+
+def run_incremental(
+    spark: SparkSession, pages_dir: str, checkpoint_dir: str
+):
+    """Start the continuously-maintained-graph stream (availableNow:
+    drain pending files, one merge per file, then stop). Returns
+    (query, maintainer) — maintainer.state is the live graph."""
+    m = IncrementalMaintainer()
+    q = (
+        stream_pages(spark, pages_dir)
+        .writeStream.foreachBatch(m)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, m
