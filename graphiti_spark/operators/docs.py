@@ -1531,3 +1531,65 @@ def cluster_topics(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def source_drift(docs: DataFrame, vocab_k: int = 200) -> DataFrame:
+    """Per-source distribution-shift audit: a chi-square-style drift
+    score of each source's unigram distribution against the global
+    corpus distribution over the top-`vocab_k` global terms — the
+    mixture-QA gate a training-data pipeline runs before/after adding a
+    new crawl or domain slice (detects a source whose token mix diverges
+    from the corpus it is being blended into).
+
+    Exact integer form (oracle-matchable): per term, both distributions
+    quantize to micro-probabilities (p_u = count*1e6 div total), and the
+    per-term contribution is (po_u - pg_u)^2 div pg_u, summed per
+    source. Magnitudes stay < 1e12 by construction, so the arithmetic
+    never leaves BIGINT on either engine.
+
+    Scale: token counts collapse to (source, term) with map-side
+    partials BEFORE any join; the vocab is a bounded global top-k
+    (TakeOrderedAndProject, never a full sort) and joins broadcast-size;
+    per-source totals are one more hash agg. Nothing is corpus-scaled
+    after the first aggregation."""
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{WORD}', 0)")
+        ).alias("tok"),
+    )
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("o"))
+    gt = st.groupBy("tok").agg(F.sum("o").alias("g"))
+    vocab = gt.orderBy(F.desc("g"), F.asc("tok")).limit(vocab_k)
+    g_total = vocab.agg(F.sum("g").alias("gt"))  # one-row scalar
+    s_tot = (
+        st.join(vocab.select("tok"), "tok", "left_semi")
+        .groupBy("source")
+        .agg(F.sum("o").alias("s_total"))
+    )
+    per_term = (
+        s_tot.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(g_total))
+        .join(st, ["source", "tok"], "left")
+        .na.fill(0, ["o"])
+        .withColumn("po_u", F.expr("(o * 1000000) div s_total"))
+        .withColumn("pg_u", F.expr("(g * 1000000) div gt"))
+        .withColumn(
+            "contrib",
+            F.expr("((po_u - pg_u) * (po_u - pg_u)) div greatest(pg_u, 1)"),
+        )
+    )
+    return (
+        per_term.groupBy("source")
+        .agg(
+            F.max("s_total").alias("n_tokens"),
+            F.sum("contrib").alias("drift_u"),
+            F.count(F.when(F.col("o") == 0, 1)).alias("n_missing"),
+        )
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("drift_u").cast("long").alias("drift_u"),
+            F.col("n_missing").cast("long").alias("n_missing"),
+        )
+    )

@@ -2179,6 +2179,46 @@ def q_doc_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram distribution-shift audit vs the global corpus
+    (operators/docs.source_drift): chi-square-style drift score over the
+    top-200 global terms, exact integer micro-probabilities."""
+    return docs_mod.source_drift(docs.read_documents(spark, sf_dir))
+
+
+def _sql_doc_source_drift() -> str:
+    return """
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+st AS (SELECT source, tok, count(*) AS o FROM toks GROUP BY 1, 2),
+gt AS (SELECT tok, sum(o) AS g FROM st GROUP BY 1),
+vocab AS (SELECT tok, g FROM gt ORDER BY g DESC, tok ASC LIMIT 200),
+gtot AS (SELECT sum(g) AS gt FROM vocab),
+stot AS (
+  SELECT s.source, sum(s.o) AS s_total
+  FROM st s JOIN vocab v ON v.tok = s.tok GROUP BY 1
+),
+per AS (
+  SELECT t.source, t.s_total, v.g, g2.gt, coalesce(s.o, 0) AS o
+  FROM stot t CROSS JOIN vocab v CROSS JOIN gtot g2
+  LEFT JOIN st s ON s.source = t.source AND s.tok = v.tok
+),
+x AS (
+  SELECT source, s_total, o,
+         (o * 1000000) // s_total AS po_u,
+         (g * 1000000) // gt AS pg_u
+  FROM per
+)
+SELECT source,
+       CAST(max(s_total) AS BIGINT) AS n_tokens,
+       CAST(sum(((po_u - pg_u) * (po_u - pg_u)) // greatest(pg_u, 1)) AS BIGINT)
+         AS drift_u,
+       CAST(count(CASE WHEN o = 0 THEN 1 END) AS BIGINT) AS n_missing
+FROM x GROUP BY 1"""
+
+
 def q_doc_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-10-gram exact-substring duplication per document (Lee et al.
     2022 fixed-window form)."""
@@ -3945,6 +3985,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_tfidf_terms": q_doc_tfidf_terms,
     "doc_cluster_topics": q_doc_cluster_topics,
     "doc_substring_dup": q_doc_substring_dup,
+    "doc_source_drift": q_doc_source_drift,
     "doc_decontaminate": q_doc_decontaminate,
     "doc_clusters": q_doc_clusters,
     "doc_pack": q_doc_pack,
@@ -6214,6 +6255,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "doc_tfidf_terms": _sql_doc_tfidf_terms,
     "doc_cluster_topics": _sql_doc_cluster_topics,
     "doc_substring_dup": _sql_doc_substring_dup,
+    "doc_source_drift": _sql_doc_source_drift,
     "doc_decontaminate": _sql_doc_decontaminate,
     "doc_clusters": _sql_doc_clusters,
     "doc_pack": _sql_doc_pack,
