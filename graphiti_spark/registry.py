@@ -940,6 +940,44 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit, oracle-visible: per-query recall@k of the IVF
+    path against the exact brute-force top-k (the number every ANN
+    deployment must publish before trading exactness for cell pruning).
+    pytest pins recall >= 0.8 in aggregate; this emits the per-query
+    numbers under the exact gate."""
+    ex = q_ann_topk(spark, sf_dir).select("q_id", "c_id")
+    iv = q_ann_ivf_topk(spark, sf_dir).select("q_id", "c_id")
+    k = ex.groupBy("q_id").agg(F.count(F.lit(1)).alias("k"))
+    hits = (
+        ex.join(iv, ["q_id", "c_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        k.join(hits, "q_id", "left")
+        .na.fill(0, ["n_hit"])
+        .select(
+            "q_id",
+            F.col("k").cast("long").alias("k"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.expr("(n_hit * 1000000) div k").cast("long").alias("recall_u"),
+        )
+    )
+
+
+def _sql_ann_ivf_recall() -> str:
+    return f"""
+SELECT ex.q_id,
+       CAST(count(*) AS BIGINT) AS k,
+       CAST(count(iv.c_id) AS BIGINT) AS n_hit,
+       CAST((count(iv.c_id) * 1000000) // count(*) AS BIGINT) AS recall_u
+FROM ({_sql_ann_topk()}) ex
+LEFT JOIN ({_sql_ann_ivf_topk()}) iv
+  ON iv.q_id = ex.q_id AND iv.c_id = ex.c_id
+GROUP BY ex.q_id"""
+
+
 PQ_M, PQ_CODES, PQ_ITERS, PQ_K = 16, 32, 2, 5
 EMB_DIM = 64
 
@@ -2807,6 +2845,101 @@ def q_kg_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(q_kg_triples(spark, sf_dir), length=WALK_LEN)
 
 
+def q_kg_fact_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knowledge-fusion support stats per canonical edge (the
+    believability inputs of Dong et al.'s knowledge fusion: how many
+    independent observations, episodes, source pages, and how wide a
+    time spread back this fact): n_obs raw observations, n_episodes
+    distinct episodes, n_urls distinct source pages, span_days between
+    first and last observation. Same dedup key and donor rule as
+    materialize_edges, so rows are 1:1 with kg_triples edges. One
+    groupBy on the class-aggregated key after a skinny episode-url
+    join — no new shuffle shape beyond the build itself."""
+    from .ontology import DEFAULT
+    from .operators.materialize import resolve_edge_pointers
+
+    t = _graph(spark, sf_dir)
+    raw = resolve_edge_pointers(t.triples_raw, t.uuid_map)
+    raw = raw.join(
+        t.episodes.select(F.col("uuid").alias("episode_uuid"), "url"),
+        "episode_uuid",
+    )
+    raw = raw.withColumn(
+        "raw_uuid",
+        F.md5(F.concat_ws("|", F.lit("edge"), "episode_uuid", "sent_idx")),
+    ).withColumn(
+        "_vkey",
+        F.concat(
+            F.coalesce(
+                F.date_format("valid_at", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                F.lit("9999"),
+            ),
+            F.col("raw_uuid"),
+        ),
+    )
+    keyed = raw.groupBy(
+        "group_id",
+        "source_node_uuid",
+        "target_node_uuid",
+        F.expr(DEFAULT.synonym_class_sql("pred")).alias("_class"),
+    ).agg(
+        F.min_by("pred", F.col("_vkey")).alias("pred"),
+        F.count(F.lit(1)).alias("n_obs"),
+        F.countDistinct("episode_uuid").alias("n_episodes"),
+        F.countDistinct("url").alias("n_urls"),
+        F.datediff(
+            F.max("valid_at").cast("date"), F.min("valid_at").cast("date")
+        ).alias("span_days"),
+    )
+    n = t.nodes.select(F.col("uuid").alias("nu"), F.col("name").alias("nn"))
+    return (
+        keyed.join(
+            n.withColumnRenamed("nu", "source_node_uuid")
+            .withColumnRenamed("nn", "subj"),
+            "source_node_uuid",
+        )
+        .join(
+            n.withColumnRenamed("nu", "target_node_uuid")
+            .withColumnRenamed("nn", "obj"),
+            "target_node_uuid",
+        )
+        .select(
+            "group_id", "subj", "pred", "obj",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            F.col("n_episodes").cast("long").alias("n_episodes"),
+            F.col("n_urls").cast("long").alias("n_urls"),
+            F.col("span_days").cast("long").alias("span_days"),
+        )
+    )
+
+
+def _sql_kg_fact_confidence() -> str:
+    body = """
+, rawx AS (
+  SELECT t.group_id, cs.canon_name AS subj, t.pred, co.canon_name AS obj,
+         t.valid_at, t.url,
+         md5(t.url || '|' || t.para_idx) AS episode_uuid,
+         md5('edge|' || md5(t.url || '|' || t.para_idx) || '|' || t.sent_idx)
+           AS raw_uuid
+  FROM triples_g t
+  JOIN canon cs ON cs.group_id = t.group_id AND cs.base = t.subj_base
+  JOIN canon co ON co.group_id = t.group_id AND co.base = t.obj_base
+)
+SELECT group_id, subj,
+       arg_min(pred, strftime(valid_at, '%Y-%m-%d %H:%M:%S.%f') || raw_uuid)
+         AS pred,
+       obj,
+       count(*) AS n_obs,
+       count(DISTINCT episode_uuid) AS n_episodes,
+       count(DISTINCT url) AS n_urls,
+       CAST(date_diff('day', min(valid_at)::DATE, max(valid_at)::DATE)
+            AS BIGINT) AS span_days
+FROM rawx
+GROUP BY group_id, subj,
+         (CASE pred WHEN 'EMPLOYED_AT' THEN 'WORKS_AT' ELSE pred END), obj"""
+    return _kg_sql(body)
+
+
 def q_kg_temporal_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-respecting 2-hop paths (temporal reachability): compositions
     a -pred1-> b -pred2-> c where the second fact became valid at or
@@ -3972,6 +4105,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_ngram_pairs": q_doc_ngram_pairs,
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_recall": q_ann_ivf_recall,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "doc_hll_distinct": q_doc_hll_distinct,
@@ -4010,6 +4144,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_random_walks": q_kg_random_walks,
     "kg_neighbor_sample": q_kg_neighbor_sample,
     "kg_temporal_paths": q_kg_temporal_paths,
+    "kg_fact_confidence": q_kg_fact_confidence,
     "kg_node2vec": q_kg_node2vec,
     "kg_hits": q_kg_hits,
     "kg_shortest_paths": q_kg_shortest_paths,
@@ -6242,6 +6377,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "doc_ngram_pairs": _sql_doc_ngram_pairs,
     "ann_topk": _sql_ann_topk,
     "ann_ivf_topk": _sql_ann_ivf_topk,
+    "ann_ivf_recall": _sql_ann_ivf_recall,
     "ann_pq_topk": _sql_ann_pq_topk,
     "ann_ivfpq_topk": _sql_ann_ivfpq_topk,
     "doc_hll_distinct": _sql_doc_hll_distinct,
@@ -6280,6 +6416,7 @@ ORACLES: dict[str, Callable[[], str]] = {
     "kg_random_walks": _sql_kg_random_walks,
     "kg_neighbor_sample": _sql_kg_neighbor_sample,
     "kg_temporal_paths": _sql_kg_temporal_paths,
+    "kg_fact_confidence": _sql_kg_fact_confidence,
     "kg_node2vec": _sql_kg_node2vec,
     "kg_hits": _sql_kg_hits,
     "kg_shortest_paths": _sql_kg_shortest_paths,
