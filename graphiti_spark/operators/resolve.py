@@ -197,30 +197,7 @@ def match_edges_lsh(
     against the full band table, instead of the full self-join. This is
     the incremental-merge path (plans/incremental.py): the full band
     table is standing state, the probe side is O(new batch)."""
-    thr = float(threshold)
-    sig = lambda i: (  # noqa: E731
-        f"array_min(transform(_sh, s -> ({int(_A_NM[i])} * ({_H32.format(x='s')})"
-        f" + {int(_B_NM[i])}) % {_MERSENNE31}))"
-    )
-    band_structs = ", ".join(
-        "struct({b} as band, concat_ws('|', {cols}) as bkey)".format(
-            b=b,
-            cols=", ".join(sig(b * LSH_ROWS + r) for r in range(LSH_ROWS)),
-        )
-        for b in range(LSH_BANDS)
-    )
-    bands = (
-        entities.select("uuid", "group_id", "norm_name")
-        .withColumn("_sh", F.expr(_SHINGLE_ARR))
-        .select(
-            "uuid",
-            "group_id",
-            "_sh",
-            F.explode(F.expr(f"array({band_structs})")).alias("x"),
-        )
-        .select("uuid", "group_id", "_sh", F.col("x.band").alias("band"),
-                F.col("x.bkey").alias("bkey"))
-    )
+    bands = lsh_band_rows(entities)
     ok = (
         bands.groupBy("group_id", "band", "bkey")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -235,10 +212,56 @@ def match_edges_lsh(
             "uuid",
             "left_semi",
         )
-    a, b = left.alias("a"), bands.alias("b")
+    return lsh_verify_pairs(
+        left, bands, threshold=threshold, symmetric=probe is None
+    )
+
+
+def lsh_band_rows(entities: DataFrame) -> DataFrame:
+    """(uuid, group_id, _sh, band, bkey) — the LSH index rows of the
+    distinct-entity table. In the incremental merge this table is
+    STANDING STATE (persisted, appended per batch); here it is also the
+    internal front of match_edges_lsh."""
+    sig = lambda i: (  # noqa: E731
+        f"array_min(transform(_sh, s -> ({int(_A_NM[i])} * ({_H32.format(x='s')})"
+        f" + {int(_B_NM[i])}) % {_MERSENNE31}))"
+    )
+    band_structs = ", ".join(
+        "struct({b} as band, concat_ws('|', {cols}) as bkey)".format(
+            b=b,
+            cols=", ".join(sig(b * LSH_ROWS + r) for r in range(LSH_ROWS)),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return (
+        entities.select("uuid", "group_id", "norm_name")
+        .withColumn("_sh", F.expr(_SHINGLE_ARR))
+        .select(
+            "uuid",
+            "group_id",
+            "_sh",
+            F.explode(F.expr(f"array({band_structs})")).alias("x"),
+        )
+        .select("uuid", "group_id", "_sh", F.col("x.band").alias("band"),
+                F.col("x.bkey").alias("bkey"))
+    )
+
+
+def lsh_verify_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float = 0.6,
+    symmetric: bool = True,
+) -> DataFrame:
+    """Band-bucket join + exact-Jaccard verify over two band-row frames
+    (lsh_band_rows shape). symmetric=True: left IS right, dedup via
+    uuid <; symmetric=False: left is a probe subset, use != and
+    normalize with least/greatest."""
+    thr = float(threshold)
+    a, b = left.alias("a"), right.alias("b")
     pair_cond = (
         F.col("a.uuid") < F.col("b.uuid")
-        if probe is None
+        if symmetric
         else F.col("a.uuid") != F.col("b.uuid")
     )
     return (

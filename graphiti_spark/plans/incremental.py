@@ -52,9 +52,12 @@ from ..operators.materialize import (
 from ..operators.resolve import (
     connected_components,
     distinct_entities,
+    lsh_band_rows,
+    lsh_verify_pairs,
     match_edges_exact,
-    match_edges_lsh,
 )
+
+LSH_MAX_BUCKET = 1000  # same boilerplate-guard cap as match_edges_lsh
 
 
 @dataclass
@@ -63,6 +66,8 @@ class GraphState:
     canon: DataFrame  # (uuid, canon_uuid) assignment
     raw: DataFrame  # resolved raw triple log under current canon
     edges: DataFrame  # final canonical edge table (invalidated)
+    bands: DataFrame  # standing LSH index rows (lsh_band_rows shape)
+    bucket_n: DataFrame  # (group_id, band, bkey, n) bucket populations
 
     def names(self) -> DataFrame:
         """Canonical display name per canon uuid: shortest, then
@@ -92,15 +97,31 @@ def _uuid_map(ents: DataFrame, canon: DataFrame) -> DataFrame:
 _PAIR = ["group_id", "source_node_uuid", "target_node_uuid"]
 
 
+_BKT = ["group_id", "band", "bkey"]
+
+
+def _capped(bands: DataFrame, bucket_n: DataFrame) -> DataFrame:
+    ok = bucket_n.where(F.col("n") <= LSH_MAX_BUCKET).select(*_BKT)
+    return bands.join(ok, _BKT)
+
+
 def initial_state(pages: DataFrame, lsh_threshold: float = 0.6) -> GraphState:
     """Bootstrap: the plain batch pipeline, but keeping the skinny state
-    tables the incremental merges fold into."""
+    tables the incremental merges fold into — including the LSH band
+    index and its bucket-population counts, so later merges never
+    re-block the standing universe."""
     triples_raw, mentions = _extract_batch(pages)
     ents = distinct_entities(mentions).select(
         "group_id", "name", "norm_name", "uuid"
     )
+    bands = lsh_band_rows(ents).localCheckpoint(eager=True)
+    bucket_n = (
+        bands.groupBy(*_BKT).agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    capped = _capped(bands, bucket_n)
     star = match_edges_exact(ents).union(
-        match_edges_lsh(ents, threshold=lsh_threshold)
+        lsh_verify_pairs(capped, capped, threshold=lsh_threshold)
     )
     comp = connected_components(star, ents.select(F.col("uuid").alias("id")))
     canon = (
@@ -112,7 +133,8 @@ def initial_state(pages: DataFrame, lsh_threshold: float = 0.6) -> GraphState:
     edges = invalidate_edges(materialize_edges(raw)).localCheckpoint(eager=True)
     return GraphState(ents=ents.localCheckpoint(eager=True),
                       canon=canon.localCheckpoint(eager=True),
-                      raw=raw, edges=edges)
+                      raw=raw, edges=edges,
+                      bands=bands, bucket_n=bucket_n)
 
 
 def merge_batch(
@@ -141,8 +163,26 @@ def merge_batch(
         .agg(F.min(F.col("p.uuid")).alias("dst"))
     )
     exact_intra = match_edges_exact(new_ents)
-    lsh_delta = match_edges_lsh(
-        ents_all, threshold=lsh_threshold, probe=new_ents.select("uuid")
+    # LSH delta: band ONLY the new entities, fold their counts into the
+    # standing bucket populations, and probe-join new bands against the
+    # full (standing + new) index — the cap is enforced by excluding
+    # over-populated buckets from the PROBE side, which suppresses every
+    # pair from that bucket exactly like the batch path's bucket drop.
+    new_bands = lsh_band_rows(new_ents).localCheckpoint(eager=True)
+    bucket_n = (
+        state.bucket_n.unionByName(
+            new_bands.groupBy(*_BKT).agg(F.count(F.lit(1)).alias("n"))
+        )
+        .groupBy(*_BKT)
+        .agg(F.sum("n").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    bands_all = state.bands.unionByName(new_bands)
+    lsh_delta = lsh_verify_pairs(
+        _capped(new_bands, bucket_n),
+        bands_all,
+        threshold=lsh_threshold,
+        symmetric=False,
     )
     delta_edges = exact_join.union(exact_intra).union(lsh_delta)
 
@@ -249,6 +289,8 @@ def merge_batch(
         canon=canon_all,
         raw=raw_all,
         edges=edges,
+        bands=bands_all.localCheckpoint(eager=True),
+        bucket_n=bucket_n,
     )
 
 

@@ -38,7 +38,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-STATE_TABLES = ("ents", "canon", "raw", "edges")
+STATE_TABLES = ("ents", "canon", "raw", "edges", "bands", "bucket_n")
 
 
 def load_state(spark, root: str):
