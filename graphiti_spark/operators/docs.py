@@ -1593,3 +1593,40 @@ def source_drift(docs: DataFrame, vocab_k: int = 200) -> DataFrame:
             F.col("n_missing").cast("long").alias("n_missing"),
         )
     )
+
+
+def c4_page_filters(cleaned_pages: DataFrame) -> DataFrame:
+    """C4-style curation sweep (Raffel et al. 2020, §2.2) over cleaned
+    pages, paragraph == C4 "line":
+
+    - a line is KEPT iff it ends in terminal punctuation AND has >= 5
+      words (the two C4 line rules);
+    - a page is KEPT iff it has >= 3 surviving lines, >= 5 sentence
+      terminators overall, and no '{' (C4 drops pages with code braces).
+
+    One whole-stage-codegen projection per page — split + higher-order
+    filter, no shuffle, no Python — so the sweep reads the crawl once
+    and scales linearly. Counters are emitted (not just the boolean) so
+    the curation dashboard can see WHY a page died.
+    """
+    kept = (
+        "size(filter(split(text_clean, '\\n\\n'),"
+        " x -> x rlike '[.!?\"]$' AND size(split(x, ' ')) >= 5))"
+    )
+    return cleaned_pages.select(
+        "url",
+        "group_id",
+        F.expr("size(split(text_clean, '\\n\\n'))").cast("long").alias("n_lines"),
+        F.expr(kept).cast("long").alias("n_kept_lines"),
+        F.length(F.regexp_replace("text_clean", "[^.!?]", ""))
+        .cast("long")
+        .alias("n_sentences"),
+        F.col("text_clean").contains("{").cast("int").alias("has_brace"),
+    ).withColumn(
+        "keep",
+        (
+            (F.col("n_kept_lines") >= 3)
+            & (F.col("n_sentences") >= 5)
+            & (F.col("has_brace") == 0)
+        ).cast("int"),
+    )

@@ -4048,7 +4048,49 @@ JOIN supp sb ON sb.event_type = p.type_b
 CROSS JOIN ns"""
 
 
+def q_kg_verbalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG -> pretraining text: one deterministic passage per (group,
+    subject), each fact rendered with its temporal qualifier (the
+    training-corpus consumption of the graph the reference's edge-fact
+    sentences exist for, edges.py:199-208)."""
+    from .operators.export import verbalize_triples
+
+    return verbalize_triples(q_kg_triples(spark, sf_dir))
+
+
+def q_kg_qa_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG -> supervised QA rows: ontology-predicate question templates,
+    answer = object, validity split + episode-support weight."""
+    from .operators.export import qa_pairs
+
+    return qa_pairs(q_kg_triples(spark, sf_dir))
+
+
+def q_kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF N-Triples export with RDF-star fact/validity statements —
+    the triple-store interchange surface."""
+    from .operators.export import ntriples_lines
+
+    return ntriples_lines(q_kg_triples(spark, sf_dir))
+
+
+def q_doc_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 curation sweep (terminal-punct + >=5-word line rules, >=3
+    kept lines, >=5 sentences, no code braces) over the cleaned pages."""
+    from .operators.docs import c4_page_filters
+    from .operators.episodes import clean_pages
+    from .sources.pages import build_pages
+
+    return c4_page_filters(
+        clean_pages(build_pages(spark, sf_dir, with_html=False))
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_verbalize": q_kg_verbalize,
+    "kg_qa_pairs": q_kg_qa_pairs,
+    "kg_ntriples": q_kg_ntriples,
+    "doc_c4_filters": q_doc_c4_filters,
     "kg_alias_resolution": q_kg_alias_resolution,
     "kg_node_attributes": q_kg_node_attributes,
     "kg_nodes_page": q_kg_nodes_page,
@@ -6325,7 +6367,114 @@ LEFT JOIN s2 ON s2.user_id = s1.user_id
 LEFT JOIN s3 ON s3.user_id = s1.user_id"""
 
 
+def _sql_kg_verbalize() -> str:
+    from .operators.export import SENTENCE_SQL
+
+    body = f"""
+, final AS ({_TRIPLES_SELECT}),
+sents AS (
+  SELECT group_id, subj, {SENTENCE_SQL} AS sentence FROM final
+),
+agg AS (
+  SELECT group_id, subj,
+         string_agg(sentence, ' ' ORDER BY sentence) AS passage,
+         CAST(count(*) AS BIGINT) AS n_facts
+  FROM sents GROUP BY 1, 2
+)
+SELECT group_id, subj, passage, n_facts,
+       CAST(len(string_split(passage, ' ')) AS BIGINT) AS n_tokens
+FROM agg"""
+    return _kg_sql(body, with_eds=True)
+
+
+def _sql_kg_qa_pairs() -> str:
+    from .operators.export import QUESTION_SQL
+
+    body = f"""
+, final AS ({_TRIPLES_SELECT})
+SELECT group_id, pred, {QUESTION_SQL} AS question, obj AS answer,
+       CAST(invalid_at IS NULL AS INT) AS currently_true,
+       n_episodes AS support
+FROM final"""
+    return _kg_sql(body, with_eds=True)
+
+
+def _sql_kg_ntriples() -> str:
+    # escape chain written in DuckDB literal syntax (no backslash
+    # escapes in standard SQL strings) — semantically identical to
+    # export._nt_escape's DataFrame-function chain
+    esc = (
+        "replace(replace(replace(replace(fact,"
+        " '\\', '\\\\'), '\"', '\\\"'),"
+        " chr(10), '\\n'), chr(9), '\\t')"
+    )
+    xsd = "'\"^^<http://www.w3.org/2001/XMLSchema#date>'"
+    body = f"""
+, final AS ({_TRIPLES_SELECT}),
+iri AS (
+  SELECT group_id, fact, valid_at, invalid_at,
+    '<urn:kg:' || group_id || ':e:' || md5(subj) || '>' AS s_iri,
+    '<urn:kg:p:' || lower(pred) || '>' AS p_iri,
+    '<urn:kg:' || group_id || ':e:' || md5(obj) || '>' AS o_iri
+  FROM final
+),
+q AS (
+  SELECT *, '<< ' || s_iri || ' ' || p_iri || ' ' || o_iri || ' >>' AS quoted
+  FROM iri
+)
+SELECT group_id, 'spo' AS kind,
+       s_iri || ' ' || p_iri || ' ' || o_iri || ' .' AS line FROM q
+UNION ALL
+SELECT group_id, 'fact',
+       quoted || ' <urn:kg:p:fact> \"' || {esc} || '\" .' FROM q
+UNION ALL
+SELECT group_id, 'valid_from',
+       quoted || ' <urn:kg:p:valid_from> \"'
+       || substr(cast(valid_at as string), 1, 10) || {xsd} || ' .'
+FROM q WHERE valid_at IS NOT NULL
+UNION ALL
+SELECT group_id, 'valid_until',
+       quoted || ' <urn:kg:p:valid_until> \"'
+       || substr(cast(invalid_at as string), 1, 10) || {xsd} || ' .'
+FROM q WHERE invalid_at IS NOT NULL"""
+    return _kg_sql(body, with_eds=True)
+
+
+def _sql_doc_c4_filters() -> str:
+    ctes = corpus.sql_pages_cte()
+    return (
+        "WITH "
+        + ctes.lstrip()
+        + """,
+lines AS (
+  SELECT url, group_id, clean_text,
+         string_split(clean_text, chr(10) || chr(10)) AS paras
+  FROM pages_g
+),
+c AS (
+  SELECT url, group_id,
+         CAST(len(paras) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(paras,
+              x -> regexp_matches(x, '[.!?"]$')
+                   AND len(string_split(x, ' ')) >= 5)) AS BIGINT)
+           AS n_kept_lines,
+         CAST(length(regexp_replace(clean_text, '[^.!?]', '', 'g'))
+              AS BIGINT) AS n_sentences,
+         CAST(contains(clean_text, '{') AS INT) AS has_brace
+  FROM lines
+)
+SELECT *,
+       CAST(n_kept_lines >= 3 AND n_sentences >= 5 AND has_brace = 0
+            AS INT) AS keep
+FROM c"""
+    )
+
+
 ORACLES: dict[str, Callable[[], str]] = {
+    "kg_verbalize": _sql_kg_verbalize,
+    "kg_qa_pairs": _sql_kg_qa_pairs,
+    "kg_ntriples": _sql_kg_ntriples,
+    "doc_c4_filters": _sql_doc_c4_filters,
     "kg_alias_resolution": _sql_kg_alias_resolution,
     "kg_node_attributes": _sql_kg_node_attributes,
     "kg_nodes_page": _sql_kg_nodes_page,

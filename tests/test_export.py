@@ -1,0 +1,121 @@
+"""KG -> training-data / interchange exports (operators/export.py,
+docs.c4_page_filters): temporal sentence rendering, QA templates,
+N-Triples escaping, and the C4 line/page rules."""
+
+import datetime
+
+
+from graphiti_spark.operators.docs import c4_page_filters
+from graphiti_spark.operators.export import (
+    ntriples_lines,
+    qa_pairs,
+    verbalize_triples,
+)
+
+TS = datetime.datetime(2024, 3, 1, 0, 0, 0)
+TS2 = datetime.datetime(2024, 6, 2, 0, 0, 0)
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "group_id string, subj string, pred string, obj string, "
+        "fact string, valid_at timestamp, invalid_at timestamp, "
+        "n_episodes long",
+    )
+
+
+def test_verbalize_temporal_forms_and_order(spark):
+    t = _triples(
+        spark,
+        [
+            ("g", "Alice", "WORKS_AT", "Acme", "f1", TS, TS2, 1),
+            ("g", "Alice", "LIKES", "Bob", "f2", None, None, 1),
+            ("g", "Alice", "MOVED_TO", "Oslo", "f3", TS, None, 2),
+            ("g", "Alice", "ADMIRES", "Cara", "f4", None, TS2, 1),
+        ],
+    )
+    row = verbalize_triples(t).collect()[0]
+    # sentences assembled in ascending binary order
+    assert row.passage == (
+        "Alice likes Bob. "
+        "From 2024-03-01 to 2024-06-02, Alice works at Acme. "
+        "Since 2024-03-01, Alice moved to Oslo. "
+        "Until 2024-06-02, Alice admires Cara."
+    )
+    assert row.n_facts == 4
+    assert row.n_tokens == len(row.passage.split(" "))
+
+
+def test_qa_pairs_templates_and_validity_split(spark):
+    t = _triples(
+        spark,
+        [
+            ("g", "Alice", "WORKS_AT", "Acme", "f", TS, None, 3),
+            ("g", "Org1", "BASED_IN", "Oslo", "f", None, TS2, 1),
+            ("g", "Alice", "CUSTOM_REL", "Thing", "f", None, None, 1),
+        ],
+    )
+    rows = {r.question: r for r in qa_pairs(t).collect()}
+    r1 = rows["Where does Alice work?"]
+    assert (r1.answer, r1.currently_true, r1.support) == ("Acme", 1, 3)
+    r2 = rows["Where is Org1 based?"]
+    assert (r2.answer, r2.currently_true) == ("Oslo", 0)
+    # unknown predicates fall through to the generic surface form
+    assert "Which entity is linked to Alice via custom rel?" in rows
+
+
+def test_ntriples_shape_and_escaping(spark):
+    nasty = 'He said "hi"\\there\nline2\ttab'
+    t = _triples(
+        spark,
+        [("g", "Alice", "WORKS_AT", "Acme", nasty, TS, TS2, 1)],
+    )
+    lines = {r.kind: r.line for r in ntriples_lines(t).collect()}
+    assert len(lines) == 4  # spo + fact + valid_from + valid_until
+    assert lines["spo"].endswith(" .")
+    assert lines["spo"].count("<urn:kg:g:e:") == 2
+    assert "<urn:kg:p:works_at>" in lines["spo"]
+    # N-Triples literal escaping: \ first, then " \n \t
+    assert '\\"hi\\"' in lines["fact"]
+    assert "\\\\there" in lines["fact"]
+    assert "\\n" in lines["fact"] and "\n" not in lines["fact"]
+    assert "\\t" in lines["fact"] and "\t" not in lines["fact"]
+    assert lines["valid_from"].count("<< ") == 1
+    assert '"2024-03-01"^^<http://www.w3.org/2001/XMLSchema#date>' in (
+        lines["valid_from"]
+    )
+    assert '"2024-06-02"' in lines["valid_until"]
+
+
+def test_c4_page_filters_rules(spark):
+    good = "\n\n".join(
+        ["one two three four five."] * 3 + ["short."]
+    )  # 3 kept lines (4 lines), 4 sentences -> fails n_sentences >= 5
+    good5 = "\n\n".join(["one two three four five. six seven eight nine ten."] * 3)
+    braces = good5 + '\n\n{"k": 1}'
+    pages = spark.createDataFrame(
+        [
+            ("u1", "g", good),
+            ("u2", "g", good5),
+            ("u3", "g", braces),
+            ("u4", "g", "no terminal punctuation here at all"),
+        ],
+        "url string, group_id string, text_clean string",
+    )
+    out = {r.url: r for r in c4_page_filters(pages).collect()}
+    assert (out["u1"].n_lines, out["u1"].n_kept_lines) == (4, 3)
+    assert out["u1"].n_sentences == 4 and out["u1"].keep == 0
+    assert out["u2"].keep == 1 and out["u2"].n_sentences == 6
+    assert out["u3"].has_brace == 1 and out["u3"].keep == 0
+    assert out["u4"].n_kept_lines == 0 and out["u4"].keep == 0
+
+
+def test_exports_registry_smoke(spark, sf_dir):
+    from graphiti_spark import registry
+
+    v = registry.QUERIES["kg_verbalize"](spark, sf_dir)
+    assert v.count() > 0
+    nt = registry.QUERIES["kg_ntriples"](spark, sf_dir)
+    kinds = {r.kind for r in nt.select("kind").distinct().collect()}
+    assert kinds == {"spo", "fact", "valid_from", "valid_until"}
