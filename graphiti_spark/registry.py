@@ -4086,7 +4086,69 @@ def q_doc_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_node_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNN-training feature table: one row per canonical entity with its
+    type labels, alias count, directed fact degrees, currently-valid
+    fact count, and community size — the assembled node-feature export a
+    graph-ML consumer trains on. Three skinny key-joins on
+    (group_id, name); every input is itself oracle-gated."""
+    from .operators.communities import build_communities
+
+    t = _graph(spark, sf_dir)
+    tv = q_kg_triples(spark, sf_dir)
+    legs = tv.select(
+        "group_id",
+        F.col("subj").alias("name"),
+        F.lit(1).alias("as_subj"),
+        F.lit(0).alias("as_obj"),
+        "invalid_at",
+    ).unionByName(
+        tv.select(
+            "group_id",
+            F.col("obj").alias("name"),
+            F.lit(0).alias("as_subj"),
+            F.lit(1).alias("as_obj"),
+            "invalid_at",
+        )
+    )
+    deg = legs.groupBy("group_id", "name").agg(
+        F.sum("as_subj").cast("long").alias("out_facts"),
+        F.sum("as_obj").cast("long").alias("in_facts"),
+        F.sum(F.col("invalid_at").isNull().cast("int"))
+        .cast("long")
+        .alias("n_valid"),
+    )
+    communities, members = build_communities(t.nodes, t.edges)
+    csize = (
+        members.join(
+            communities.select(
+                F.col("uuid").alias("community_uuid"),
+                F.col("n_members").cast("long").alias("community_size"),
+            ),
+            "community_uuid",
+        )
+        .join(
+            t.nodes.select(F.col("uuid").alias("entity_uuid"), "name"),
+            "entity_uuid",
+        )
+        .select("group_id", "name", "community_size")
+    )
+    base = t.nodes.select(
+        "group_id",
+        "name",
+        F.array_join(F.col("labels"), "/").alias("labels_str"),
+        F.col("n_aliases").cast("long").alias("n_aliases"),
+    )
+    return (
+        base.join(deg, ["group_id", "name"], "left")
+        .join(csize, ["group_id", "name"], "left")
+        .na.fill(0, ["out_facts", "in_facts", "n_valid"])
+        .na.fill(1, ["community_size"])
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_node_features": q_kg_node_features,
     "kg_verbalize": q_kg_verbalize,
     "kg_qa_pairs": q_kg_qa_pairs,
     "kg_ntriples": q_kg_ntriples,
@@ -6470,7 +6532,69 @@ FROM c"""
     )
 
 
+def _sql_kg_node_features() -> str:
+    n = LPA_ORACLE_ROUNDS
+    body = (
+        """
+, labs AS (
+  SELECT group_id, subj AS name,
+         CASE WHEN pred = 'BASED_IN' THEN 'Organization' ELSE 'Person' END AS label
+  FROM triples_g
+  UNION ALL
+  SELECT group_id, obj,
+         CASE WHEN pred IN ('WORKS_AT','EMPLOYED_AT','NO_LONGER_WORKS_AT','LEADS') THEN 'Organization'
+              WHEN pred IN ('LIKES','DISLIKES','ADMIRES') THEN 'Person' ELSE 'Place' END
+  FROM triples_g
+),
+alias_label AS (SELECT group_id, name, min(label) AS label FROM labs GROUP BY 1, 2),
+base AS (
+  SELECT e.group_id, c.canon_name AS name,
+         string_agg(DISTINCT coalesce(al.label, 'Entity'), '/'
+                    ORDER BY coalesce(al.label, 'Entity')) AS labels_str,
+         CAST(count(DISTINCT e.name) AS BIGINT) AS n_aliases
+  FROM ents e
+  JOIN canon c ON c.group_id = e.group_id AND c.base = e.base
+  LEFT JOIN alias_label al ON al.group_id = e.group_id AND al.name = e.name
+  GROUP BY 1, 2
+),"""
+        + f"""
+final AS ({_TRIPLES_SELECT}),
+deg_legs AS (
+  SELECT group_id, subj AS name, 1 AS as_subj, 0 AS as_obj, invalid_at FROM final
+  UNION ALL
+  SELECT group_id, obj, 0, 1, invalid_at FROM final
+),
+deg AS (
+  SELECT group_id, name,
+         CAST(sum(as_subj) AS BIGINT) AS out_facts,
+         CAST(sum(as_obj) AS BIGINT) AS in_facts,
+         CAST(sum(CASE WHEN invalid_at IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_valid
+  FROM deg_legs GROUP BY 1, 2
+)"""
+        + communities_ctes()
+        + f""",
+csize AS (
+  SELECT l.group_id, cn.canon_name AS name,
+         CAST(a.n_members AS BIGINT) AS community_size
+  FROM l{n} l
+  JOIN canonu cn ON cn.group_id = l.group_id AND cn.uuid = l.uuid
+  JOIN agg a ON a.group_id = l.group_id AND a.community = l.community
+)
+SELECT b.group_id, b.name, b.labels_str, b.n_aliases,
+       CAST(coalesce(d.out_facts, 0) AS BIGINT) AS out_facts,
+       CAST(coalesce(d.in_facts, 0) AS BIGINT) AS in_facts,
+       CAST(coalesce(d.n_valid, 0) AS BIGINT) AS n_valid,
+       CAST(coalesce(cs.community_size, 1) AS BIGINT) AS community_size
+FROM base b
+LEFT JOIN deg d ON d.group_id = b.group_id AND d.name = b.name
+LEFT JOIN csize cs ON cs.group_id = b.group_id AND cs.name = b.name"""
+    )
+    return _kg_sql(body, with_eds=True)
+
+
 ORACLES: dict[str, Callable[[], str]] = {
+    "kg_node_features": _sql_kg_node_features,
     "kg_verbalize": _sql_kg_verbalize,
     "kg_qa_pairs": _sql_kg_qa_pairs,
     "kg_ntriples": _sql_kg_ntriples,

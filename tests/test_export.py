@@ -119,3 +119,18 @@ def test_exports_registry_smoke(spark, sf_dir):
     nt = registry.QUERIES["kg_ntriples"](spark, sf_dir)
     kinds = {r.kind for r in nt.select("kind").distinct().collect()}
     assert kinds == {"spo", "fact", "valid_from", "valid_until"}
+
+
+def test_node_features_invariants(spark, sf_dir):
+    from graphiti_spark import registry
+
+    feats = registry.QUERIES["kg_node_features"](spark, sf_dir).toPandas()
+    tv = registry.QUERIES["kg_triples"](spark, sf_dir).toPandas()
+    assert (feats.community_size >= 1).all()
+    assert (feats.n_valid <= feats.out_facts + feats.in_facts).all()
+    # total directed degree == 2 legs per triple
+    assert feats.out_facts.sum() == len(tv) and feats.in_facts.sum() == len(tv)
+    # every triple participant has a feature row
+    names = set(zip(feats.group_id, feats.name))
+    assert set(zip(tv.group_id, tv.subj)) <= names
+    assert set(zip(tv.group_id, tv.obj)) <= names
