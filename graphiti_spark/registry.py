@@ -4147,7 +4147,41 @@ def q_kg_node_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_global_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-group entity identity: group_id is the isolation key of the
+    per-domain KGs (reference group_id semantics, graphiti.py:180), but a
+    crawl-scale consumer also needs the GLOBAL entity view — the same
+    real-world entity surfacing on many domains. Rolls canonical nodes up
+    by the shared normalization key (the exact-block key of X5
+    resolution, extract._NORM_SQL) into one global entity row with its
+    domain spread. One partial-agg'd groupBy on the normalized key —
+    entity-count cardinality, no joins."""
+    from .operators.extract import _NORM_SQL
+
+    t = _graph(spark, sf_dir)
+    return (
+        t.nodes.select(
+            "group_id",
+            "name",
+            F.col("n_aliases").cast("long").alias("n_aliases"),
+        )
+        .withColumn("global_key", F.expr(_NORM_SQL))
+        .groupBy("global_key")
+        .agg(
+            F.min("name").alias("canonical_name"),
+            F.countDistinct("group_id").cast("long").alias("n_groups"),
+            F.count(F.lit(1)).cast("long").alias("n_entities"),
+            F.sum("n_aliases").cast("long").alias("total_aliases"),
+        )
+        .withColumn(
+            "global_uuid",
+            F.md5(F.concat(F.lit("global|"), F.col("global_key"))),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_global_entities": q_kg_global_entities,
     "kg_node_features": q_kg_node_features,
     "kg_verbalize": q_kg_verbalize,
     "kg_qa_pairs": q_kg_qa_pairs,
@@ -6593,7 +6627,38 @@ LEFT JOIN csize cs ON cs.group_id = b.group_id AND cs.name = b.name"""
     return _kg_sql(body, with_eds=True)
 
 
+def _sql_kg_global_entities() -> str:
+    # the same normalization as extract._NORM_SQL, in DuckDB literal
+    # syntax (single-backslash regex escapes; both patterns are anchored
+    # so first-match-only vs replace-all is equivalent)
+    norm = (
+        "coalesce(nullif(regexp_replace(regexp_replace(lower(canon_name),"
+        " '^(professor |dr\\. |dr |mr\\. |ms\\. |mrs\\. )', ''),"
+        " '( (inc|llc|ltd))+$', ''), ''), lower(canon_name))"
+    )
+    body = f"""
+, al AS (
+  SELECT e.group_id, c.canon_name,
+         CAST(count(DISTINCT e.name) AS BIGINT) AS n_aliases
+  FROM ents e
+  JOIN canon c ON c.group_id = e.group_id AND c.base = e.base
+  GROUP BY 1, 2
+),
+keyed AS (
+  SELECT group_id, canon_name, n_aliases, {norm} AS global_key FROM al
+)
+SELECT global_key,
+       min(canon_name) AS canonical_name,
+       CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups,
+       CAST(count(*) AS BIGINT) AS n_entities,
+       CAST(sum(n_aliases) AS BIGINT) AS total_aliases,
+       md5('global|' || global_key) AS global_uuid
+FROM keyed GROUP BY global_key"""
+    return _kg_sql(body)
+
+
 ORACLES: dict[str, Callable[[], str]] = {
+    "kg_global_entities": _sql_kg_global_entities,
     "kg_node_features": _sql_kg_node_features,
     "kg_verbalize": _sql_kg_verbalize,
     "kg_qa_pairs": _sql_kg_qa_pairs,

@@ -134,3 +134,18 @@ def test_node_features_invariants(spark, sf_dir):
     names = set(zip(feats.group_id, feats.name))
     assert set(zip(tv.group_id, tv.subj)) <= names
     assert set(zip(tv.group_id, tv.obj)) <= names
+
+
+def test_global_entities_cross_domain_rollup(spark, sf_dir):
+    from graphiti_spark import registry
+
+    g = registry.QUERIES["kg_global_entities"](spark, sf_dir).toPandas()
+    nodes = registry.QUERIES["kg_nodes"](spark, sf_dir).toPandas()
+    # every canonical node lands in exactly one global entity
+    assert g.n_entities.sum() == len(nodes)
+    # the corpus shares its person/org pool across sources, so the
+    # global view must actually merge across group_ids
+    assert (g.n_groups > 1).any()
+    assert g.global_key.is_unique
+    # normalization strips honorifics/suffixes: no key keeps them
+    assert not g.global_key.str.startswith(("professor ", "dr ")).any()
