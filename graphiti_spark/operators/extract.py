@@ -138,11 +138,18 @@ _JSON_SCHEMA = "entity string, relation string, target string, as_of string"
 # normalize_entity_name (functions/text.py) as one SQL expression chain:
 # lowercase -> strip one honorific prefix -> strip trailing corporate
 # suffix tokens (never emptying a single-token name)
-_NORM_SQL = (
-    "coalesce(nullif(regexp_replace(regexp_replace(lower(name),"
-    " '^(professor |dr\\\\. |dr |mr\\\\. |ms\\\\. |mrs\\\\. )', ''),"
-    " '( (inc|llc|ltd))+$', ''), ''), lower(name))"
-)
+def norm_sql(col: str = "name") -> str:
+    """The X5 exact-block normalization as a Spark SQL expression over an
+    arbitrary column (reference utils/maintenance/node_operations.py name
+    normalization before dedup candidate generation)."""
+    return (
+        f"coalesce(nullif(regexp_replace(regexp_replace(lower({col}),"
+        " '^(professor |dr\\\\. |dr |mr\\\\. |ms\\\\. |mrs\\\\. )', ''),"
+        f" '( (inc|llc|ltd))+$', ''), ''), lower({col}))"
+    )
+
+
+_NORM_SQL = norm_sql("name")
 
 
 def _sentences(episodes: DataFrame) -> DataFrame:

@@ -4180,7 +4180,56 @@ def q_kg_global_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_global_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-domain knowledge fusion at the FACT level (Dong et al.,
+    "From Data Fusion to Knowledge Fusion", VLDB'14): the per-group KGs
+    are isolated builds (reference group_id semantics), but a crawl-scale
+    consumer wants one fused fact table where the same (subj, pred, obj)
+    assertion observed on independent domains accumulates support. Keys:
+    the X5 normalization on both endpoint names (extract.norm_sql) and
+    the ontology synonym class on the predicate — the same fusion key
+    family materialize_edges dedups on within a group, lifted global.
+    Emits per fused fact: canonical names, domain support (n_groups),
+    observation counts, validity span, and corroborated flag (>=2
+    independent domains). Plan: one partial-agg'd groupBy over the final
+    triples table — fact-cardinality input, no joins, no window."""
+    from .ontology import DEFAULT
+    from .operators.extract import norm_sql
+
+    tri = q_kg_triples(spark, sf_dir)
+    return (
+        tri.withColumn("subj_key", F.expr(norm_sql("subj")))
+        .withColumn("obj_key", F.expr(norm_sql("obj")))
+        .withColumn("pred_class", F.expr(DEFAULT.synonym_class_sql("pred")))
+        .groupBy("subj_key", "pred_class", "obj_key")
+        .agg(
+            F.min("subj").alias("subj"),
+            F.min("obj").alias("obj"),
+            F.countDistinct("group_id").cast("long").alias("n_groups"),
+            F.count(F.lit(1)).cast("long").alias("n_facts"),
+            F.sum(F.when(F.col("invalid_at").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_valid"),
+            F.min("valid_at").alias("first_valid_at"),
+            F.max("valid_at").alias("last_valid_at"),
+        )
+        .withColumn(
+            "corroborated",
+            (F.col("n_groups") >= 2).cast("long"),
+        )
+        .withColumn(
+            "global_fact_uuid",
+            F.md5(
+                F.concat_ws(
+                    "|", F.lit("gfact"), "subj_key", "pred_class", "obj_key"
+                )
+            ),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_global_triples": q_kg_global_triples,
     "kg_global_entities": q_kg_global_entities,
     "kg_node_features": q_kg_node_features,
     "kg_verbalize": q_kg_verbalize,
@@ -6657,7 +6706,45 @@ FROM keyed GROUP BY global_key"""
     return _kg_sql(body)
 
 
+def _sql_kg_global_triples() -> str:
+    from .ontology import DEFAULT
+
+    def norm(col: str) -> str:
+        # extract.norm_sql in DuckDB literal syntax (single-backslash
+        # regex escapes; anchored patterns, so first-match-only vs
+        # replace-all is equivalent)
+        return (
+            f"coalesce(nullif(regexp_replace(regexp_replace(lower({col}),"
+            " '^(professor |dr\\. |dr |mr\\. |ms\\. |mrs\\. )', ''),"
+            f" '( (inc|llc|ltd))+$', ''), ''), lower({col}))"
+        )
+
+    body = f"""
+, final AS ({_TRIPLES_SELECT}),
+keyed AS (
+  SELECT *, {norm('subj')} AS subj_key,
+         {DEFAULT.synonym_class_sql('pred')} AS pred_class,
+         {norm('obj')} AS obj_key
+  FROM final
+)
+SELECT subj_key, pred_class, obj_key,
+       min(subj) AS subj, min(obj) AS obj,
+       CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups,
+       CAST(count(*) AS BIGINT) AS n_facts,
+       CAST(sum(CASE WHEN invalid_at IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_valid,
+       min(valid_at) AS first_valid_at,
+       max(valid_at) AS last_valid_at,
+       CAST(CASE WHEN count(DISTINCT group_id) >= 2 THEN 1 ELSE 0 END
+            AS BIGINT) AS corroborated,
+       md5('gfact|' || subj_key || '|' || pred_class || '|' || obj_key)
+         AS global_fact_uuid
+FROM keyed GROUP BY subj_key, pred_class, obj_key"""
+    return _kg_sql(body, with_eds=True)
+
+
 ORACLES: dict[str, Callable[[], str]] = {
+    "kg_global_triples": _sql_kg_global_triples,
     "kg_global_entities": _sql_kg_global_entities,
     "kg_node_features": _sql_kg_node_features,
     "kg_verbalize": _sql_kg_verbalize,

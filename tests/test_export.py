@@ -149,3 +149,22 @@ def test_global_entities_cross_domain_rollup(spark, sf_dir):
     assert g.global_key.is_unique
     # normalization strips honorifics/suffixes: no key keeps them
     assert not g.global_key.str.startswith(("professor ", "dr ")).any()
+
+
+def test_global_triples_fact_fusion(spark, sf_dir):
+    from graphiti_spark import registry
+
+    g = registry.QUERIES["kg_global_triples"](spark, sf_dir).toPandas()
+    tv = registry.QUERIES["kg_triples"](spark, sf_dir).toPandas()
+    # every final triple lands in exactly one fused fact
+    assert g.n_facts.sum() == len(tv)
+    # fusion key is unique and the uuid is a pure function of it
+    assert not g.duplicated(["subj_key", "pred_class", "obj_key"]).any()
+    assert g.global_fact_uuid.is_unique
+    # corroboration: the shared entity pool must yield >=1 fact seen on
+    # multiple independent domains, and the flag must track n_groups
+    assert (g.n_groups > 1).any()
+    assert ((g.corroborated == 1) == (g.n_groups >= 2)).all()
+    # support counts are consistent
+    assert (g.n_valid <= g.n_facts).all()
+    assert (g.n_groups <= g.n_facts).all()
