@@ -138,13 +138,19 @@ _JSON_SCHEMA = "entity string, relation string, target string, as_of string"
 # normalize_entity_name (functions/text.py) as one SQL expression chain:
 # lowercase -> strip one honorific prefix -> strip trailing corporate
 # suffix tokens (never emptying a single-token name)
-def norm_sql(col: str = "name") -> str:
-    """The X5 exact-block normalization as a Spark SQL expression over an
+def norm_sql(col: str = "name", duck: bool = False) -> str:
+    """The X5 exact-block normalization as one SQL expression over an
     arbitrary column (reference utils/maintenance/node_operations.py name
-    normalization before dedup candidate generation)."""
+    normalization before dedup candidate generation). `duck` switches the
+    string-literal escaping for DuckDB (backslashes kept verbatim), NOT
+    the semantics — the same generator feeds the Spark plans and the
+    DuckDB oracle builders so the two sides cannot drift. Assumes
+    single-spaced input (canonical names are); both regexes are anchored
+    so first-match-only vs replace-all is equivalent."""
+    bs = "\\" if duck else "\\\\"
     return (
         f"coalesce(nullif(regexp_replace(regexp_replace(lower({col}),"
-        " '^(professor |dr\\\\. |dr |mr\\\\. |ms\\\\. |mrs\\\\. )', ''),"
+        f" '^(professor |dr{bs}. |dr |mr{bs}. |ms{bs}. |mrs{bs}. )', ''),"
         f" '( (inc|llc|ltd))+$', ''), ''), lower({col}))"
     )
 

@@ -6677,14 +6677,9 @@ LEFT JOIN csize cs ON cs.group_id = b.group_id AND cs.name = b.name"""
 
 
 def _sql_kg_global_entities() -> str:
-    # the same normalization as extract._NORM_SQL, in DuckDB literal
-    # syntax (single-backslash regex escapes; both patterns are anchored
-    # so first-match-only vs replace-all is equivalent)
-    norm = (
-        "coalesce(nullif(regexp_replace(regexp_replace(lower(canon_name),"
-        " '^(professor |dr\\. |dr |mr\\. |ms\\. |mrs\\. )', ''),"
-        " '( (inc|llc|ltd))+$', ''), ''), lower(canon_name))"
-    )
+    from .operators.extract import norm_sql
+
+    norm = norm_sql("canon_name", duck=True)
     body = f"""
 , al AS (
   SELECT e.group_id, c.canon_name,
@@ -6708,16 +6703,10 @@ FROM keyed GROUP BY global_key"""
 
 def _sql_kg_global_triples() -> str:
     from .ontology import DEFAULT
+    from .operators.extract import norm_sql
 
     def norm(col: str) -> str:
-        # extract.norm_sql in DuckDB literal syntax (single-backslash
-        # regex escapes; anchored patterns, so first-match-only vs
-        # replace-all is equivalent)
-        return (
-            f"coalesce(nullif(regexp_replace(regexp_replace(lower({col}),"
-            " '^(professor |dr\\. |dr |mr\\. |ms\\. |mrs\\. )', ''),"
-            f" '( (inc|llc|ltd))+$', ''), ''), lower({col}))"
-        )
+        return norm_sql(col, duck=True)
 
     body = f"""
 , final AS ({_TRIPLES_SELECT}),
