@@ -4228,7 +4228,61 @@ def q_kg_global_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_global_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-domain conflict detection + majority-vote resolution (the
+    conflict-resolution half of knowledge fusion, Dong et al. VLDB'14):
+    for ontology-declared single-valued predicates (DEFAULT.functional —
+    the same set kg_functional_violations sweeps WITHIN a group), find
+    fused subjects whose currently-valid objects disagree across
+    independent domains, and emit the support-majority object (ties
+    broken by lexicographic obj_key, so the vote is deterministic and
+    oracle-checkable). Plan: one groupBy to per-object support, one
+    co-partitioned groupBy (same keys, shuffle reused) for the vote and
+    the disagreement stats — fact-cardinality input, no self-join."""
+    from .ontology import DEFAULT
+    from .operators.extract import norm_sql
+
+    tri = q_kg_triples(spark, sf_dir)
+    valid = (
+        tri.where(F.col("invalid_at").isNull())
+        .withColumn("subj_key", F.expr(norm_sql("subj")))
+        .withColumn("obj_key", F.expr(norm_sql("obj")))
+        .withColumn("pred_class", F.expr(DEFAULT.synonym_class_sql("pred")))
+        .where(F.col("pred_class").isin(*DEFAULT.functional))
+    )
+    # per-object support first; the domain spread (n_groups) aggregates
+    # straight off the fact stream (partial-agg'd countDistinct), NOT via
+    # collected group arrays — a crawl-popular entity can be asserted on
+    # millions of domains and no per-row array may scale with that.
+    per_obj = valid.groupBy("subj_key", "pred_class", "obj_key").agg(
+        F.min("subj").alias("subj"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    vote = per_obj.groupBy("subj_key", "pred_class").agg(
+        F.min("subj").alias("subj"),
+        F.count(F.lit(1)).cast("long").alias("n_objs"),
+        F.array_sort(F.collect_list("obj_key")).alias("objs"),
+        F.min_by(
+            "obj_key",
+            F.struct((-F.col("n_obs")).alias("a"), F.col("obj_key").alias("b")),
+        ).alias("majority_obj"),
+        F.max("n_obs").cast("long").alias("majority_support"),
+        F.sum("n_obs").cast("long").alias("total_support"),
+    )
+    spread = valid.groupBy("subj_key", "pred_class").agg(
+        F.countDistinct("group_id").cast("long").alias("n_groups")
+    )
+    # same grouping key on both sides -> co-partitioned join, the
+    # exchange is shared with the vote aggregation
+    fused = vote.join(spread, ["subj_key", "pred_class"])
+    return fused.where((F.col("n_objs") >= 2) & (F.col("n_groups") >= 2)).select(
+        "subj_key", "pred_class", "subj", "n_objs", "n_groups", "objs",
+        "majority_obj", "majority_support", "total_support",
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_global_conflicts": q_kg_global_conflicts,
     "kg_global_triples": q_kg_global_triples,
     "kg_global_entities": q_kg_global_entities,
     "kg_node_features": q_kg_node_features,
@@ -6732,7 +6786,55 @@ FROM keyed GROUP BY subj_key, pred_class, obj_key"""
     return _kg_sql(body, with_eds=True)
 
 
+def _sql_kg_global_conflicts() -> str:
+    from .ontology import DEFAULT
+    from .operators.extract import norm_sql
+
+    funcs = ", ".join(f"'{p}'" for p in sorted(DEFAULT.functional))
+    # majority vote tiebreak mirrors the Spark min_by struct(-n_obs,
+    # obj_key): encode as a fixed-width composite string (n_obs < 1e9 at
+    # oracle scale)
+    vote_key = "lpad(CAST(1000000000 - n_obs AS VARCHAR), 10, '0') || '|' || obj_key"
+    body = f"""
+, final AS ({_TRIPLES_SELECT}),
+validf AS (
+  SELECT {norm_sql('subj', duck=True)} AS subj_key,
+         {DEFAULT.synonym_class_sql('pred')} AS pred_class,
+         {norm_sql('obj', duck=True)} AS obj_key,
+         subj, group_id
+  FROM final
+  WHERE invalid_at IS NULL
+    AND ({DEFAULT.synonym_class_sql('pred')}) IN ({funcs})
+),
+per_obj AS (
+  SELECT subj_key, pred_class, obj_key, min(subj) AS subj,
+         count(*) AS n_obs
+  FROM validf GROUP BY 1, 2, 3
+),
+vote AS (
+  SELECT subj_key, pred_class, min(subj) AS subj,
+         CAST(count(*) AS BIGINT) AS n_objs,
+         list_sort(list(obj_key)) AS objs,
+         arg_min(obj_key, {vote_key}) AS majority_obj,
+         CAST(max(n_obs) AS BIGINT) AS majority_support,
+         CAST(sum(n_obs) AS BIGINT) AS total_support
+  FROM per_obj GROUP BY 1, 2
+),
+spread AS (
+  SELECT subj_key, pred_class,
+         CAST(count(DISTINCT group_id) AS BIGINT) AS n_groups
+  FROM validf GROUP BY 1, 2
+)
+SELECT v.subj_key, v.pred_class, v.subj, v.n_objs, s.n_groups, v.objs,
+       v.majority_obj, v.majority_support, v.total_support
+FROM vote v JOIN spread s
+  ON s.subj_key = v.subj_key AND s.pred_class = v.pred_class
+WHERE v.n_objs >= 2 AND s.n_groups >= 2"""
+    return _kg_sql(body, with_eds=True)
+
+
 ORACLES: dict[str, Callable[[], str]] = {
+    "kg_global_conflicts": _sql_kg_global_conflicts,
     "kg_global_triples": _sql_kg_global_triples,
     "kg_global_entities": _sql_kg_global_entities,
     "kg_node_features": _sql_kg_node_features,

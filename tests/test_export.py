@@ -168,3 +168,25 @@ def test_global_triples_fact_fusion(spark, sf_dir):
     # support counts are consistent
     assert (g.n_valid <= g.n_facts).all()
     assert (g.n_groups <= g.n_facts).all()
+
+
+def test_global_conflicts_majority_vote(spark, sf_dir):
+    from graphiti_spark import registry
+    from graphiti_spark.ontology import DEFAULT
+
+    g = registry.QUERIES["kg_global_conflicts"](spark, sf_dir).toPandas()
+    assert len(g) > 0
+    # only declared-functional predicate classes appear
+    assert set(g.pred_class) <= set(DEFAULT.functional)
+    # every row IS a cross-domain disagreement
+    assert (g.n_objs >= 2).all() and (g.n_groups >= 2).all()
+    # the vote is consistent: the winner is in the candidate list, its
+    # support is the max, and supports add up
+    assert all(r.majority_obj in r.objs for r in g.itertuples())
+    assert (g.majority_support <= g.total_support).all()
+    assert all(len(r.objs) == r.n_objs for r in g.itertuples())
+    # deterministic tiebreak: rerun produces identical rows
+    g2 = registry.QUERIES["kg_global_conflicts"](spark, sf_dir).toPandas()
+    pd_sorted = lambda d: d.sort_values(["subj_key", "pred_class"]).reset_index(drop=True)
+    import pandas.testing as pt
+    pt.assert_frame_equal(pd_sorted(g), pd_sorted(g2))
