@@ -4281,7 +4281,59 @@ def q_kg_global_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_source_trust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-reliability scoring (TruthFinder / Knowledge Vault's
+    source-trust prior, simplified to one deterministic iteration): for
+    every domain (group_id), the fraction of its currently-valid
+    single-valued claims that agree with the cross-domain majority vote.
+    Each distinct (subj_key, pred_class, obj_key) claim counts once per
+    domain (a domain repeating itself on many pages gains no weight).
+    trust_permille is integer (1000*n_agree DIV n_claims) so the score
+    is hash-exact across engines. Plan: claims dedup (groupBy), majority
+    vote (two partial-agg'd groupBys on the same key family), one
+    broadcast-sized join majority->claims, one final groupBy on
+    group_id — no self-joins, no windows."""
+    from .ontology import DEFAULT
+    from .operators.extract import norm_sql
+
+    tri = q_kg_triples(spark, sf_dir)
+    valid = (
+        tri.where(F.col("invalid_at").isNull())
+        .withColumn("subj_key", F.expr(norm_sql("subj")))
+        .withColumn("obj_key", F.expr(norm_sql("obj")))
+        .withColumn("pred_class", F.expr(DEFAULT.synonym_class_sql("pred")))
+        .where(F.col("pred_class").isin(*DEFAULT.functional))
+    )
+    claims = valid.select(
+        "group_id", "subj_key", "pred_class", "obj_key"
+    ).distinct()
+    per_obj = valid.groupBy("subj_key", "pred_class", "obj_key").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    majority = per_obj.groupBy("subj_key", "pred_class").agg(
+        F.min_by(
+            "obj_key",
+            F.struct((-F.col("n_obs")).alias("a"), F.col("obj_key").alias("b")),
+        ).alias("majority_obj")
+    )
+    scored = claims.join(majority, ["subj_key", "pred_class"]).withColumn(
+        "agree", (F.col("obj_key") == F.col("majority_obj")).cast("long")
+    )
+    return (
+        scored.groupBy("group_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_claims"),
+            F.sum("agree").cast("long").alias("n_agree"),
+        )
+        .withColumn(
+            "trust_permille",
+            F.expr("CAST((1000 * n_agree) DIV n_claims AS BIGINT)"),
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_source_trust": q_kg_source_trust,
     "kg_global_conflicts": q_kg_global_conflicts,
     "kg_global_triples": q_kg_global_triples,
     "kg_global_entities": q_kg_global_entities,
@@ -6833,7 +6885,51 @@ WHERE v.n_objs >= 2 AND s.n_groups >= 2"""
     return _kg_sql(body, with_eds=True)
 
 
+def _sql_kg_source_trust() -> str:
+    from .ontology import DEFAULT
+    from .operators.extract import norm_sql
+
+    funcs = ", ".join(f"'{p}'" for p in sorted(DEFAULT.functional))
+    vote_key = "lpad(CAST(1000000000 - n_obs AS VARCHAR), 10, '0') || '|' || obj_key"
+    body = f"""
+, final AS ({_TRIPLES_SELECT}),
+validf AS (
+  SELECT {norm_sql('subj', duck=True)} AS subj_key,
+         {DEFAULT.synonym_class_sql('pred')} AS pred_class,
+         {norm_sql('obj', duck=True)} AS obj_key,
+         group_id
+  FROM final
+  WHERE invalid_at IS NULL
+    AND ({DEFAULT.synonym_class_sql('pred')}) IN ({funcs})
+),
+claims AS (
+  SELECT DISTINCT group_id, subj_key, pred_class, obj_key FROM validf
+),
+per_obj AS (
+  SELECT subj_key, pred_class, obj_key, count(*) AS n_obs
+  FROM validf GROUP BY 1, 2, 3
+),
+majority AS (
+  SELECT subj_key, pred_class, arg_min(obj_key, {vote_key}) AS majority_obj
+  FROM per_obj GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.group_id,
+         CASE WHEN c.obj_key = m.majority_obj THEN 1 ELSE 0 END AS agree
+  FROM claims c
+  JOIN majority m
+    ON m.subj_key = c.subj_key AND m.pred_class = c.pred_class
+)
+SELECT group_id,
+       CAST(count(*) AS BIGINT) AS n_claims,
+       CAST(sum(agree) AS BIGINT) AS n_agree,
+       CAST((1000 * sum(agree)) // count(*) AS BIGINT) AS trust_permille
+FROM scored GROUP BY group_id"""
+    return _kg_sql(body, with_eds=True)
+
+
 ORACLES: dict[str, Callable[[], str]] = {
+    "kg_source_trust": _sql_kg_source_trust,
     "kg_global_conflicts": _sql_kg_global_conflicts,
     "kg_global_triples": _sql_kg_global_triples,
     "kg_global_entities": _sql_kg_global_entities,

@@ -190,3 +190,20 @@ def test_global_conflicts_majority_vote(spark, sf_dir):
     pd_sorted = lambda d: d.sort_values(["subj_key", "pred_class"]).reset_index(drop=True)
     import pandas.testing as pt
     pt.assert_frame_equal(pd_sorted(g), pd_sorted(g2))
+
+
+def test_source_trust_majority_agreement(spark, sf_dir):
+    from graphiti_spark import registry
+
+    t = registry.QUERIES["kg_source_trust"](spark, sf_dir).toPandas()
+    assert len(t) > 0
+    assert t.group_id.is_unique
+    assert (t.n_agree <= t.n_claims).all()
+    assert t.trust_permille.between(0, 1000).all()
+    assert (t.trust_permille == 1000 * t.n_agree // t.n_claims).all()
+    # the corpus plants cross-domain disagreements (see
+    # test_global_conflicts_majority_vote), so not every domain can
+    # agree with every majority — and a majority must exist, so not
+    # every domain can disagree everywhere either
+    assert (t.trust_permille < 1000).any()
+    assert (t.n_agree > 0).any()
