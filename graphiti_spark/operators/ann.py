@@ -697,3 +697,118 @@ def norm_band_audit(
             " ELSE 'mid' END"
         ).alias("band"),
     )
+
+
+# --- Hyperplane LSH (SimHash over embeddings) ------------------------------
+# Sign matrix is derived from md5 hex-digit parity so BOTH engines (and the
+# driver's DuckDB oracle) can regenerate it independently: plane j applies
+# sign +1 to dimension i iff the first hex digit of md5("hp|j|i") is even.
+_ODD_HEX = "13579bdf"
+
+
+def _plane_sign(j: int, i: int) -> int:
+    import hashlib
+
+    return -1 if hashlib.md5(f"hp|{j}|{i}".encode()).hexdigest()[0] in _ODD_HEX else 1
+
+
+def simhash_pairs(
+    emb: DataFrame,
+    dim: int = 64,
+    n_bits: int = 16,
+    n_bands: int = 4,
+    max_ham: int = 6,
+    max_bucket: int = 1000,
+    scale_u: int = 1_000_000,
+) -> DataFrame:
+    """Random-hyperplane LSH near-duplicate pairs over an embedding
+    column (Charikar, STOC 2002) — the third leg of the embedding-dedup
+    scale story next to the IVF cell blocking (embcos_dedup) and the
+    shingle MinHash (doc_minhash_dedup): no trainer, no centroids, one
+    all-JVM projection computes a n_bits sign signature per vector, and
+    banding over the signature blocks candidates exactly like the
+    MinHash band join. P[bit collision] = 1 - theta/pi, so Hamming
+    distance on the signature is a calibrated cosine proxy; candidates
+    within max_ham are verified with the exact integer squared-cosine.
+
+    Engine-portable determinism: hyperplane signs come from md5 parity
+    (see _plane_sign), quantization is floor(x*100) in float64 — both
+    reproducible in DuckDB SQL, so the whole path sits under the exact
+    oracle gate.
+
+    Scale plan: the signature stage is one narrow projection (zip_with/
+    aggregate over literal plane arrays — whole-stage codegen, no
+    shuffle, no Python); banding explodes n_bands skinny rows per
+    vector; the band join is an equi-join with per-bucket population
+    caps (max_bucket, same guard as dedup.py's MinHash bands) so a
+    degenerate signature distribution cannot go quadratic; the verify
+    touches candidate pairs only.
+    """
+    planes = [[_plane_sign(j, i) for i in range(dim)] for j in range(n_bits)]
+    q = emb.select(
+        F.col("vec_id").alias("id"),
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double) * 100) as bigint))"
+        ).alias("q"),
+    )
+    bit_terms = []
+    for j, row in enumerate(planes):
+        arr = f"array({','.join(f'{s}L' for s in row)})"
+        dot = f"aggregate(zip_with(q, {arr}, (x, s) -> x * s), 0L, (a, y) -> a + y)"
+        bit_terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j}L ELSE 0L END)")
+    sig = q.select(
+        "id",
+        "q",
+        F.expr(" + ".join(bit_terms)).alias("sig"),
+        F.expr("aggregate(q, 0L, (a, x) -> a + x * x)").alias("n2"),
+    )
+    bpb = n_bits // n_bands
+    mask = (1 << bpb) - 1
+    bands = sig.select(
+        "id",
+        "sig",
+        "n2",
+        "q",
+        F.explode(
+            F.array(*[
+                F.expr(f"named_struct('b', {b}, 'v', shiftright(sig, {b * bpb}) & {mask}L)")
+                for b in range(n_bands)
+            ])
+        ).alias("bv"),
+    ).select("id", "sig", "n2", "q", F.col("bv.b").alias("b"), F.col("bv.v").alias("v"))
+    # population cap per (band, value) bucket — quadratic-blowup guard
+    ok = (
+        bands.groupBy("b", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") <= max_bucket)
+        .select("b", "v")
+    )
+    bands = bands.join(ok, ["b", "v"])
+    a, c = bands.alias("a"), bands.alias("c")
+    pairs = (
+        a.join(c, ["b", "v"])
+        .where(F.col("a.id") < F.col("c.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("c.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("c.sig").alias("sig_b"),
+            F.col("a.q").alias("qa"),
+            F.col("c.q").alias("qb"),
+            F.col("a.n2").alias("na2"),
+            F.col("c.n2").alias("nb2"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)"))
+        .where(F.col("hamming") <= max_ham)
+    )
+    dot = "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, y) -> a + y)"
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("long").alias("hamming"),
+        F.expr(
+            f"CASE WHEN {dot} < 0 THEN -1L ELSE 1L END"
+            f" * (({dot}) * ({dot}) * {scale_u}L div (na2 * nb2))"
+        ).cast("long").alias("cos2s_u"),
+    )

@@ -1763,3 +1763,161 @@ def neighbor_sample(
             ).select(*cols)
         )
     )
+
+
+def katz_centrality(
+    triples: DataFrame, iters: int = 3, beta_den: int = 8, scale: int = 1_000_000
+) -> DataFrame:
+    """Katz centrality in exact integer arithmetic: the walk-counting
+    entity-importance measure that, unlike PageRank, does not divide a
+    node's influence by its out-degree — a prolific hub passes its full
+    (attenuated) weight to every neighbor, which matches how coverage
+    works in a web-crawl KG (a page mentioning 50 entities is evidence
+    for all 50, not 1/50th each).
+
+    Recurrence (fixed iters, per-step attenuation):
+        x_0(v)   = scale
+        x_k+1(v) = scale + sum_{u->v} (x_k(u) div beta_den)
+    Dividing BEFORE the sum keeps every intermediate bounded by
+    scale * (1 + indeg_max/beta_den)^k for fixed k (no factorial path
+    blowup) and makes the integer recurrence identical in Spark `div`
+    and DuckDB `//`.
+
+    Scale notes: each iteration is one equi-join of the skinny rank
+    table onto the committed edge list plus one partial-agg'd groupBy,
+    both shuffling on (group_id, vertex) — same co-partitioned iteration
+    discipline as pagerank() above; localCheckpoint truncates the
+    per-iteration plan.
+    """
+    e = (
+        triples.select(
+            "group_id", F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = (
+        e.select("group_id", F.col("src").alias("name"))
+        .unionByName(e.select("group_id", F.col("dst").alias("name")))
+        .distinct()
+    )
+    x = verts.withColumn("x_u", F.lit(scale).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            e.join(
+                x.select("group_id", F.col("name").alias("src"), "x_u"),
+                ["group_id", "src"],
+            )
+            .groupBy("group_id", F.col("dst").alias("name"))
+            .agg(F.sum(F.expr(f"x_u div {beta_den}")).alias("s"))
+        )
+        x = (
+            verts.join(contrib, ["group_id", "name"], "left")
+            .select(
+                "group_id",
+                "name",
+                (F.lit(scale) + F.coalesce("s", F.lit(0))).cast("long").alias("x_u"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    indeg = e.groupBy("group_id", F.col("dst").alias("name")).agg(
+        F.count(F.lit(1)).alias("indeg")
+    )
+    return (
+        x.join(indeg, ["group_id", "name"], "left")
+        .select(
+            "group_id",
+            "name",
+            F.coalesce("indeg", F.lit(0)).cast("long").alias("in_deg"),
+            F.col("x_u").cast("long").alias("katz_u"),
+        )
+    )
+
+
+def wl_refine(triples: DataFrame, rounds: int = 2) -> DataFrame:
+    """Weisfeiler-Lehman label refinement over the predicate-typed
+    directed KG (Shervashidze et al., JMLR 2011; the node-feature
+    backbone of WL graph kernels and the expressiveness ceiling of
+    message-passing GNNs). Every node starts from a constant label, and
+    each round rehashes (own label, sorted multiset of
+    direction-tagged (predicate, neighbor label) tokens) — after r
+    rounds two nodes share a label iff their r-hop typed neighborhood
+    trees are isomorphic, giving structural-role classes (and, per
+    group, a graph fingerprint histogram) with zero training.
+
+    Engine-portable determinism: the multiset is a lexicographically
+    sorted concat of md5-hex tokens — Spark array_sort/concat_ws and
+    DuckDB string_agg(ORDER BY) produce the identical byte string, so
+    the per-round md5 labels match bit-for-bit under the oracle gate.
+
+    Scale notes: arcs are the distinct (src, pred, dst) list committed
+    once; each round is one equi-join (arc x label, shuffling on the
+    neighbor key) + one groupBy on the node key — the same skinny
+    co-partitioned iteration family as pagerank/katz. The sorted-concat
+    agg is bounded per node by its typed degree; hub rows ride the same
+    AQE skew handling as every other groupBy in the engine.
+    """
+    arcs = (
+        triples.select("group_id", "subj", "pred", "obj")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = (
+        arcs.select(
+            "group_id",
+            F.col("subj").alias("node"),
+            F.concat(F.lit(">"), F.col("pred")).alias("rel"),
+            F.col("obj").alias("nbr"),
+        )
+        .unionByName(
+            arcs.select(
+                "group_id",
+                F.col("obj").alias("node"),
+                F.concat(F.lit("<"), F.col("pred")).alias("rel"),
+                F.col("subj").alias("nbr"),
+            )
+        )
+    )
+    verts = (
+        adj.select("group_id", F.col("node").alias("name")).distinct()
+    )
+    labels = verts.withColumn("wl", F.md5(F.lit("wl0")))
+    outs = []
+    for r in range(1, rounds + 1):
+        toks = (
+            adj.join(
+                labels.select(
+                    "group_id", F.col("name").alias("nbr"), F.col("wl").alias("nwl")
+                ),
+                ["group_id", "nbr"],
+            )
+            .select(
+                "group_id",
+                F.col("node").alias("name"),
+                F.concat("rel", F.lit(":"), "nwl").alias("tok"),
+            )
+            .groupBy("group_id", "name")
+            .agg(
+                F.concat_ws(",", F.array_sort(F.collect_list("tok"))).alias("nbrs")
+            )
+        )
+        labels = (
+            labels.join(toks, ["group_id", "name"], "left")
+            .select(
+                "group_id",
+                "name",
+                F.md5(
+                    F.concat_ws("|", "wl", F.coalesce("nbrs", F.lit("")))
+                ).alias("wl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        outs.append(labels.withColumnRenamed("wl", f"wl{r}"))
+    out = outs[0]
+    for nxt in outs[1:]:
+        out = out.join(nxt, ["group_id", "name"])
+    w = Window.partitionBy("group_id", f"wl{rounds}")
+    return out.withColumn(
+        "n_class", F.count(F.lit(1)).over(w).cast("long")
+    )

@@ -309,3 +309,62 @@ def propagate_labels(
             .localCheckpoint(eager=False)
         )
     return cur
+
+
+def community_supergraph(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Community-contracted quotient graph: every LPA community becomes a
+    super-node and the canonical fact edges roll up into weighted
+    super-arcs (n_edges distinct typed arcs, n_pairs distinct entity
+    pairs, n_preds distinct predicates). The standard graph-summarization
+    step for KG exploration at web scale — billions of entity arcs
+    contract to a navigable community map, with the diagonal
+    (comm_src = comm_dst) giving intra-community cohesion and the
+    off-diagonal the inter-community bridges.
+
+    Plan: the community assignment is the same LPA fixpoint the
+    kg_communities oracle pins; contraction is two equi-joins of the
+    skinny (src, dst, pred) arc list onto the assignment (shuffles on
+    the entity key both times, AQE-skew-handled) + one partial-agg'd
+    groupBy on the community pair — no self-joins, no windows.
+    Community uuids are the md5 anchor scheme of build_communities, so
+    super-nodes join 1:1 against the communities table.
+    """
+    labels = label_propagation(nodes, edges)
+    agg = labels.groupBy("group_id", "community").agg(
+        F.min("uuid").alias("anchor_uuid")
+    )
+    asg = labels.join(agg, ["group_id", "community"]).select(
+        "group_id",
+        "uuid",
+        F.md5(
+            F.concat_ws("|", F.lit("community"), "group_id", "anchor_uuid")
+        ).alias("cuuid"),
+    )
+    arcs = edges.select(
+        "group_id",
+        F.col("source_node_uuid").alias("src"),
+        F.col("target_node_uuid").alias("dst"),
+        F.col("name").alias("pred"),
+    ).distinct()
+    return (
+        arcs.join(
+            asg.select("group_id", F.col("uuid").alias("src"), F.col("cuuid").alias("comm_src")),
+            ["group_id", "src"],
+        )
+        .join(
+            asg.select("group_id", F.col("uuid").alias("dst"), F.col("cuuid").alias("comm_dst")),
+            ["group_id", "dst"],
+        )
+        .groupBy("group_id", "comm_src", "comm_dst")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("src", "dst").alias("n_pairs"),
+            F.countDistinct("pred").alias("n_preds"),
+        )
+        .select(
+            "group_id", "comm_src", "comm_dst",
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("n_preds").cast("long").alias("n_preds"),
+        )
+    )

@@ -7078,3 +7078,214 @@ _merge_extra_registries()
 
 def oracle_sql() -> dict[str, str]:
     return {name: fn() for name, fn in ORACLES.items()}
+
+
+# --- Round-4 second wave: structural features & hyperplane LSH -------------
+
+
+def q_kg_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz centrality (fixed 3 iterations, beta = 1/8, integer
+    micro-units) over the canonical directed triple graph — the
+    walk-counting importance score that complements kg_pagerank: hubs
+    pass full attenuated weight to every neighbor instead of splitting
+    it, the natural salience for web-crawl coverage."""
+    from .operators.centrality import katz_centrality
+
+    return katz_centrality(q_kg_triples(spark, sf_dir))
+
+
+def _sql_kg_katz() -> str:
+    steps = []
+    for k in range(1, 4):
+        prev = f"x{k - 1}"
+        steps.append(f"""
+x{k} AS (
+  SELECT v.group_id, v.name,
+         CAST(1000000 + coalesce(s.s, 0) AS BIGINT) AS x_u
+  FROM kverts v LEFT JOIN (
+    SELECT e.group_id, e.dst AS name, sum(x.x_u // 8) AS s
+    FROM ke e JOIN {prev} x ON x.group_id = e.group_id AND x.name = e.src
+    GROUP BY 1, 2
+  ) s ON s.group_id = v.group_id AND s.name = v.name
+)""")
+    body = f"""
+, ke AS (
+  SELECT DISTINCT group_id, subj AS src, obj AS dst FROM eds WHERE subj <> obj
+),
+kverts AS (
+  SELECT group_id, src AS name FROM ke UNION SELECT group_id, dst FROM ke
+),
+x0 AS (SELECT group_id, name, CAST(1000000 AS BIGINT) AS x_u FROM kverts),
+{",".join(steps)}
+SELECT v.group_id, v.name,
+       CAST(coalesce(d.indeg, 0) AS BIGINT) AS in_deg,
+       x.x_u AS katz_u
+FROM kverts v
+JOIN x3 x ON x.group_id = v.group_id AND x.name = v.name
+LEFT JOIN (
+  SELECT group_id, dst AS name, count(*) AS indeg FROM ke GROUP BY 1, 2
+) d ON d.group_id = v.group_id AND d.name = v.name"""
+    return _kg_sql(body, with_eds=True)
+
+
+WL_ROUNDS = 2
+
+
+def q_kg_wl_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler-Lehman refinement labels (2 rounds) over the
+    predicate-typed KG: per-entity structural-role hashes + the size of
+    each round-2 class — the WL-kernel node features / GNN
+    expressiveness baseline, bit-reproducible via sorted-multiset md5."""
+    from .operators.centrality import wl_refine
+
+    return wl_refine(q_kg_triples(spark, sf_dir), rounds=WL_ROUNDS)
+
+
+def _sql_kg_wl_labels() -> str:
+    rounds = []
+    for r in range(1, WL_ROUNDS + 1):
+        prev = f"w{r - 1}"
+        rounds.append(f"""
+t{r} AS (
+  SELECT a.group_id, a.node AS name,
+         string_agg(a.rel || ':' || w.wl, ',' ORDER BY a.rel || ':' || w.wl)
+           AS nbrs
+  FROM wadj a JOIN {prev} w ON w.group_id = a.group_id AND w.name = a.nbr
+  GROUP BY 1, 2
+),
+w{r} AS MATERIALIZED (
+  SELECT v.group_id, v.name,
+         md5(w.wl || '|' || coalesce(t.nbrs, '')) AS wl
+  FROM wverts v
+  JOIN {prev} w ON w.group_id = v.group_id AND w.name = v.name
+  LEFT JOIN t{r} t ON t.group_id = v.group_id AND t.name = v.name
+)""")
+    body = f"""
+, warcs AS (SELECT DISTINCT group_id, subj, pred, obj FROM eds),
+wadj AS (
+  SELECT group_id, subj AS node, '>' || pred AS rel, obj AS nbr FROM warcs
+  UNION ALL
+  SELECT group_id, obj, '<' || pred, subj FROM warcs
+),
+wverts AS (SELECT DISTINCT group_id, node AS name FROM wadj),
+w0 AS (SELECT group_id, name, md5('wl0') AS wl FROM wverts),
+{",".join(rounds)}
+SELECT a.group_id, a.name, a.wl AS wl1, b.wl AS wl2,
+       CAST(count(*) OVER (PARTITION BY b.group_id, b.wl) AS BIGINT) AS n_class
+FROM w1 a JOIN w2 b ON b.group_id = a.group_id AND b.name = a.name"""
+    return _kg_sql(body, with_eds=True)
+
+
+def q_kg_supergraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community-contracted quotient graph (graph summarization): LPA
+    communities become super-nodes; canonical typed arcs roll up to
+    weighted super-arcs (n_edges / n_pairs / n_preds). The diagonal is
+    intra-community cohesion, the off-diagonal the bridge map."""
+    from .operators.communities import community_supergraph
+
+    t = _graph(spark, sf_dir)
+    return community_supergraph(t.nodes, t.edges)
+
+
+def _sql_kg_supergraph() -> str:
+    n = LPA_ORACLE_ROUNDS
+    body = communities_ctes() + f"""
+, asg AS (
+  SELECT l.group_id, l.uuid,
+         md5('community|' || l.group_id || '|' || a.anchor_uuid) AS cuuid
+  FROM l{n} l JOIN agg a
+    ON a.group_id = l.group_id AND a.community = l.community
+)
+SELECT ce.group_id, sa.cuuid AS comm_src, sd.cuuid AS comm_dst,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(DISTINCT ce.src || '|' || ce.dst) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT ce.pred) AS BIGINT) AS n_preds
+FROM ce
+JOIN asg sa ON sa.group_id = ce.group_id AND sa.uuid = ce.src
+JOIN asg sd ON sd.group_id = ce.group_id AND sd.uuid = ce.dst
+GROUP BY 1, 2, 3"""
+    return _kg_sql(body, with_eds=True)
+
+
+SH_BITS, SH_BANDS, SH_MAX_HAM, SH_MAX_BUCKET = 48, 6, 10, 1000
+
+
+def q_emb_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH (SimHash) near-duplicate candidate pairs over the
+    embeddings table with exact integer squared-cosine verification —
+    the trainer-free embedding-dedup scale path (vs the IVF cell
+    blocking of doc_embcos_dedup)."""
+    from .operators.ann import simhash_pairs
+
+    emb = ann.read_embeddings(spark, sf_dir)
+    return simhash_pairs(
+        emb, dim=EMB_DIM, n_bits=SH_BITS, n_bands=SH_BANDS,
+        max_ham=SH_MAX_HAM, max_bucket=SH_MAX_BUCKET,
+    )
+
+
+def _sql_emb_simhash() -> str:
+    bpb = SH_BITS // SH_BANDS
+    mask = (1 << bpb) - 1
+    return f"""
+WITH planes AS (
+  SELECT j.j, i.i,
+         CASE WHEN substr(md5('hp|' || j.j || '|' || i.i), 1, 1)
+                   IN ('1','3','5','7','9','b','d','f')
+              THEN -1 ELSE 1 END AS s
+  FROM range({SH_BITS}) j(j), range({EMB_DIM}) i(i)
+),
+qv AS MATERIALIZED (
+  SELECT vec_id AS id, i.i AS i,
+         CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 100) AS BIGINT) AS x
+  FROM embeddings, range({EMB_DIM}) i(i)
+),
+bits AS (
+  SELECT q.id, p.j,
+         CASE WHEN sum(q.x * p.s) >= 0
+              THEN CAST(1 AS BIGINT) << p.j ELSE 0 END AS bitv
+  FROM qv q JOIN planes p ON p.i = q.i
+  GROUP BY q.id, p.j
+),
+sigs AS MATERIALIZED (SELECT id, CAST(sum(bitv) AS BIGINT) AS sig FROM bits GROUP BY 1),
+norms AS (SELECT id, CAST(sum(x * x) AS BIGINT) AS n2 FROM qv GROUP BY 1),
+bands AS (
+  SELECT s.id, s.sig, b.b, (s.sig >> (b.b * {bpb})) & {mask} AS v
+  FROM sigs s, range({SH_BANDS}) b(b)
+),
+ok AS (SELECT b, v FROM bands GROUP BY 1, 2 HAVING count(*) <= {SH_MAX_BUCKET}),
+bandsok AS (SELECT bands.* FROM bands JOIN ok USING (b, v)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, c.id AS id_b, a.sig AS sig_a, c.sig AS sig_b
+  FROM bandsok a JOIN bandsok c
+    ON c.b = a.b AND c.v = a.v AND a.id < c.id
+),
+ham AS (
+  SELECT id_a, id_b, bit_count(xor(sig_a, sig_b)) AS hamming
+  FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= {SH_MAX_HAM}
+),
+dots AS (
+  SELECT h.id_a, h.id_b, h.hamming,
+         CAST(sum(qa.x * qb.x) AS BIGINT) AS dot,
+         max(na.n2) AS na2, max(nb.n2) AS nb2
+  FROM ham h
+  JOIN qv qa ON qa.id = h.id_a
+  JOIN qv qb ON qb.id = h.id_b AND qb.i = qa.i
+  JOIN norms na ON na.id = h.id_a
+  JOIN norms nb ON nb.id = h.id_b
+  GROUP BY 1, 2, 3
+)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming,
+       CAST((CASE WHEN dot < 0 THEN -1 ELSE 1 END)
+            * ((dot * dot * 1000000) // (na2 * nb2)) AS BIGINT) AS cos2s_u
+FROM dots"""
+
+
+QUERIES["kg_katz"] = q_kg_katz
+QUERIES["kg_wl_labels"] = q_kg_wl_labels
+QUERIES["kg_supergraph"] = q_kg_supergraph
+QUERIES["emb_simhash"] = q_emb_simhash
+ORACLES["kg_katz"] = _sql_kg_katz
+ORACLES["kg_wl_labels"] = _sql_kg_wl_labels
+ORACLES["kg_supergraph"] = _sql_kg_supergraph
+ORACLES["emb_simhash"] = _sql_emb_simhash
