@@ -1630,3 +1630,83 @@ def c4_page_filters(cleaned_pages: DataFrame) -> DataFrame:
             & (F.col("has_brace") == 0)
         ).cast("int"),
     )
+
+
+# RAKE candidate-phrase boundary stopwords (function words; fixed list so
+# the DuckDB oracle can embed the identical set)
+RAKE_STOPS = (
+    "a", "about", "after", "all", "an", "and", "any", "are", "as", "at",
+    "be", "but", "by", "can", "for", "from", "has", "have", "in", "into",
+    "is", "it", "its", "of", "on", "or", "that", "the", "their", "this",
+    "to", "was", "were", "which", "will", "with",
+)
+
+
+def rake_keyphrases(docs: DataFrame, top_k: int = 3) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs between punctuation boundaries;
+    word score = degree/frequency over the document's own phrases
+    (degree = summed length of every phrase the word appears in); a
+    phrase scores the sum of its words' scores. Top-k per document by
+    (score desc, phrase asc) in exact integer micro-units — the
+    deterministic keyphrase facet of the text-analysis suite
+    (doc_tfidf_terms is corpus-relative; RAKE is document-local and
+    multi-word).
+
+    Plan shape: two nested posexplodes (punctuation segments, then
+    tokens) keep everything JVM-side; phrase assembly is the classic
+    gaps-and-islands run id (pos - row_number) + one sorted-struct
+    collect per phrase; scoring is two skinny (doc, token) aggs; top-k
+    is a per-doc window, never global. Every shuffle is keyed by doc_id
+    (+ segment/run), so the whole operator scales with documents, not
+    with any corpus-global state.
+    """
+    segs = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), "[^a-z0-9 ]+")).alias(
+            "seg_idx", "seg"
+        ),
+    )
+    toks = segs.select(
+        "doc_id",
+        "seg_idx",
+        F.posexplode(F.expr("regexp_extract_all(seg, '[a-z0-9]+', 0)")).alias(
+            "pos", "tok"
+        ),
+    )
+    ns = toks.where(~F.col("tok").isin(*RAKE_STOPS)).withColumn(
+        "run",
+        F.col("pos")
+        - F.row_number().over(
+            Window.partitionBy("doc_id", "seg_idx").orderBy("pos")
+        ),
+    )
+    ph = ns.groupBy("doc_id", "seg_idx", "run").agg(
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok)"),
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    words = ns.join(ph, ["doc_id", "seg_idx", "run"])
+    ws = words.groupBy("doc_id", "tok").agg(
+        F.expr("(sum(plen) * 1000000) div count(1)").alias("wscore_u")
+    )
+    phsc = (
+        words.join(ws, ["doc_id", "tok"])
+        .groupBy("doc_id", "seg_idx", "run", "phrase")
+        .agg(F.sum("wscore_u").alias("score_u"))
+        .groupBy("doc_id", "phrase")
+        .agg(F.max("score_u").alias("score_u"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_u"), F.asc("phrase"))
+    return (
+        phsc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            "phrase",
+            F.col("score_u").cast("long").alias("score_u"),
+        )
+    )

@@ -572,3 +572,115 @@ def ir_eval(
             ],
         )
     )
+
+
+def bm25_prf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    text_col: str,
+    fb_k: int = 5,
+    n_exp: int = 3,
+    k: int = DEFAULT_SEARCH_LIMIT,
+) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (Rocchio / RM3-lite): BM25
+    pass 1 takes the top fb_k docs per query as assumed-relevant
+    feedback, the n_exp highest-weighted non-query terms of those docs
+    (weight = feedback term frequency x integer idf) expand the query,
+    and BM25 pass 2 ranks with the expanded term set — the classic
+    recall lever when query vocabulary and document vocabulary diverge
+    (Lavrenko & Croft 2001; unit expansion weight, i.e. Rocchio with
+    beta = 1).
+
+    Determinism: idf_u = floor(ln(1 + (N - df + 0.5)/(df + 0.5)) * 1e6)
+    — the identical float-then-floor recipe the BM25 oracle already
+    proves engine-portable; expansion ties break on term asc.
+
+    Scale plan: the postings (tf) and df tables are built ONCE and
+    persisted — they are the inverted index both passes and the
+    expansion read (at 100 TB this is the persisted index table, the
+    whole point of PRF being cheap); pass-1/expansion/pass-2 each add
+    only skinny query-keyed joins and bounded per-query top-k windows.
+    """
+    docs = corpus.select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("toks")
+    ).withColumn("dl", F.size("toks"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    tf = (
+        docs.select("doc", "dl", F.explode("toks").alias("term"))
+        .groupBy("doc", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).persist()
+    qterms = queries.select(
+        "query_id", F.explode(F.array_distinct(tokens("query"))).alias("term")
+    )
+
+    def _score(qt: DataFrame, topk: int) -> DataFrame:
+        scored = (
+            tf.join(F.broadcast(qt), "term")
+            .join(dfreq, "term")
+            .crossJoin(F.broadcast(stats))
+            .withColumn(
+                "idf",
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                ),
+            )
+            .withColumn(
+                "w",
+                F.col("idf")
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1
+                    * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                ),
+            )
+            .withColumn("w_u", F.floor(F.col("w") * 1000000).cast("long"))
+            .groupBy("query_id", "doc")
+            .agg(F.sum("w_u").alias("score_u"))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("score_u"), F.asc("doc"))
+        return scored.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= topk
+        )
+
+    fb = _score(qterms, fb_k).select("query_id", "doc")
+    # expansion term weight: total feedback tf x integer idf, original
+    # query terms excluded; deterministic top-n_exp per query
+    exp = (
+        tf.join(fb, "doc")
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf").alias("tsum"))
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf_u",
+            F.floor(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * 1000000
+            ).cast("long"),
+        )
+        .withColumn("rel_u", F.col("tsum") * F.col("idf_u"))
+        .join(qterms, ["query_id", "term"], "left_anti")
+    )
+    we = Window.partitionBy("query_id").orderBy(F.desc("rel_u"), F.asc("term"))
+    exp_terms = (
+        exp.withColumn("r", F.row_number().over(we))
+        .where(F.col("r") <= n_exp)
+        .select("query_id", "term")
+    )
+    q2 = qterms.unionByName(exp_terms).distinct()
+    out = _score(q2, k).select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.col("doc").alias(id_col),
+        "score_u",
+    )
+    return out

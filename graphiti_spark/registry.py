@@ -7289,3 +7289,76 @@ ORACLES["kg_katz"] = _sql_kg_katz
 ORACLES["kg_wl_labels"] = _sql_kg_wl_labels
 ORACLES["kg_supergraph"] = _sql_kg_supergraph
 ORACLES["emb_simhash"] = _sql_emb_simhash
+
+
+RAKE_TOP_K = 3
+
+
+def q_doc_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrases per document (degree/frequency word scores over
+    stopword-delimited candidate phrases, integer micro-units, top-3) —
+    the document-local multi-word counterpart of doc_tfidf_terms."""
+    from .operators.docs import rake_keyphrases
+
+    return rake_keyphrases(docs.read_documents(spark, sf_dir), top_k=RAKE_TOP_K)
+
+
+def _sql_doc_keyphrases() -> str:
+    from .operators.docs import RAKE_STOPS
+
+    stops = ", ".join(f"'{s}'" for s in RAKE_STOPS)
+    return f"""
+WITH segs AS (
+  SELECT doc_id, generate_subscripts(a, 1) AS seg_idx, unnest(a) AS seg
+  FROM (SELECT doc_id,
+               regexp_split_to_array(lower(text), '[^a-z0-9 ]+') AS a
+        FROM documents)
+),
+toks AS (
+  SELECT doc_id, seg_idx, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+  FROM (SELECT doc_id, seg_idx,
+               regexp_extract_all(seg, '[a-z0-9]+') AS t
+        FROM segs)
+),
+ns AS (
+  SELECT *,
+         pos - row_number() OVER (PARTITION BY doc_id, seg_idx ORDER BY pos)
+           AS run
+  FROM toks WHERE tok NOT IN ({stops})
+),
+ph AS (
+  SELECT doc_id, seg_idx, run,
+         string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         count(*) AS plen
+  FROM ns GROUP BY 1, 2, 3
+),
+words AS (
+  SELECT n.doc_id, n.seg_idx, n.run, n.tok, p.plen, p.phrase
+  FROM ns n JOIN ph p USING (doc_id, seg_idx, run)
+),
+ws AS (
+  SELECT doc_id, tok, (sum(plen) * 1000000) // count(*) AS wscore_u
+  FROM words GROUP BY 1, 2
+),
+phsc AS (
+  SELECT doc_id, phrase, max(score_u) AS score_u FROM (
+    SELECT w.doc_id, w.seg_idx, w.run, w.phrase,
+           sum(s.wscore_u) AS score_u
+    FROM words w
+    JOIN ws s ON s.doc_id = w.doc_id AND s.tok = w.tok
+    GROUP BY 1, 2, 3, 4
+  ) GROUP BY 1, 2
+),
+rk AS (
+  SELECT doc_id, phrase, score_u,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_u DESC, phrase) AS rank
+  FROM phsc
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, phrase,
+       CAST(score_u AS BIGINT) AS score_u
+FROM rk WHERE rank <= {RAKE_TOP_K}"""
+
+
+QUERIES["doc_keyphrases"] = q_doc_keyphrases
+ORACLES["doc_keyphrases"] = _sql_doc_keyphrases

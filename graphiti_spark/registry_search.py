@@ -1502,3 +1502,80 @@ SEARCH_ORACLES: dict[str, Callable[[], str]] = {
     "kg_sorted_neighborhood": _sql_kg_sorted_neighborhood,
     "kg_type_propagation": _sql_kg_type_propagation,
 }
+
+
+# --- pseudo-relevance feedback (RM3-lite query expansion) ------------------
+
+PRF_FB_K, PRF_N_EXP, PRF_K = 5, 3, 10
+
+
+def q_search_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval: BM25 top-5 feedback docs per
+    query donate their 3 highest (feedback-tf x idf) non-query terms,
+    and the expanded term set is rescored — the classic recall lever
+    when query and document vocabulary diverge. Shares one persisted
+    postings table across both passes."""
+    qs = search.make_queries_df(spark, DOC_QUERIES)
+    return search.bm25_prf_topk(
+        _documents(spark, sf_dir), qs, "doc_id", "text",
+        fb_k=PRF_FB_K, n_exp=PRF_N_EXP, k=PRF_K,
+    )
+
+
+_BM25_SCORE_SQL = """
+  SELECT q.query_id, t.doc,
+         CAST(sum(CAST(floor(
+           (ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+            * (t.tf * 2.2)
+            / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl))) * 1000000
+         ) AS BIGINT)) AS BIGINT) AS score_u
+  FROM tf t
+  JOIN {qt} q USING (term)
+  JOIN dfreq d USING (term)
+  CROSS JOIN stats s
+  GROUP BY 1, 2"""
+
+
+def _sql_search_prf() -> str:
+    return f"""
+WITH {_BM25_CTES.lstrip()},
+fb AS (SELECT query_id, doc FROM ranked WHERE rank <= {PRF_FB_K}),
+expw AS (
+  SELECT f.query_id, t.term, sum(t.tf) AS tsum,
+         CAST(floor(ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) * 1000000)
+              AS BIGINT) AS idf_u
+  FROM tf t
+  JOIN fb f ON f.doc = t.doc
+  JOIN dfreq d USING (term)
+  CROSS JOIN stats s
+  GROUP BY 1, 2, d.df, s.n
+),
+expf AS (
+  SELECT query_id, term FROM (
+    SELECT e.query_id, e.term,
+           row_number() OVER (PARTITION BY e.query_id
+                              ORDER BY e.tsum * e.idf_u DESC, e.term) AS r
+    FROM expw e
+    WHERE NOT EXISTS (SELECT 1 FROM qterms q
+                      WHERE q.query_id = e.query_id AND q.term = e.term)
+  ) WHERE r <= {PRF_N_EXP}
+),
+q2 AS (
+  SELECT query_id, term FROM qterms
+  UNION
+  SELECT query_id, term FROM expf
+),
+scored2 AS ({_BM25_SCORE_SQL.format(qt="q2")}
+),
+ranked2 AS (
+  SELECT query_id, doc, score_u,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_u DESC, doc) AS rank
+  FROM scored2
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc AS doc_id, score_u
+FROM ranked2 WHERE rank <= {PRF_K}"""
+
+
+SEARCH_QUERIES["search_prf"] = q_search_prf
+SEARCH_ORACLES["search_prf"] = _sql_search_prf
