@@ -1710,3 +1710,58 @@ def rake_keyphrases(docs: DataFrame, top_k: int = 3) -> DataFrame:
             F.col("score_u").cast("long").alias("score_u"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame, n: int = 3, top: int = 20, max_df_frac: float = 0.02
+) -> DataFrame:
+    """Top ASYMMETRIC near-duplicate pairs by shingle containment
+    C(A,B) = |A∩B| / min(|A|,|B|) (Broder 1997's containment, the
+    measure Jaccard misses when a short document is embedded inside a
+    long one — quote extraction, boilerplate-wrapped syndication; a
+    10-shingle quote inside a 1000-shingle page has J≈0.01 but C=1.0).
+
+    Same plan family and skew guards as ngram_jaccard_pairs: hashed
+    shingles, relative document-frequency cap before the self-join (the
+    quadratic guard), one equi-join + pair groupBy, global top-k via
+    TakeOrderedAndProject. Containment is computed over the df-kept
+    shingle space on both engines identically. `contained` names the
+    smaller-side doc (tie -> doc_a)."""
+    sh = _shingles(docs, n).select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    nd = docs.select(F.countDistinct("doc_id").alias("nd"))
+    thr = F.expr(f"greatest(2L, cast(floor(nd * {max_df_frac}) as bigint))")
+    df_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(nd))
+        .where(F.col("df") <= thr)
+        .select("shingle")
+    )
+    sh = sh.join(df_ok, "shingle").localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment_u", F.expr("(shared * 1000000L) div least(n_a, n_b)")
+        )
+        .withColumn(
+            "contained",
+            F.expr("CASE WHEN n_b < n_a THEN doc_b ELSE doc_a END"),
+        )
+        .select("doc_a", "doc_b", "shared", "containment_u", "contained")
+        .orderBy(F.desc("containment_u"), "doc_a", "doc_b")
+        .limit(top)
+    )

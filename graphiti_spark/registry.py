@@ -7362,3 +7362,48 @@ FROM rk WHERE rank <= {RAKE_TOP_K}"""
 
 QUERIES["doc_keyphrases"] = q_doc_keyphrases
 ORACLES["doc_keyphrases"] = _sql_doc_keyphrases
+
+
+def q_doc_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment near-dup pairs (Broder 1997):
+    catches a short doc embedded in a long one where Jaccard stays near
+    zero — the quote/syndication case of the dedup suite."""
+    from .operators.docs import containment_pairs
+
+    return containment_pairs(docs.read_documents(spark, sf_dir))
+
+
+def _sql_doc_containment() -> str:
+    return """
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 0) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')))) AS shingle
+  FROM tok
+),
+ok AS (SELECT shingle FROM sh GROUP BY shingle
+       HAVING count(*) <= (SELECT greatest(2, CAST(floor(count(DISTINCT doc_id) * 0.02) AS BIGINT))
+                           FROM documents)),
+sh2 AS (SELECT sh.* FROM sh JOIN ok USING (shingle)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh2 GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.doc_a, s.doc_b, s.shared,
+       (s.shared * 1000000) // least(sa.n_sh, sb.n_sh) AS containment_u,
+       CASE WHEN sb.n_sh < sa.n_sh THEN s.doc_b ELSE s.doc_a END AS contained
+FROM shared s
+JOIN sizes sa ON sa.doc_id = s.doc_a
+JOIN sizes sb ON sb.doc_id = s.doc_b
+ORDER BY containment_u DESC, s.doc_a, s.doc_b
+LIMIT 20"""
+
+
+QUERIES["doc_containment"] = q_doc_containment
+ORACLES["doc_containment"] = _sql_doc_containment

@@ -53,3 +53,27 @@ def test_rake_is_document_local(spark):
     d1 = sorted((r["rank"], r["phrase"], r["score_u"]) for r in out if r["doc_id"] == 1)
     d2 = sorted((r["rank"], r["phrase"], r["score_u"]) for r in out if r["doc_id"] == 2)
     assert d1 == d2 and len(d1) >= 1
+
+
+def test_containment_catches_embedded_quote(spark):
+    from graphiti_spark.operators.docs import containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    long_doc = (
+        "unrelated opening paragraph discussing markets and weather. "
+        + quote
+        + " closing analysis section mentions other topics entirely here "
+        + "with several additional sentences padding the document length "
+        + "so the jaccard similarity stays low while containment is total"
+    )
+    docs = spark.createDataFrame(
+        [(1, quote), (2, long_doc), (3, "completely different content about trains")],
+        "doc_id long, text string",
+    )
+    out = containment_pairs(docs, max_df_frac=1.0).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in out}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r["containment_u"] == 1_000_000  # quote fully contained
+    assert r["contained"] == 1  # the smaller doc is the contained side
+    assert (1, 3) not in pairs
