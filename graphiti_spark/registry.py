@@ -7407,3 +7407,32 @@ LIMIT 20"""
 
 QUERIES["doc_containment"] = q_doc_containment
 ORACLES["doc_containment"] = _sql_doc_containment
+
+
+MOTIF_PATTERN = "(a)-[LIKES]->(b); (b)-[*]->(c)"
+
+
+def q_kg_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motif query surface (operators/motifs.py): the onward-relation
+    pattern (a)-[LIKES]->(b); (b)-[*]->(c) — who do the people a likes
+    relate to, and how — compiled from the pattern string to connected
+    equi-joins; the wildcard binds the second predicate as column p1;
+    all node variables pairwise distinct."""
+    from .operators.motifs import match_motif
+
+    return match_motif(q_kg_triples(spark, sf_dir), MOTIF_PATTERN)
+
+
+def _sql_kg_motifs() -> str:
+    body = """
+, m AS (SELECT DISTINCT group_id, subj, pred, obj FROM eds)
+SELECT t1.group_id, t1.subj AS a, t1.obj AS b, t2.obj AS c, t2.pred AS p1
+FROM m t1
+JOIN m t2 ON t2.group_id = t1.group_id AND t2.subj = t1.obj
+WHERE t1.pred = 'LIKES'
+  AND t1.subj <> t1.obj AND t1.subj <> t2.obj AND t1.obj <> t2.obj"""
+    return _kg_sql(body, with_eds=True)
+
+
+QUERIES["kg_motifs"] = q_kg_motifs
+ORACLES["kg_motifs"] = _sql_kg_motifs
