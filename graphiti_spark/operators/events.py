@@ -366,3 +366,61 @@ def session_baskets(
             .alias("lift_u"),
         )
     )
+
+
+def stationary_distribution(events: DataFrame, iters: int = 4) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain (the
+    long-run share of time the behavioral process spends in each state)
+    by fixed-iteration integer power method over the same transition
+    counts as type_transitions:
+
+        pi_0(s)   = 1e6 div |states|
+        pi_k+1(s) = sum_t (pi_k(t) * n(t->s)) div n_from(t)
+
+    Multiply-then-divide per term keeps precision and stays identical
+    in Spark `div` and DuckDB `//`; mass lost to flooring is not
+    renormalized (the recurrence stays a pure integer function). States
+    with no outgoing steps simply stop contributing — the standard
+    substochastic treatment.
+
+    Scale: the transition matrix is |types|^2 rows (vocab-bounded, tiny
+    at any corpus size) — each iteration is one broadcast-sized join;
+    the only corpus-scaled work is the per-user lead() window shared
+    with type_transitions.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .where(F.col("next_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = steps.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    trans = steps.join(tot, "prev_type").localCheckpoint(eager=True)
+    states = (
+        trans.select(F.col("prev_type").alias("state"))
+        .unionByName(trans.select(F.col("next_type").alias("state")))
+        .distinct()
+    )
+    n_states = states.agg(F.count(F.lit(1)).alias("ns"))
+    pi = states.crossJoin(F.broadcast(n_states)).select(
+        "state", F.expr("1000000L div ns").alias("pi_u")
+    )
+    for _ in range(iters):
+        pi = (
+            trans.join(
+                pi.select(F.col("state").alias("prev_type"), "pi_u"), "prev_type"
+            )
+            .groupBy(F.col("next_type").alias("state"))
+            .agg(F.sum(F.expr("(pi_u * n) div n_from")).alias("pi_u"))
+            .join(states, "state", "right")
+            .na.fill(0, ["pi_u"])
+            .localCheckpoint(eager=True)
+        )
+    return pi.select("state", F.col("pi_u").cast("long").alias("pi_u"))

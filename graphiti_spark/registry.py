@@ -7436,3 +7436,91 @@ WHERE t1.pred = 'LIKES'
 
 QUERIES["kg_motifs"] = q_kg_motifs
 ORACLES["kg_motifs"] = _sql_kg_motifs
+
+
+MOTIF_NEG_PATTERN = "(a)-[WORKS_AT]->(o); (b)-[WORKS_AT]->(o); !(a)-[LIKES]->(b)"
+
+
+def q_kg_motifs_neg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negated motif: colleague pairs (shared employer wedge) with NO
+    LIKES arc a->b — the absence-of-edge pattern (Cypher WHERE NOT
+    EXISTS) compiled to a left-anti join by operators/motifs.py."""
+    from .operators.motifs import match_motif
+
+    return match_motif(q_kg_triples(spark, sf_dir), MOTIF_NEG_PATTERN)
+
+
+def _sql_kg_motifs_neg() -> str:
+    body = """
+, m AS (SELECT DISTINCT group_id, subj, pred, obj FROM eds)
+SELECT t1.group_id, t1.subj AS a, t1.obj AS o, t2.subj AS b
+FROM m t1
+JOIN m t2 ON t2.group_id = t1.group_id AND t2.pred = 'WORKS_AT'
+         AND t2.obj = t1.obj
+WHERE t1.pred = 'WORKS_AT'
+  AND NOT EXISTS (SELECT 1 FROM m n
+                  WHERE n.group_id = t1.group_id AND n.pred = 'LIKES'
+                    AND n.subj = t1.subj AND n.obj = t2.subj)
+  AND t1.subj <> t2.subj AND t1.subj <> t1.obj AND t2.subj <> t1.obj"""
+    return _kg_sql(body, with_eds=True)
+
+
+QUERIES["kg_motifs_neg"] = q_kg_motifs_neg
+ORACLES["kg_motifs_neg"] = _sql_kg_motifs_neg
+
+
+STAT_ITERS = 4
+
+
+def q_evt_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain (integer
+    power method, 4 fixed iterations over the vocab-bounded transition
+    matrix) — the long-run state-share companion of evt_transitions."""
+    from .operators import events as ev
+
+    return ev.stationary_distribution(ev.read_events(spark, sf_dir), iters=STAT_ITERS)
+
+
+def _sql_evt_stationary() -> str:
+    rounds = []
+    for k in range(1, STAT_ITERS + 1):
+        prev = f"pi{k - 1}"
+        rounds.append(f"""
+pi{k} AS (
+  SELECT s.state, coalesce(m.pi_u, 0) AS pi_u
+  FROM states s LEFT JOIN (
+    SELECT c.next_type AS state,
+           sum((p.pi_u * c.n) // t.n_from) AS pi_u
+    FROM c
+    JOIN tot t ON t.prev_type = c.prev_type
+    JOIN {prev} p ON p.state = c.prev_type
+    GROUP BY 1
+  ) m ON m.state = s.state
+)""")
+    return f"""
+WITH steps AS (
+  SELECT event_type AS prev_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, next_type, count(*) AS n FROM steps
+  WHERE next_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT prev_type, sum(n) AS n_from FROM c GROUP BY 1),
+states AS (
+  SELECT prev_type AS state FROM c
+  UNION
+  SELECT next_type FROM c
+),
+pi0 AS (
+  SELECT state,
+         1000000 // (SELECT count(*) FROM states) AS pi_u
+  FROM states
+),{",".join(rounds)}
+SELECT state, CAST(pi_u AS BIGINT) AS pi_u FROM pi{STAT_ITERS}"""
+
+
+QUERIES["evt_stationary"] = q_evt_stationary
+ORACLES["evt_stationary"] = _sql_evt_stationary

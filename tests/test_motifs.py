@@ -5,6 +5,7 @@ distinct-vars rule on crafted graphs)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from graphiti_spark.operators.motifs import match_motif, parse_motif
 
@@ -66,3 +67,76 @@ def test_motif_self_match_suppressed_unless_allowed(spark):
         distinct_vars=False,
     ).collect()
     assert len(loose) == 1  # self-loop admitted only when asked
+
+
+def test_motif_negation_absence_of_edge(spark):
+    # colleagues (shared employer) who do NOT like each other
+    t = _triples(
+        spark,
+        [
+            ("ann", "WORKS_AT", "acme"),
+            ("bob", "WORKS_AT", "acme"),
+            ("eve", "WORKS_AT", "acme"),
+            ("ann", "LIKES", "bob"),
+        ],
+    )
+    out = match_motif(
+        t, "(a)-[WORKS_AT]->(o); (b)-[WORKS_AT]->(o); !(a)-[LIKES]->(b)"
+    ).collect()
+    pairs = {(r["a"], r["b"]) for r in out}
+    assert ("ann", "bob") not in pairs  # the liking pair is excluded
+    assert ("bob", "ann") in pairs  # likes is directed; reverse absent
+    assert ("ann", "eve") in pairs and ("eve", "ann") in pairs
+
+
+def test_motif_negation_wildcard_means_no_arc_at_all(spark):
+    t = _triples(
+        spark,
+        [("a", "KNOWS", "b"), ("b", "KNOWS", "c"), ("a", "DISLIKES", "c"),
+         ("x", "KNOWS", "y"), ("y", "KNOWS", "z")],
+    )
+    out = match_motif(
+        t, "(p)-[KNOWS]->(q); (q)-[KNOWS]->(r); !(p)-[*]->(r)"
+    ).collect()
+    assert [(r["p"], r["r"]) for r in out] == [("x", "z")]
+
+
+def test_motif_negation_requires_bound_vars_and_a_positive_term(spark):
+    t = _triples(spark, [("a", "R", "b")])
+    with pytest.raises(ValueError, match="unbound"):
+        match_motif(t, "(a)-[R]->(b); !(a)-[R]->(zzz)")
+    with pytest.raises(ValueError, match="positive"):
+        match_motif(t, "!(a)-[R]->(b)")
+
+
+def test_stationary_absorbing_chain(spark):
+    from graphiti_spark.operators.events import stationary_distribution
+
+    # a -> b -> b ... : b absorbs all mass; integer recurrence keeps b
+    # at ~1e6 and a at 0 after round 1 (a has no incoming steps)
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "a"),
+        (2, "2024-01-01 00:01:00", 1, "b"),
+        (3, "2024-01-01 00:02:00", 1, "b"),
+        (4, "2024-01-01 00:03:00", 1, "b"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["state"]: r["pi_u"] for r in stationary_distribution(ev).collect()}
+    assert out["a"] == 0
+    assert out["b"] == 1_000_000  # 500000 (from a) + 500000 (self-loop)
+
+
+def test_stationary_two_state_flip_flop(spark):
+    from graphiti_spark.operators.events import stationary_distribution
+
+    # a <-> b alternating: uniform is the exact fixpoint
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", 1, "ab"[i % 2]) for i in range(6)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r["state"]: r["pi_u"] for r in stationary_distribution(ev).collect()}
+    assert out["a"] == out["b"] == 500_000
