@@ -83,7 +83,10 @@ def _join_order(pos: list[int], terms: list[tuple[bool, str, str, str]]) -> list
 
 
 def match_motif(
-    triples: DataFrame, pattern: str, distinct_vars: bool = True
+    triples: DataFrame,
+    pattern: str,
+    distinct_vars: bool = True,
+    time_ordered: bool = False,
 ) -> DataFrame:
     """Match a conjunctive edge pattern against the (group_id, subj,
     pred, obj) triples. Returns one row per embedding: group_id, one
@@ -92,9 +95,19 @@ def match_motif(
     joins); their variables must be bound by the positive terms.
     distinct_vars=True additionally requires all node variables to bind
     pairwise-distinct entities (standard motif semantics; prevents the
-    degenerate self-matches)."""
+    degenerate self-matches).
+
+    time_ordered=True makes this a TEMPORAL motif (Paranjape et al.,
+    WSDM 2017 semantics on fact validity): every positive term binds
+    its edge's valid_at as t<i>, and embeddings must satisfy
+    t0 <= t1 <= ... in the pattern's WRITTEN order (facts with NULL
+    valid_at cannot witness a time-ordered pattern). The time columns
+    stay in the output for downstream delta analysis."""
     terms = parse_motif(pattern)
-    base = triples.select("group_id", "subj", "pred", "obj").distinct()
+    cols = ["group_id", "subj", "pred", "obj"] + (
+        ["valid_at"] if time_ordered else []
+    )
+    base = triples.select(*cols).distinct()
     pos = [i for i, t in enumerate(terms) if not t[0]]
     neg = [i for i, t in enumerate(terms) if t[0]]
 
@@ -119,6 +132,9 @@ def match_motif(
                 cols.append(F.col("pred").alias(f"p{i}"))
         else:
             t = t.where(F.col("pred") == p)
+        if time_ordered and with_pred_col:
+            t = t.where(F.col("valid_at").isNotNull())
+            cols.append(F.col("valid_at").alias(f"t{i}"))
         return t.select(*cols)
 
     order = _join_order(pos, terms)
@@ -136,6 +152,9 @@ def match_motif(
             ["group_id", sv, dv],
             "left_anti",
         )
+    if time_ordered:
+        for prev, cur in zip(pos, pos[1:]):
+            out = out.where(F.col(f"t{prev}") <= F.col(f"t{cur}"))
     if distinct_vars:
         vars_ = sorted(pos_vars)
         for i in range(len(vars_)):

@@ -7524,3 +7524,39 @@ SELECT state, CAST(pi_u AS BIGINT) AS pi_u FROM pi{STAT_ITERS}"""
 
 QUERIES["evt_stationary"] = q_evt_stationary
 ORACLES["evt_stationary"] = _sql_evt_stationary
+
+
+MOTIF_TEMPORAL_PATTERN = "(a)-[LIKES]->(b); (b)-[LIKES]->(c)"
+
+
+def q_kg_motifs_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-ordered motif (temporal BGP, Paranjape et al. 2017
+    semantics on fact validity): LIKES chains a->b->c where the second
+    fact became valid no earlier than the first — influence-cascade
+    candidates rather than mere structural chains."""
+    from .operators.motifs import match_motif
+
+    return match_motif(
+        q_kg_triples(spark, sf_dir), MOTIF_TEMPORAL_PATTERN, time_ordered=True
+    )
+
+
+def _sql_kg_motifs_temporal() -> str:
+    body = """
+, m AS (
+  SELECT DISTINCT group_id, subj, pred, obj, valid_at FROM eds
+  WHERE valid_at IS NOT NULL
+)
+SELECT t1.group_id, t1.subj AS a, t1.obj AS b, t1.valid_at AS t0,
+       t2.obj AS c, t2.valid_at AS t1
+FROM m t1
+JOIN m t2 ON t2.group_id = t1.group_id AND t2.pred = 'LIKES'
+         AND t2.subj = t1.obj
+WHERE t1.pred = 'LIKES'
+  AND t1.valid_at <= t2.valid_at
+  AND t1.subj <> t1.obj AND t1.subj <> t2.obj AND t1.obj <> t2.obj"""
+    return _kg_sql(body, with_eds=True)
+
+
+QUERIES["kg_motifs_temporal"] = q_kg_motifs_temporal
+ORACLES["kg_motifs_temporal"] = _sql_kg_motifs_temporal

@@ -140,3 +140,23 @@ def test_stationary_two_state_flip_flop(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     out = {r["state"]: r["pi_u"] for r in stationary_distribution(ev).collect()}
     assert out["a"] == out["b"] == 500_000
+
+
+def test_motif_time_ordered_respects_validity_order(spark):
+    rows = [
+        ("g", "a", "LIKES", "b", "2024-01-05 00:00:00"),
+        ("g", "b", "LIKES", "c", "2024-01-06 00:00:00"),  # after a->b: admissible
+        ("g", "b", "LIKES", "d", "2024-01-01 00:00:00"),  # before a->b: excluded
+        ("g", "b", "LIKES", "e", None),  # null validity: cannot witness
+    ]
+    t = spark.createDataFrame(
+        rows, "group_id string, subj string, pred string, obj string, valid_at string"
+    ).withColumn("valid_at", F.to_timestamp("valid_at"))
+    out = match_motif(
+        t, "(x)-[LIKES]->(y); (y)-[LIKES]->(z)", time_ordered=True
+    ).collect()
+    assert [(r["x"], r["y"], r["z"]) for r in out] == [("a", "b", "c")]
+    assert out[0]["t0"] < out[0]["t1"]
+    # without time ordering the reversed chain matches too (nulls allowed)
+    loose = match_motif(t, "(x)-[LIKES]->(y); (y)-[LIKES]->(z)").collect()
+    assert len(loose) == 3
