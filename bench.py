@@ -73,15 +73,29 @@ def run_bench(sf_dir: str, cpus: int, names: list[str]) -> dict:
             # reports raw extracted triples per second
             from graphiti_spark.plans.pipeline import build_graph, triples_view
 
-            registry._GRAPH_CACHE.clear()
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            t = build_graph(spark, sf_dir, replicate=20)
-            triples_view(t).count()
-            dt = time.perf_counter() - t0
-            raw = t.triples_raw.count()
-            timings[name] = round(dt, 3)
-            tput = {"n_raw_triples": raw, "raw_triples_per_sec": round(raw / dt, 1)}
+            # min-of-2: single-shot probes on this substrate swing
+            # 1.3-1.6x with minute-scale neighbor interference invisible
+            # to loadavg (see BENCH.md round-4 continuation); each
+            # attempt rebuilds from cleared caches, so both runs execute
+            # the full DAG honestly and the min is the window-robust
+            # reading
+            attempts = []
+            raw = 0
+            for _ in range(2):
+                registry._GRAPH_CACHE.clear()
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                t = build_graph(spark, sf_dir, replicate=20)
+                triples_view(t).count()
+                attempts.append(round(time.perf_counter() - t0, 3))
+                raw = t.triples_raw.count()
+            dt = min(attempts)
+            timings[name] = dt
+            tput = {
+                "n_raw_triples": raw,
+                "raw_triples_per_sec": round(raw / dt, 1),
+                "throughput_attempts": attempts,
+            }
             registry._GRAPH_CACHE.clear()
             spark.catalog.clearCache()
             continue
