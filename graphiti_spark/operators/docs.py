@@ -1765,3 +1765,112 @@ def containment_pairs(
         .orderBy(F.desc("containment_u"), "doc_a", "doc_b")
         .limit(top)
     )
+
+
+TEXTRANK_DAMP = 85  # damping in integer percent
+TEXTRANK_ITERS = 2
+TEXTRANK_TOP = 2
+
+
+def textrank_sentences(
+    docs: DataFrame,
+    iters: int = TEXTRANK_ITERS,
+    top_k: int = TEXTRANK_TOP,
+    damp_pct: int = TEXTRANK_DAMP,
+) -> DataFrame:
+    """TextRank extractive summarization (Mihalcea & Tarau 2004): per
+    document, sentences are nodes, edge weight = number of shared
+    distinct tokens, and a fixed-iteration integer PageRank picks the
+    top-k most central sentences — the classic deterministic
+    summarization op for building seq2seq training pairs from web text.
+
+        r_0(i)   = 1e6
+        r_k+1(i) = (1e6 * (100-damp)) div 100
+                   + damp * sum_j (r_k(j) * w_ij) div W_j div 100
+
+    (W_j = total outgoing weight of sentence j; divide inside the sum,
+    exact in Spark `div` and DuckDB `//`; sentences sharing no token
+    keep the base mass — the standard dangling treatment.)
+
+    Scale plan: every stage is keyed by doc_id — the sentence-pair
+    similarity join is a (doc, token) equi-join whose fan-out is
+    bounded by sentences-per-document (never corpus-wide), the
+    iteration joins are (doc, sentence)-keyed skinny rows, and top-k is
+    a per-doc window. Corpus-global state: none.
+    """
+    sents = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", "[.!?]+")).alias("sidx", "sent"),
+        )
+        .withColumn("sent", F.trim("sent"))
+        .where(F.length("sent") > 0)
+        .select("doc_id", "sidx")
+        .localCheckpoint(eager=True)
+    )
+    stoks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", "[.!?]+")).alias("sidx", "sent"),
+        )
+        .select(
+            "doc_id",
+            "sidx",
+            F.explode(
+                F.expr(
+                    "array_distinct(regexp_extract_all(lower(sent), '[a-z0-9]+', 0))"
+                )
+            ).alias("tok"),
+        )
+    )
+    a, b = stoks.alias("a"), stoks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.sidx") != F.col("b.sidx")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.sidx").alias("i"),
+            F.col("b.sidx").alias("j"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    wj = pairs.groupBy("doc_id", "j").agg(F.sum("w").alias("wj"))
+    pw = pairs.join(wj, ["doc_id", "j"])
+    base = (1_000_000 * (100 - damp_pct)) // 100
+    r = sents.select("doc_id", "sidx", F.lit(1_000_000).cast("long").alias("r_u"))
+    for _ in range(iters):
+        contrib = (
+            pw.join(
+                r.select("doc_id", F.col("sidx").alias("j"), "r_u"),
+                ["doc_id", "j"],
+            )
+            .groupBy("doc_id", F.col("i").alias("sidx"))
+            .agg(F.sum(F.expr("(r_u * w) div wj")).alias("s"))
+        )
+        r = (
+            sents.join(contrib, ["doc_id", "sidx"], "left")
+            .select(
+                "doc_id",
+                "sidx",
+                F.expr(
+                    f"{base}L + ({damp_pct}L * coalesce(s, 0L)) div 100"
+                ).alias("r_u"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("r_u"), F.asc("sidx"))
+    return (
+        r.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("sidx").cast("long").alias("sent_idx"),
+            F.col("r_u").cast("long").alias("score_u"),
+        )
+    )

@@ -7560,3 +7560,71 @@ WHERE t1.pred = 'LIKES'
 
 QUERIES["kg_motifs_temporal"] = q_kg_motifs_temporal
 ORACLES["kg_motifs_temporal"] = _sql_kg_motifs_temporal
+
+
+def q_doc_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank extractive summaries: top-2 most central sentences per
+    document by fixed-iteration integer PageRank over the shared-token
+    sentence graph (Mihalcea & Tarau 2004) — the deterministic
+    seq2seq-summarization-pair generator of the text suite."""
+    from .operators.docs import textrank_sentences
+
+    return textrank_sentences(docs.read_documents(spark, sf_dir))
+
+
+def _sql_doc_textrank() -> str:
+    from .operators.docs import TEXTRANK_DAMP, TEXTRANK_ITERS, TEXTRANK_TOP
+
+    base = (1_000_000 * (100 - TEXTRANK_DAMP)) // 100
+    rounds = []
+    for k in range(1, TEXTRANK_ITERS + 1):
+        prev = f"r{k - 1}"
+        rounds.append(f"""
+r{k} AS MATERIALIZED (
+  SELECT s.doc_id, s.sidx,
+         {base} + ({TEXTRANK_DAMP} * coalesce(c.s, 0)) // 100 AS r_u
+  FROM sents s LEFT JOIN (
+    SELECT p.doc_id, p.i AS sidx, sum((r.r_u * p.w) // p.wj) AS s
+    FROM pw p JOIN {prev} r ON r.doc_id = p.doc_id AND r.sidx = p.j
+    GROUP BY 1, 2
+  ) c ON c.doc_id = s.doc_id AND c.sidx = s.sidx
+)""")
+    return f"""
+WITH segs AS (
+  SELECT doc_id, generate_subscripts(a, 1) - 1 AS sidx, unnest(a) AS sent
+  FROM (SELECT doc_id, regexp_split_to_array(text, '[.!?]+') AS a
+        FROM documents)
+),
+sents AS MATERIALIZED (
+  SELECT doc_id, sidx FROM segs WHERE length(trim(sent)) > 0
+),
+stoks AS (
+  SELECT DISTINCT doc_id, sidx, unnest(regexp_extract_all(lower(sent), '[a-z0-9]+')) AS tok
+  FROM segs
+),
+prs AS (
+  SELECT a.doc_id, a.sidx AS i, b.sidx AS j, count(*) AS w
+  FROM stoks a JOIN stoks b
+    ON b.doc_id = a.doc_id AND b.tok = a.tok AND b.sidx <> a.sidx
+  GROUP BY 1, 2, 3
+),
+wj AS (SELECT doc_id, j, sum(w) AS wj FROM prs GROUP BY 1, 2),
+pw AS MATERIALIZED (
+  SELECT p.doc_id, p.i, p.j, p.w, t.wj
+  FROM prs p JOIN wj t ON t.doc_id = p.doc_id AND t.j = p.j
+),
+r0 AS (SELECT doc_id, sidx, CAST(1000000 AS BIGINT) AS r_u FROM sents),
+{",".join(rounds)},
+rk AS (
+  SELECT doc_id, sidx, r_u,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY r_u DESC, sidx) AS rank
+  FROM r{TEXTRANK_ITERS}
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank,
+       CAST(sidx AS BIGINT) AS sent_idx, CAST(r_u AS BIGINT) AS score_u
+FROM rk WHERE rank <= {TEXTRANK_TOP}"""
+
+
+QUERIES["doc_textrank"] = q_doc_textrank
+ORACLES["doc_textrank"] = _sql_doc_textrank
