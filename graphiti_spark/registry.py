@@ -4261,7 +4261,10 @@ def q_kg_global_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote = per_obj.groupBy("subj_key", "pred_class").agg(
         F.min("subj").alias("subj"),
         F.count(F.lit(1)).cast("long").alias("n_objs"),
-        F.array_sort(F.collect_list("obj_key")).alias("objs"),
+        # flattened to a comma-joined string: the driver's pandas
+        # canonicalizer cannot sort top-level ARRAY columns (r4 verdict),
+        # same pattern as maintenance.functional_violations
+        F.array_join(F.array_sort(F.collect_list("obj_key")), ",").alias("objs"),
         F.min_by(
             "obj_key",
             F.struct((-F.col("n_obs")).alias("a"), F.col("obj_key").alias("b")),
@@ -6866,7 +6869,7 @@ per_obj AS (
 vote AS (
   SELECT subj_key, pred_class, min(subj) AS subj,
          CAST(count(*) AS BIGINT) AS n_objs,
-         list_sort(list(obj_key)) AS objs,
+         array_to_string(list_sort(list(obj_key)), ',') AS objs,
          arg_min(obj_key, {vote_key}) AS majority_obj,
          CAST(max(n_obs) AS BIGINT) AS majority_support,
          CAST(sum(n_obs) AS BIGINT) AS total_support

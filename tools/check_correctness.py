@@ -30,6 +30,16 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def driver_canon_probe(df: pd.DataFrame) -> None:
+    """Mimic the driver gate's canonicalizer, which sort_values over the
+    RAW columns (no str coercion). Top-level ARRAY/MAP/STRUCT results come
+    back as list/dict cells, which pandas cannot factorize — the driver
+    dies with `TypeError: unhashable type: 'list'` (r4: kg_global_conflicts).
+    Raising the same error locally keeps local-green == driver-green."""
+    if len(df):
+        df.sort_values(by=list(df.columns), kind="stable")
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     for c in df.columns:
@@ -70,6 +80,21 @@ def main() -> int:
                 failures.append(name)
             continue
         oracle_df = con.execute(oracles[name]).df()
+        try:
+            driver_canon_probe(spark_df)
+            driver_canon_probe(oracle_df)
+        except TypeError as exc:
+            print(f"{name:>20}: FAIL driver-canon probe: {exc}")
+            results[name] = {
+                "status": "FAIL",
+                "rows_spark": len(spark_df),
+                "rows_oracle": len(oracle_df),
+                "cols_match": None,
+                "values_match": None,
+                "err": f"driver-canon probe: {exc}",
+            }
+            failures.append(name)
+            continue
         a, b = normalize(spark_df), normalize(oracle_df)
         ok_rows = len(a) == len(b)
         ok_cols = list(a.columns) == list(b.columns)
