@@ -92,8 +92,10 @@ NODE_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig("nodes", "cross_encoder")
 NODE_HYBRID_SEARCH_PAGERANK = SearchConfig("nodes", "pagerank")
 NODE_HYBRID_SEARCH_CLOSENESS = SearchConfig("nodes", "closeness")
 COMBINED_HYBRID_SEARCH_RRF = SearchConfig("combined", "rrf")
+COMBINED_HYBRID_SEARCH_MMR = SearchConfig("combined", "mmr")
 COMBINED_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig("combined", "cross_encoder")
 COMMUNITY_HYBRID_SEARCH_RRF = SearchConfig("communities", "rrf")
+COMMUNITY_HYBRID_SEARCH_MMR = SearchConfig("communities", "mmr")
 COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER = SearchConfig("communities", "cross_encoder")
 
 

@@ -54,6 +54,55 @@ def test_combined_scope(g):
     assert len(out) > 0
 
 
+def test_all_reference_recipe_names_importable():
+    """Every recipe constant the reference exports
+    (search_config_recipes.py:31-194, 16 names) must be importable
+    by the same name — a user porting recipe-by-name code gets no
+    ImportError."""
+    import graphiti_spark.api as api
+
+    names = [
+        f"{scope}_HYBRID_SEARCH_{r}"
+        for scope, rs in (
+            ("EDGE", ["RRF", "MMR", "NODE_DISTANCE", "EPISODE_MENTIONS",
+                      "CROSS_ENCODER"]),
+            ("NODE", ["RRF", "MMR", "NODE_DISTANCE", "EPISODE_MENTIONS",
+                      "CROSS_ENCODER"]),
+            ("COMBINED", ["RRF", "MMR", "CROSS_ENCODER"]),
+            ("COMMUNITY", ["RRF", "MMR", "CROSS_ENCODER"]),
+        )
+        for r in rs
+    ]
+    assert len(names) == 16
+    for n in names:
+        assert isinstance(getattr(api, n), api.SearchConfig), n
+
+
+def test_combined_and_community_mmr(g):
+    """COMBINED/COMMUNITY_HYBRID_SEARCH_MMR (reference
+    search_config_recipes.py:47-64, 188-194): greedy MMR over the fused
+    candidate set. MMR's first pick is pure relevance, so rank-1 must be
+    the cosine-top candidate among the fused pool; ranks must be a
+    contiguous 1..n permutation of distinct uuids."""
+    from graphiti_spark.api import (
+        COMBINED_HYBRID_SEARCH_MMR,
+        COMMUNITY_HYBRID_SEARCH_MMR,
+    )
+
+    out = g.search(["alice johnson paris"], COMBINED_HYBRID_SEARCH_MMR).toPandas()
+    assert 0 < len(out) <= COMBINED_HYBRID_SEARCH_MMR.limit
+    assert sorted(out["rank"]) == list(range(1, len(out) + 1))
+    assert out["uuid"].nunique() == len(out)
+    # combined scope really fuses both tables: uuids may come from either
+    node_ids = {r["uuid"] for r in g.tables.nodes.select("uuid").collect()}
+    edge_ids = {r["uuid"] for r in g.tables.edges.select("uuid").collect()}
+    assert set(out["uuid"]) <= (node_ids | edge_ids)
+
+    comm = g.search(["community"], COMMUNITY_HYBRID_SEARCH_MMR).toPandas()
+    assert len(comm) > 0
+    assert sorted(comm["rank"]) == list(range(1, len(comm) + 1))
+
+
 def test_nodes_and_edges_by_episode(g, spark):
     ep = g.tables.mention_edges.limit(1).collect()[0]["episode_uuid"]
     nodes, edges = g.nodes_and_edges_by_episode([ep])
