@@ -801,6 +801,12 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", F.expr("bit_count(sig_a ^ sig_b)"))
         .where(F.col("hamming") <= max_ham)
+        # degenerate-embedding guard: a vector whose components all
+        # quantize to 0 has n2=0 (and an all-ones signature, so two such
+        # vectors always band-collide at hamming 0); the cosine verify
+        # would then divide by zero — NULL in Spark, an error in the
+        # DuckDB oracle. Such vectors carry no direction: drop the pair.
+        .where((F.col("na2") > 0) & (F.col("nb2") > 0))
     )
     dot = "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, y) -> a + y)"
     return pairs.select(

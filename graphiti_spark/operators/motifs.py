@@ -38,6 +38,7 @@ _TERM_RE = re.compile(
     r"^(!?)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*-\s*\[\s*([A-Za-z0-9_*]+)\s*\]\s*->"
     r"\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)$"
 )
+_RESERVED_VAR_RE = re.compile(r"^[pt]\d+$")
 
 
 def parse_motif(pattern: str) -> list[tuple[bool, str, str, str]]:
@@ -51,7 +52,24 @@ def parse_motif(pattern: str) -> list[tuple[bool, str, str, str]]:
         m = _TERM_RE.match(raw)
         if not m:
             raise ValueError(f"bad motif term: {raw!r}")
-        terms.append((m.group(1) == "!", m.group(2), m.group(3), m.group(4)))
+        neg, sv, p, dv = m.group(1) == "!", m.group(2), m.group(3), m.group(4)
+        # a self-referential term would alias subj and obj to the SAME
+        # column name, yielding duplicate columns that later joins resolve
+        # ambiguously (or not at all) — reject instead of silently
+        # mis-matching; likewise variables that collide with the generated
+        # p<i> (wildcard-predicate) / t<i> (temporal) output columns
+        if sv == dv:
+            raise ValueError(
+                f"self-referential motif term {raw!r}: src and dst variable "
+                "must differ (self-loops are not expressible)"
+            )
+        for v in (sv, dv):
+            if _RESERVED_VAR_RE.match(v):
+                raise ValueError(
+                    f"motif variable {v!r} collides with generated p<i>/t<i> "
+                    "output columns; rename it"
+                )
+        terms.append((neg, sv, p, dv))
     if not terms:
         raise ValueError("empty motif pattern")
     if all(t[0] for t in terms):

@@ -683,4 +683,11 @@ def bm25_prf_topk(
         F.col("doc").alias(id_col),
         "score_u",
     )
+    # materialize the skinny result (<= k rows per query) while the
+    # postings index is still cached, then release it — otherwise each
+    # invocation leaves tf/dfreq pinned in executor storage for the
+    # session (they'd only go away via LRU pressure)
+    out = out.localCheckpoint(eager=True)
+    tf.unpersist()
+    dfreq.unpersist()
     return out

@@ -7281,7 +7281,8 @@ dots AS (
 SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming,
        CAST((CASE WHEN dot < 0 THEN -1 ELSE 1 END)
             * ((dot * dot * 1000000) // (na2 * nb2)) AS BIGINT) AS cos2s_u
-FROM dots"""
+FROM dots
+WHERE na2 > 0 AND nb2 > 0"""
 
 
 QUERIES["kg_katz"] = q_kg_katz

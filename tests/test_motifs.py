@@ -57,6 +57,20 @@ def test_motif_rejects_disconnected_and_bad_syntax(spark):
         parse_motif("(a)-R->(b)")
 
 
+def test_motif_rejects_self_referential_term_and_reserved_vars(spark):
+    # (a)-[R]->(a) would alias subj and obj to the same column name —
+    # duplicate columns, ambiguous joins downstream — so it is rejected
+    with pytest.raises(ValueError, match="self-referential"):
+        parse_motif("(a)-[R]->(a)")
+    # node vars colliding with generated p<i>/t<i> output columns
+    with pytest.raises(ValueError, match="collides"):
+        parse_motif("(p0)-[R]->(b)")
+    with pytest.raises(ValueError, match="collides"):
+        parse_motif("(a)-[*]->(t1)")
+    # non-reserved lookalikes still fine: p, t, p_0, px1
+    assert parse_motif("(p)-[R]->(t); (t)-[R]->(px1)")
+
+
 def test_motif_self_match_suppressed_unless_allowed(spark):
     t = _triples(spark, [("a", "LIKES", "b"), ("b", "LIKES", "a")])
     strict = match_motif(t, "(x)-[LIKES]->(y); (y)-[LIKES]->(x)").collect()

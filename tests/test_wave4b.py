@@ -162,3 +162,25 @@ def test_simhash_bucket_cap_bounds_degenerate_cell(spark):
     out2 = simhash_pairs(df, max_bucket=1000).collect()
     assert len(out2) == 30 * 29 // 2
     assert all(r["cos2s_u"] == 1_000_000 for r in out2)
+
+
+def test_simhash_zero_norm_vectors_never_pair(spark):
+    import numpy as np
+
+    # components < 0.01 quantize to 0 -> n2 = 0 and an all-ones
+    # signature; two such vectors band-collide at hamming 0 and the
+    # cosine verify would divide by zero (NULL in Spark, an error in
+    # DuckDB). The guard drops them; real vectors are unaffected.
+    tiny_a = (np.ones(64, dtype="float32") * 0.001).tolist()
+    tiny_b = (np.ones(64, dtype="float32") * 0.002).tolist()
+    real = np.random.RandomState(3).randn(64).astype("float32")
+    real /= np.linalg.norm(real)
+    out = simhash_pairs(
+        _emb_df(spark, [(1, tiny_a), (2, tiny_b), (3, real.tolist()),
+                        (4, (real * 1.001).tolist())])
+    ).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) not in ids
+    assert all(1 not in p and 2 not in p for p in ids)
+    assert (3, 4) in ids
+    assert all(r["cos2s_u"] is not None for r in out)
