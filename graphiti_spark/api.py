@@ -104,6 +104,13 @@ class GraphitiSpark:
         self.spark = spark
         self.tables: GraphTables | None = None
         self._comm: tuple[DataFrame, DataFrame] | None = None
+        # non-page mutations (add_triplet / remove_episodes) recorded in
+        # chronological order, replayed after any page-driven rebuild so
+        # interleaved mutations converge to the same tables as the
+        # equivalent one-shot build (the Iceberg pattern: base tables +
+        # a mutation log MERGEd on top; uuids are deterministic so a
+        # removal tombstones the same episode across rebuilds)
+        self._mutation_log: list[tuple[str, tuple]] = []
 
     # -- ingestion ---------------------------------------------------------
 
@@ -130,6 +137,7 @@ class GraphitiSpark:
             )
         self._comm = None
         self._comm_emb = None
+        self._mutation_log = []
         return self.tables
 
     def add_pages(self, pages: DataFrame) -> GraphTables:
@@ -175,6 +183,15 @@ class GraphitiSpark:
             retained_ex.unionByName(extract_all(new_eps)), "extracted"
         )
         self.tables = t
+        # the rebuild derived nodes/edges from pages alone; replay the
+        # non-page mutation log in chronological order so earlier
+        # add_triplet / remove_episodes survive the rebuild (convergence
+        # with the equivalent one-shot build is pytest-pinned)
+        for kind, args in self._mutation_log:
+            if kind == "add_triplet":
+                self._apply_add_triplet(*args)
+            else:
+                self._apply_remove_episodes(list(args))
         return t
 
     def triples(self) -> DataFrame:
@@ -442,6 +459,17 @@ class GraphitiSpark:
 
     def add_triplet(self, group_id: str, subj: str, pred: str, obj: str,
                     fact: str, valid_at, episode_uuid: str) -> None:
+        self._apply_add_triplet(
+            group_id, subj, pred, obj, fact, valid_at, episode_uuid
+        )
+        self._mutation_log.append(
+            ("add_triplet",
+             (group_id, subj, pred, obj, fact, valid_at, episode_uuid))
+        )
+
+    def _apply_add_triplet(self, group_id: str, subj: str, pred: str,
+                           obj: str, fact: str, valid_at,
+                           episode_uuid: str) -> None:
         t = self._t()
         trip = self.spark.createDataFrame(
             [(group_id, subj, pred, obj, fact, valid_at, episode_uuid)],
@@ -478,6 +506,10 @@ class GraphitiSpark:
         Set-wise (operators/maintenance.py): the list is lifted into a
         DataFrame so the 1-episode call and a domain-takedown bulk purge
         take the same distributed plan."""
+        self._apply_remove_episodes(episode_uuids)
+        self._mutation_log.append(("remove_episodes", tuple(episode_uuids)))
+
+    def _apply_remove_episodes(self, episode_uuids: list[str]) -> None:
         from .operators.maintenance import remove_episodes_tables
 
         t = self._t()

@@ -12,7 +12,10 @@ million-episode GDPR purge are the same plan:
     regrouped array is sorted, matching the builder's
     array_sort(collect_set(...)) representation,
   * mentions: anti-join on episode_uuid,
-  * nodes: semi-join against entities that still have a mention.
+  * nodes: delete only entities that were mentioned BY a removed episode
+    AND have no surviving mention (graphiti.py:770-782 checks exactly the
+    removed episode's mentioned nodes, not the whole table — a node
+    created by add_triplet has no MENTIONS row and must survive).
 
 Every step is a key join on a skinny projection (uuid / episode_uuid
 only); nothing is collected, nothing is broadcast by hint — at crawl
@@ -52,10 +55,23 @@ def remove_episodes_tables(
         removed.select(F.col("uuid").alias("episode_uuid")), "episode_uuid", "left_anti"
     )
 
+    # deletion candidates: entities the REMOVED episodes mentioned
+    # (reference scopes the check to these); of those, delete the ones
+    # with no surviving mention anywhere else
+    candidates = (
+        mention_edges.join(
+            removed.select(F.col("uuid").alias("episode_uuid")),
+            "episode_uuid",
+            "left_semi",
+        )
+        .select(F.col("entity_uuid").alias("uuid"))
+        .distinct()
+    )
     still_mentioned = mentions_out.select(
         F.col("entity_uuid").alias("uuid")
     ).distinct()
-    nodes_out = nodes.join(still_mentioned, "uuid", "left_semi")
+    to_delete = candidates.join(still_mentioned, "uuid", "left_anti")
+    nodes_out = nodes.join(to_delete, "uuid", "left_anti")
 
     return episodes_out, edges_out, mentions_out, nodes_out
 

@@ -278,6 +278,82 @@ def test_add_pages_incremental_equals_full_rebuild(spark, sf_dir):
     assert t_inc.episodes.count() == t_full.episodes.count()
 
 
+def _table_fingerprint(t):
+    """Order-insensitive exact fingerprint of the graph tables."""
+    from pyspark.sql import functions as FF
+
+    edges = t.edges.select(
+        "group_id", "source_node_uuid", "target_node_uuid", "name", "uuid",
+        "fact", "valid_at", "invalid_at",
+        FF.array_join("episodes", ",").alias("eps"),
+    )
+    nodes = t.nodes.select("group_id", "uuid", "name")
+    eps = t.episodes.select("uuid")
+
+    def fp(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    return fp(edges), fp(nodes), fp(eps)
+
+
+def test_interleaved_mutations_converge(spark, sf_dir):
+    """add_pages / remove_episodes / add_triplet interleaved in different
+    orders converge to the same tables as the equivalent one-shot build:
+    the facade records non-page mutations in a log and replays them after
+    any page-driven rebuild (deterministic uuids make removals stable
+    tombstones across rebuilds)."""
+    import datetime as dt
+
+    from graphiti_spark.api import GraphitiSpark
+    from graphiti_spark.sources.pages import build_pages
+
+    pages = build_pages(spark, sf_dir)
+    half1 = pages.where("doc_id % 2 = 0")
+    half2 = pages.where("doc_id % 2 = 1")
+
+    # a deterministic victim episode from half1 (exists in every variant)
+    g_probe = GraphitiSpark(spark)
+    g_probe.build(sf_dir="", pages=half1)
+    victim = (
+        g_probe.tables.episodes.select("uuid").orderBy("uuid").limit(1)
+        .collect()[0]["uuid"]
+    )
+    T = ("srcz", "Zeta Tester", "LIKES", "Eta Tester",
+         "Zeta Tester likes Eta Tester.",
+         dt.datetime(2024, 3, 1), "0" * 32)
+
+    # one-shot reference: build everything, then the two mutations
+    ref = GraphitiSpark(spark)
+    ref.build(sf_dir="", pages=pages)
+    ref.remove_episodes([victim])
+    ref.add_triplet(*T)
+    want = _table_fingerprint(ref.tables)
+
+    # order A: mutations after the incremental ingest (no replay needed)
+    a = GraphitiSpark(spark)
+    a.build(sf_dir="", pages=half1)
+    a.add_pages(half2)
+    a.remove_episodes([victim])
+    a.add_triplet(*T)
+    assert _table_fingerprint(a.tables) == want
+
+    # order B: both mutations BEFORE add_pages — the rebuild must replay
+    b = GraphitiSpark(spark)
+    b.build(sf_dir="", pages=half1)
+    b.remove_episodes([victim])
+    b.add_triplet(*T)
+    b.add_pages(half2)
+    assert _table_fingerprint(b.tables) == want
+
+    # order C: mutations straddle the ingest
+    c = GraphitiSpark(spark)
+    c.build(sf_dir="", pages=half1)
+    c.add_triplet(*T)
+    c.add_pages(half2)
+    c.remove_episodes([victim])
+    assert _table_fingerprint(c.tables) == want
+
+
 def test_add_pages_upserts_by_url(spark, sf_dir):
     """Re-ingesting an existing url replaces its content: the old
     episodes for that url disappear from the stage tables."""

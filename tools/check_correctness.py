@@ -139,9 +139,14 @@ def main() -> int:
             "failures": failures,
             "results": results,
         }
+        # scale-aware artifact name: the sf0.01 run is the canonical
+        # CORRECTNESS_local.json; other scales get their own file so a
+        # full-surface run at sf0.1 never clobbers the sf0.01 artifact
+        base = os.path.basename(os.path.normpath(sf_dir))
+        suffix = "" if base == "sf0.01" else "_" + base.replace(".", "")
         out_path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "CORRECTNESS_local.json",
+            f"CORRECTNESS_local{suffix}.json",
         )
         with open(out_path, "w") as fh:
             json.dump(artifact, fh, indent=1, sort_keys=True)
