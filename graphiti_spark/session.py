@@ -35,6 +35,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # per-stage task-time forensics (tools/skew_bench.py straggler audit)
+    evdir = os.environ.get("SPARK_GRAFT_EVENTLOG")
+    if evdir:
+        os.makedirs(evdir, exist_ok=True)
+        builder = builder.config("spark.eventLog.enabled", "true").config(
+            "spark.eventLog.dir", evdir
+        )
     # shuffle/spill files on tmpfs when available: the sandbox's /tmp sits
     # on a throttled virtual disk (I/O-wait dominates under load); on a
     # real cluster this is the NVMe scratch dir

@@ -247,6 +247,11 @@ def main() -> int:
         lines.append("## Flagged plans")
         for name, plan in details:
             lines += [f"### {name}", "```", plan[:4000], "```", ""]
+    if only:
+        # subset runs must never clobber the full-surface artifact
+        print(f"\n{len(rows)} audited (subset), {n_flag} flagged"
+              " — PLANS.md NOT written")
+        return 1 if n_flag else 0
     with open(os.path.join(REPO, "PLANS.md"), "w") as fh:
         fh.write("\n".join(lines))
     print(f"\n{len(rows)} audited, {n_flag} flagged -> PLANS.md")
