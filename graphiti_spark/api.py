@@ -38,7 +38,8 @@ class SearchConfig:
 
     scope: str = "edges"  # edges | nodes | combined
     reranker: str = "rrf"  # rrf | mmr | node_distance | episode_mentions
-    #                        | cross_encoder | pagerank | closeness
+    #                        | cross_encoder | cross_encoder_learned
+    #                        | pagerank | closeness
     limit: int = S.DEFAULT_SEARCH_LIMIT
 
 
@@ -420,10 +421,14 @@ class GraphitiSpark:
                     .withColumn("harmonic_q", F.coalesce("harmonic_q", F.lit(0)))
                     .orderBy(F.desc("harmonic_q"), "uuid")
                 )
-        elif config.reranker == "cross_encoder":
-            # Q13/U5: deterministic cross-encoder rerank of the hybrid
-            # candidate set (reference reranks only its candidates;
-            # cross_encoder/client.py:28-40)
+        elif config.reranker in ("cross_encoder", "cross_encoder_learned"):
+            # Q13/U5: cross-encoder rerank of the hybrid candidate set
+            # (reference reranks only its candidates;
+            # cross_encoder/client.py:28-40). "cross_encoder" = the
+            # sanctioned deterministic idf-overlap scorer;
+            # "cross_encoder_learned" = the integer averaged-perceptron
+            # trained on the candidate corpus (operators/ce_learned.py,
+            # the bge_reranker analogue) — same output surface.
             from .operators.cross_encoder import cross_encoder_rank
             from pyspark.sql import Window
 
@@ -438,7 +443,18 @@ class GraphitiSpark:
                 .dropDuplicates(["uuid"])
                 .persist()
             )
-            ce = cross_encoder_rank(cand_corpus, qs, "uuid", "text", k=10**9)
+            if config.reranker == "cross_encoder_learned":
+                from .operators.ce_learned import learned_ce_rank, train_weights
+
+                sample = [
+                    r["text"] for r in cand_corpus.orderBy("uuid").collect()
+                ]
+                ce = learned_ce_rank(
+                    cand_corpus, qs, "uuid", "text",
+                    weights=train_weights(sample), k=10**9,
+                )
+            else:
+                ce = cross_encoder_rank(cand_corpus, qs, "uuid", "text", k=10**9)
             own = ce.join(
                 fused.select("query_id", "uuid"), ["query_id", "uuid"], "left_semi"
             )

@@ -1121,6 +1121,63 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, doc AS doc_id, ce_score_u
 FROM cranked WHERE rank <= 10"""
 
 
+def _ce_training_sample(sf_dir: str) -> list[str]:
+    """Deterministic bounded training sample for the learned cross-
+    encoder: doc_id % 17 == 0, ordered, strided to <= 200 passages. Read
+    via DuckDB on BOTH the Spark-query and oracle sides so the sample —
+    and therefore the trained integer weights — are byte-identical."""
+    import duckdb
+
+    from .operators.ce_learned import sample_passages
+
+    rows = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' "
+        "WHERE doc_id % 17 = 0 ORDER BY doc_id"
+    ).fetchall()
+    return sample_passages([(int(d), t) for d, t in rows], cap=200)
+
+
+_CE_WEIGHTS_CACHE: dict[str, list[int]] = {}
+
+
+def _ce_weights(sf_dir: str) -> list[int]:
+    from .operators.ce_learned import train_weights
+
+    if sf_dir not in _CE_WEIGHTS_CACHE:
+        _CE_WEIGHTS_CACHE[sf_dir] = train_weights(_ce_training_sample(sf_dir))
+    return _CE_WEIGHTS_CACHE[sf_dir]
+
+
+def q_search_ce_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13/U5 learned path (reference bge_reranker_client.py:24-44 scores
+    with a trained reranker): integer averaged-perceptron weights trained
+    at runtime on deterministic pseudo-relevance pairs from the corpus
+    sample, then applied distributed (operators/ce_learned.py). The
+    sanctioned idf-overlap stand-in remains the default Q13; this is the
+    learned upgrade under the same exact gate."""
+    from .operators.ce_learned import learned_ce_rank
+
+    qs = search.make_queries_df(spark, DOC_QUERIES)
+    return learned_ce_rank(
+        _documents(spark, sf_dir), qs, "doc_id", "text",
+        weights=_ce_weights(sf_dir), k=10,
+    )
+
+
+def _sql_search_ce_learned() -> str:
+    from .operators.ce_learned import sql_learned_ce
+
+    ctes = sql_learned_ce(
+        "SELECT doc_id AS doc, text FROM documents",
+        _queries_values(),
+        _ce_weights(_oracle_sf_dir()),
+    )
+    return f"""
+WITH {ctes.lstrip()}
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc AS doc_id, ce_score_u
+FROM cranked WHERE rank <= 10"""
+
+
 SIM_DUP_MIN_Q = 400_000  # 0.4 cosine at milli-quantization
 
 
@@ -1458,6 +1515,7 @@ SEARCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_mentions_rerank": q_kg_mentions_rerank,
     "kg_community_similarity": q_kg_community_similarity,
     "search_cross_encoder": q_search_cross_encoder,
+    "search_ce_learned": q_search_ce_learned,
     "kg_community_search": q_kg_community_search,
     "kg_bfs_edges": q_kg_bfs_edges,
     "kg_edge_fulltext": q_kg_edge_fulltext,
@@ -1484,6 +1542,7 @@ SEARCH_ORACLES: dict[str, Callable[[], str]] = {
     "kg_mentions_rerank": _sql_kg_mentions_rerank,
     "kg_community_similarity": _sql_kg_community_similarity,
     "search_cross_encoder": _sql_search_cross_encoder,
+    "search_ce_learned": _sql_search_ce_learned,
     "kg_community_search": _sql_kg_community_search,
     "kg_bfs_edges": _sql_kg_bfs_edges,
     "kg_node_similarity": _sql_kg_node_similarity_env,

@@ -54,6 +54,22 @@ def test_combined_scope(g):
     assert len(out) > 0
 
 
+def test_learned_cross_encoder_reranker(g):
+    """The learned (trained-at-runtime) cross-encoder behind the same
+    reranker surface: top result for a works-at query should carry the
+    queried terms, ranks contiguous."""
+    from graphiti_spark.api import SearchConfig
+
+    cfg = SearchConfig("edges", "cross_encoder_learned")
+    out = g.search(["alice johnson works"], cfg).toPandas()
+    assert 0 < len(out) <= cfg.limit
+    assert sorted(out["rank"]) == list(range(1, len(out) + 1))
+    top_fact = g.tables.edges.where(
+        F.col("uuid") == out.iloc[0]["uuid"]
+    ).collect()[0]["fact"].lower()
+    assert "alice johnson" in top_fact or "works" in top_fact
+
+
 def test_all_reference_recipe_names_importable():
     """Every recipe constant the reference exports
     (search_config_recipes.py:31-194, 16 names) must be importable
