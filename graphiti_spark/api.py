@@ -467,6 +467,12 @@ class GraphitiSpark:
                     "uuid", "ce_score_u",
                 )
             )
+            # materialize the skinny (<= limit per query) result while
+            # the candidate caches are hot, then release them — otherwise
+            # every CE search pins two cached frames for the session
+            out = out.localCheckpoint(eager=True)
+            cand_corpus.unpersist()
+            fused.unpersist()
         else:  # rrf
             out = fused.where(F.col("rank") <= config.limit)
         return out
