@@ -137,9 +137,15 @@ class GraphitiSpark:
                 getattr(self.tables, name).localCheckpoint(eager=True),
             )
         self._comm = None
-        self._comm_emb = None
+        self._drop_comm_emb()
         self._mutation_log = []
         return self.tables
+
+    def _drop_comm_emb(self) -> None:
+        stale = getattr(self, "_comm_emb", None)
+        if stale is not None:
+            stale.unpersist()
+        self._comm_emb = None
 
     def add_pages(self, pages: DataFrame) -> GraphTables:
         """Incremental ingest (the reference's add_episode upsert,
@@ -504,7 +510,7 @@ class GraphitiSpark:
     def build_communities(self):
         t = self._t()
         self._comm = _build_communities(t.nodes, t.edges)
-        self._comm_emb = None
+        self._drop_comm_emb()
         return self._comm
 
     def _communities(self) -> DataFrame:
