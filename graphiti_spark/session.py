@@ -39,8 +39,11 @@ def get_spark(
     evdir = os.environ.get("SPARK_GRAFT_EVENTLOG")
     if evdir:
         os.makedirs(evdir, exist_ok=True)
-        builder = builder.config("spark.eventLog.enabled", "true").config(
-            "spark.eventLog.dir", evdir
+        builder = (
+            builder.config("spark.eventLog.enabled", "true")
+            .config("spark.eventLog.dir", evdir)
+            .config("spark.eventLog.compress", "false")
+            .config("spark.eventLog.rolling.enabled", "false")
         )
     # shuffle/spill files on tmpfs when available: the sandbox's /tmp sits
     # on a throttled virtual disk (I/O-wait dominates under load); on a

@@ -129,8 +129,15 @@ def build_pages(
     silently dropped by a dense-range assumption. replicate=1 is the
     identity used by all correctness paths.
     """
-    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text", "lang", "source"
+    # explicit schema: skips the footer-read schema-inference job (one
+    # job + ~0.5s driver gap per build_graph on this substrate; at crawl
+    # scale the schema comes from the Iceberg catalog anyway)
+    base = (
+        spark.read.schema(
+            "doc_id bigint, text string, lang string, source string"
+        )
+        .parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "lang", "source")
     )
     n_parts = partitions or spark.sparkContext.defaultParallelism
     docs = base.repartition(n_parts)

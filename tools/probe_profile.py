@@ -34,9 +34,10 @@ def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "checkpoint"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     evdir = f"/tmp/probe-profile-{mode}"
+    import shutil
+
+    shutil.rmtree(evdir, ignore_errors=True)
     os.makedirs(evdir, exist_ok=True)
-    for f in glob.glob(evdir + "/*"):
-        os.unlink(f)
     os.environ["SPARK_GRAFT_EVENTLOG"] = evdir
     os.environ["SPARK_GRAFT_STAGE_COMMIT"] = mode
 
@@ -58,8 +59,16 @@ def main() -> None:
     raw = t.triples_raw.count()
     spark.stop()
 
+    # Spark 4 event logs are rolling DIRECTORIES (eventlog_v2_*) of
+    # events_* files; walk recursively and read regular files only
+    paths = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(evdir)
+        for f in fs
+        if not f.startswith("appstatus")
+    ]
     jobs: dict[int, dict] = {}
-    for path in glob.glob(evdir + "/*"):
+    for path in paths:
         with open(path) as fh:
             for line in fh:
                 try:
@@ -68,9 +77,15 @@ def main() -> None:
                     continue
                 e = ev.get("Event")
                 if e == "SparkListenerJobStart":
+                    props = ev.get("Properties", {}) or {}
+                    infos = ev.get("Stage Infos", [])
+                    names = [si.get("Stage Name", "") for si in infos]
                     jobs[ev["Job ID"]] = {
                         "submit": ev["Submission Time"], "first_task": None,
                         "end": None, "n_stages": len(ev.get("Stage IDs", [])),
+                        "desc": (props.get("spark.job.description")
+                                 or props.get("callSite.short")
+                                 or (names[-1] if names else ""))[:90],
                     }
                 elif e == "SparkListenerTaskStart":
                     pass
@@ -113,6 +128,7 @@ def main() -> None:
                 gap_ms += g
                 gaps.append((g, i))
     gaps.sort(reverse=True)
+    by_dur = sorted(seq, key=lambda j: -(j["end"] - j["submit"]))
     print(json.dumps({
         "mode": mode, "wall_sec": round(wall, 3), "n_canonical": n,
         "n_raw": raw, "n_jobs": len(seq),
@@ -120,6 +136,14 @@ def main() -> None:
         "sched_sec": round(sched_ms / 1000, 3),
         "driver_gap_sec": round(gap_ms / 1000, 3),
         "top_gaps_ms": [g for g, _ in gaps[:10]],
+        "top_gap_after_job": [
+            {"desc": seq[i]["desc"], "gap_ms": g} for g, i in gaps[:5]
+        ],
+        "top_jobs_ms": [
+            {"desc": j["desc"], "ms": j["end"] - j["submit"],
+             "n_stages": j["n_stages"]}
+            for j in by_dur[:12]
+        ],
     }))
 
 

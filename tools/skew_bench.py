@@ -46,9 +46,12 @@ for _ in range(2):
     spark.catalog.clearCache()
 n_raw = t.triples_raw.count()
 spark.stop()
-# parse the event log: per-stage task durations
+# parse the event log (Spark 4: rolling eventlog_v2_* DIRECTORIES):
+# per-stage task durations
 stages = {}
-for path in glob.glob(evdir + "/*"):
+paths = [os.path.join(r, f) for r, _, fs in os.walk(evdir) for f in fs
+         if not f.startswith("appstatus")]
+for path in paths:
     with open(path) as fh:
         for line in fh:
             try:
@@ -77,8 +80,7 @@ print(json.dumps({"sf_dir": sf_dir, "times": times, "sec": min(times),
 
 def run_one(sf_dir: str, replicate: int, tag: str) -> dict:
     evdir = f"/tmp/skewbench-events-{tag}"
-    for f in __import__("glob").glob(evdir + "/*"):
-        os.unlink(f)
+    __import__("shutil").rmtree(evdir, ignore_errors=True)
     # event logging must be set before the session exists -> subprocess
     env = {**os.environ, "SPARK_GRAFT_EVENTLOG": evdir}
     proc = subprocess.run(
