@@ -370,6 +370,90 @@ def test_interleaved_mutations_converge(spark, sf_dir):
     assert _table_fingerprint(c.tables) == want
 
 
+def test_interleaved_mutations_randomized_orders(spark):
+    """Property form of the convergence test on a micro corpus: five
+    pairwise-commuting operations (two page batches with disjoint urls,
+    two disjoint add_triplets, one remove of a batch-A episode) applied
+    in four deterministically-chosen permutations all converge to the
+    one-shot build + mutations."""
+    import datetime as dt
+    import itertools
+
+    from pyspark.sql import functions as FF
+
+    from graphiti_spark.api import GraphitiSpark
+
+    def pages(rows):
+        df = spark.createDataFrame(
+            rows, "doc_id long, url string, warc_ts timestamp, text string,"
+            " lang string, group_id string"
+        )
+        return df.withColumn("html", FF.lit(None).cast("binary"))
+
+    t0 = dt.datetime(2024, 1, 1)
+    A = pages([
+        (0, "https://a/0", t0, "Alice Johnson works at Acme Corp. ", "en", "g1"),
+        (1, "https://a/1", t0, "Bob Hartley likes Carol Mendes. ", "en", "g1"),
+        (2, "https://a/2", t0, "Emma Larsen moved to Paris. ", "en", "g2"),
+    ])
+    B = pages([
+        (3, "https://b/0", t0, "Alice Johnsonn no longer works at Acme Corp. ",
+         "en", "g1"),
+        (4, "https://b/1", t0, "Frank Moreau visited Berlin on 2024-01-05. ",
+         "en", "g2"),
+    ])
+    C = pages([
+        (5, "https://c/0", t0, "Grace Kimura leads Initech Labs. ", "en", "g1"),
+    ])
+    T1 = ("g1", "Zeta One", "LIKES", "Eta One", "Zeta One likes Eta One.",
+          dt.datetime(2024, 2, 1), "1" * 32)
+    T2 = ("g2", "Zeta Two", "ADMIRES", "Eta Two", "Zeta Two admires Eta Two.",
+          dt.datetime(2024, 2, 2), "2" * 32)
+
+    probe = GraphitiSpark(spark)
+    probe.build(sf_dir="", pages=A)
+    victim = (
+        probe.tables.episodes.select("uuid").orderBy("uuid").limit(1)
+        .collect()[0]["uuid"]
+    )
+
+    def fp(t):
+        edges = t.edges.select(
+            "group_id", "source_node_uuid", "target_node_uuid", "name",
+            "uuid", "fact", "valid_at", "invalid_at",
+            FF.array_join("episodes", ",").alias("eps"),
+        )
+        nodes = t.nodes.select("group_id", "uuid", "name")
+        eps = t.episodes.select("uuid")
+        return tuple(
+            tuple(sorted(tuple(r) for r in df.collect()))
+            for df in (edges, nodes, eps)
+        )
+
+    ref = GraphitiSpark(spark)
+    ref.build(sf_dir="", pages=A.unionByName(B).unionByName(C))
+    ref.remove_episodes([victim])
+    ref.add_triplet(*T1)
+    ref.add_triplet(*T2)
+    want = fp(ref.tables)
+
+    OPS = {
+        "B": lambda g: g.add_pages(B),
+        "C": lambda g: g.add_pages(C),
+        "T1": lambda g: g.add_triplet(*T1),
+        "T2": lambda g: g.add_triplet(*T2),
+        "R": lambda g: g.remove_episodes([victim]),
+    }
+    perms = list(itertools.permutations(["B", "C", "T1", "T2", "R"]))
+    for idx in (0, 31, 67, 119):  # deterministic spread over 5! orders
+        order = perms[idx]
+        g = GraphitiSpark(spark)
+        g.build(sf_dir="", pages=A)
+        for op in order:
+            OPS[op](g)
+        assert fp(g.tables) == want, f"order {order} diverged"
+
+
 def test_add_pages_upserts_by_url(spark, sf_dir):
     """Re-ingesting an existing url replaces its content: the old
     episodes for that url disappear from the stage tables."""
